@@ -1,0 +1,280 @@
+"""Segment stitching — reproduces the reference's order-sensitive assembly.
+
+The reference collects 2-point segments into per-(row, level) sorted
+endpoint-adjacency bags (PseudoLineBag, ContourProcessor2.cs:604-766),
+gathers them per level across rows (:1488-1507), then repeatedly
+extracts the lexicographically-first segment and attaches it to at most
+two existing polylines sharing an endpoint (PseudoPolylineBag.AddPolyline
+:957-991 with the two-sided endpoint index :777-918 and
+PseudoPolyline.Concat :310-363).
+
+Polyline point order, orientation, ring start points, and the surviving
+`Polylines` list order all depend on this exact sequence — and they feed
+the deterministic node/way ID streams — so this module replicates it
+1:1 (including the quirk that a bridging partner that fails to Concat is
+still dropped from the output list, :976-980).
+
+Everything here is per-(tile, level) local state: the reference stitches
+one level per thread (:1516-1525); we stitch one (tile, level) group per
+Spark task via applyInPandas — same single-owner semantics, no
+distributed union-find needed because a level's segments always fit one
+task. A cross-tile variant would key groups by shared-border cell ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+Point = tuple[float, float]
+
+
+# ------------------------------------------------------------- line bag
+
+class LineBag:
+    """Endpoint-adjacency map with undirected-duplicate rejection
+    (PseudoLineBag.Add, ContourProcessor2.cs:618-640)."""
+
+    __slots__ = ("adj",)
+
+    def __init__(self) -> None:
+        self.adj: dict[Point, list[Point]] = {}
+
+    def add(self, p1: Point, p2: Point) -> None:
+        lst = self.adj.get(p1)
+        if lst is not None:
+            if p2 not in lst:
+                lst.append(p2)
+            return
+        lst = self.adj.get(p2)
+        if lst is not None:  # "umdrehen" — key by the existing endpoint
+            if p1 not in lst:
+                lst.append(p1)
+            return
+        self.adj[p1] = [p2]
+
+    def add_bag(self, other: "LineBag") -> None:
+        """Gather in sorted-key order (PseudoLineBag.Add(bag), :673-680 —
+        iteration of the SortedDictionary is key-ascending)."""
+        for key in sorted(other.adj):
+            for p2 in other.adj[key]:
+                self.add(key, p2)
+
+    def count(self) -> int:
+        return sum(len(v) for v in self.adj.values())
+
+
+# ------------------------------------------------------------- polylines
+
+class Polyline:
+    __slots__ = ("pts", "alive")
+
+    def __init__(self, pts: list[Point]) -> None:
+        self.pts = pts
+        self.alive = True
+
+    @property
+    def first(self) -> Point:
+        return self.pts[0]
+
+    @property
+    def last(self) -> Point:
+        return self.pts[-1]
+
+
+class _Index:
+    """Two-sided endpoint index (PseudoPolylineIndex, :777-918).
+    Identity semantics: C# List.Contains/Remove use reference equality."""
+
+    __slots__ = ("m",)
+
+    def __init__(self) -> None:
+        self.m: dict[Point, list[Polyline]] = {}
+
+    def _insert(self, pl: Polyline, pt: Point) -> None:
+        lst = self.m.setdefault(pt, [])
+        if not any(x is pl for x in lst):
+            lst.append(pl)
+
+    def _remove(self, pl: Polyline, pt: Point) -> None:
+        lst = self.m.get(pt)
+        if lst is None:
+            return
+        for i, x in enumerate(lst):
+            if x is pl:
+                del lst[i]
+                break
+        if not lst:
+            del self.m[pt]
+
+    def add(self, pl: Polyline) -> None:
+        self._insert(pl, pl.first)
+        self._insert(pl, pl.last)
+
+    def remove(self, pl: Polyline) -> None:
+        self._remove(pl, pl.first)
+        self._remove(pl, pl.last)
+
+    def change(self, pl: Polyline, startpoint: bool, newpt: Point) -> None:
+        self._remove(pl, pl.first if startpoint else pl.last)
+        self._insert(pl, newpt)
+
+    def candidates(self, pl: Polyline) -> list[Polyline] | None:
+        """GetAllPseudoPolylines4PseudoPolyline (:873-886), incl. the
+        double self-removal exactly as written."""
+        lines = list(self.m[pl.first]) if pl.first in self.m else None
+        if lines is not None:
+            _remove_identity(lines, pl)
+            lines2 = self.m.get(pl.last)
+            if lines2:
+                lines.extend(lines2)
+        else:
+            l2 = self.m.get(pl.last)
+            lines = list(l2) if l2 is not None else None
+        if lines is not None:
+            _remove_identity(lines, pl)
+        return lines
+
+
+def _remove_identity(lst: list[Polyline], pl: Polyline) -> None:
+    for i, x in enumerate(lst):
+        if x is pl:
+            del lst[i]
+            return
+
+
+def _concat(dst: Polyline, src: Polyline, index: _Index | None) -> bool:
+    """PseudoPolyline.Concat (:310-363). Attaches src to dst at a shared
+    endpoint (4 orientation cases, first match wins); never closes rings
+    here. Returns False when no endpoint matches."""
+    if dst is src:
+        return False
+    a, b = dst.pts, src.pts
+    if a and b:
+        if a[-1] == b[0]:
+            if index is not None:
+                index.remove(src)
+                index.change(dst, False, src.last)
+            a.pop()
+            a.extend(b)
+        elif a[-1] == b[-1]:
+            if index is not None:
+                index.remove(src)
+                index.change(dst, False, src.first)
+            a.pop()
+            a.extend(reversed(b))
+        elif a[0] == b[-1]:
+            if index is not None:
+                index.remove(src)
+                index.change(dst, True, src.first)
+            del a[0]
+            a[0:0] = b
+        elif a[0] == b[0]:
+            if index is not None:
+                index.remove(src)
+                index.change(dst, True, src.last)
+            del a[0]
+            a[0:0] = list(reversed(b))
+        else:
+            return False
+        return True
+    else:
+        if not b:
+            return True
+        if index is not None:
+            index.remove(src)
+            index.remove(dst)
+        a.extend(b)
+        if index is not None:
+            index.add(dst)
+        return True
+
+
+def stitch_level(segments: list[tuple[Point, Point]]) -> list[list[Point]]:
+    """segments: (p1, p2) pairs in reference emission order for one
+    (tile, level). Returns surviving polylines in reference list order.
+
+    Extraction order: lexicographically smallest key first, its adjacency
+    slots in insertion order (PseudoLineBag.Extract :746-766, keyed by
+    the (X, Y)-lexicographic comparator :231-243)."""
+    bag = LineBag()
+    for p1, p2 in segments:
+        bag.add(p1, p2)
+    return _stitch_master(bag)
+
+
+def _add_polyline(ppl: Polyline, polylines: list[Polyline], index: _Index) -> None:
+    """PseudoPolylineBag.AddPolyline (:957-991)."""
+    lines = index.candidates(ppl)
+    if lines:
+        if len(lines) == 2 and lines[0] is lines[1]:
+            # new segment closes lines[0] into a ring — retire from index
+            index.remove(lines[0])
+            _concat(lines[0], ppl, None)
+        else:
+            _concat(lines[0], ppl, index)
+            if len(lines) > 1:
+                index.remove(lines[1])
+                _concat(lines[0], lines[1], index)
+                # dropped from the output list even if Concat failed (:979)
+                lines[1].alive = False
+    else:
+        index.add(ppl)
+        polylines.append(ppl)
+
+
+def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
+    """Full per-tile stage 3+4: per-(row, level) bags -> per-level gather
+    -> per-level stitching (ContourProcessor2.cs:1461-1525).
+
+    seg_array: marching.SEG_DTYPE records in emission order.
+    Returns {level: [polyline, ...]} with levels ascending.
+    """
+    # stage 1 analogue: per-(row, level) bags in emission order
+    # (.tolist() once — native Python scalars are much faster to hash)
+    row_bags: dict[tuple[int, int], LineBag] = {}
+    it = zip(
+        seg_array["y"].tolist(),
+        seg_array["level"].tolist(),
+        seg_array["x1"].tolist(),
+        seg_array["y1"].tolist(),
+        seg_array["x2"].tolist(),
+        seg_array["y2"].tolist(),
+    )
+    for y, lv, ax, ay, bx, by in it:
+        key = (y, lv)
+        b = row_bags.get(key)
+        if b is None:
+            b = row_bags[key] = LineBag()
+        b.add((ax, ay), (bx, by))
+
+    # stage 3: gather rows (ascending) into one bag per level (:1488-1507)
+    levels = sorted({lv for (_, lv) in row_bags})
+    rows = sorted({r for (r, _) in row_bags})
+    out: dict[int, list[list[Point]]] = {}
+    for lv in levels:
+        master = LineBag()
+        for r in rows:
+            b = row_bags.get((r, lv))
+            if b is not None:
+                master.add_bag(b)
+        if master.count() == 0:
+            continue
+        # stage 4: stitch (one task per level in the reference)
+        out[lv] = _stitch_master(master)
+    return out
+
+
+def _stitch_master(master: LineBag) -> list[list[Point]]:
+    keys = sorted(master.adj)
+    polylines: list[Polyline] = []
+    index = _Index()
+    ki = 0
+    while ki < len(keys):
+        lst = master.adj.get(keys[ki])
+        if not lst:
+            ki += 1
+            continue
+        p2 = lst.pop(0)
+        seg = Polyline([keys[ki], p2])
+        _add_polyline(seg, polylines, index)
+    return [pl.pts for pl in polylines if pl.alive]
