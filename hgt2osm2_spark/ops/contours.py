@@ -1,0 +1,208 @@
+"""Distributed contour pipeline stages (SURVEY.md §3.1 mapped to Spark).
+
+ stage 1-2  extract_contour_segments : tiles -> segments
+            (mapInPandas; decode + vectorized marching kernel per tile)
+ stage 3-4  stitch_polylines         : segments -> polylines
+            (repartition + groupBy(image_id, level) + applyInPandas —
+            Spark's task parallelism replaces the reference's
+            one-thread-per-level pool, ContourProcessor2.cs:1516-1525)
+ stage 5    postprocess_polylines    : polylines -> kept/filtered rows
+            (mapInPandas; each polyline independent) + metrics as a
+            native groupBy (A5)
+
+Scale notes (100 TB design):
+- segments shuffle once, keyed (image_id, level) — the only wide
+  exchange before the sink; AQE skew-join/coalesce handles hot levels.
+- the points payload uses two flat array<double> columns (Arrow-friendly
+  columnar layout) instead of array<struct> — cheaper to shuffle.
+- polyline groups are bounded by tile size (a level within one tile),
+  so applyInPandas state stays small regardless of table size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import ContourOptions
+from ..kernels import codecs, marching, postprocess, stitch
+
+SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("level", T.IntegerType(), False),
+        T.StructField("row_y", T.IntegerType(), False),
+        T.StructField("seg_ord", T.IntegerType(), False),
+        T.StructField("x1", T.DoubleType(), False),
+        T.StructField("y1", T.DoubleType(), False),
+        T.StructField("x2", T.DoubleType(), False),
+        T.StructField("y2", T.DoubleType(), False),
+    ]
+)
+
+POLYLINES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("level", T.IntegerType(), False),
+        T.StructField("poly_ord", T.IntegerType(), False),
+        T.StructField("xs", T.ArrayType(T.DoubleType()), False),
+        T.StructField("ys", T.ArrayType(T.DoubleType()), False),
+        T.StructField("closed", T.BooleanType(), False),
+    ]
+)
+
+POST_SCHEMA = T.StructType(
+    POLYLINES_SCHEMA.fields
+    + [
+        T.StructField("kept", T.BooleanType(), False),
+        T.StructField("reason", T.StringType(), True),
+        T.StructField("collinear_removed", T.IntegerType(), False),
+        T.StructField("dp_removed", T.IntegerType(), False),
+        T.StructField("grid_w", T.IntegerType(), False),
+        T.StructField("grid_h", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_contour_segments(tiles: DataFrame, opt: ContourOptions | None = None) -> DataFrame:
+    """tiles(input_hint schema) -> segments, in reference emission order
+    (seg_ord). Decode happens inside the same Arrow batch as the kernel."""
+    opt = opt or ContourOptions()
+    d, fake = opt.minor_distance, opt.fake_distance
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for img, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                grid = codecs.decode(data, fmt, int(w), int(h))
+                seg = marching.extract_segments(grid, d, fake)
+                n = len(seg)
+                if n == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "image_id": np.repeat(img, n),
+                        "level": seg["level"].astype(np.int32),
+                        "row_y": seg["y"].astype(np.int32),
+                        "seg_ord": np.arange(n, dtype=np.int32),
+                        "x1": seg["x1"],
+                        "y1": seg["y1"],
+                        "x2": seg["x2"],
+                        "y2": seg["y2"],
+                    }
+                )
+
+    return tiles.mapInPandas(gen, schema=SEGMENTS_SCHEMA)
+
+
+def stitch_polylines(segments: DataFrame, shuffle_partitions: int | None = None) -> DataFrame:
+    """groupBy(image_id, level) -> order-faithful stitching (J1).
+
+    The explicit repartition keys the shuffle exactly like the
+    reference's per-level work queue; poly_ord is the deterministic
+    surviving-list order that later drives ID assignment (O2/W1)."""
+
+    def do_stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, level = key
+        pdf = pdf.sort_values("seg_ord")
+        seg = np.empty(len(pdf), dtype=marching.SEG_DTYPE)
+        seg["y"] = pdf["row_y"].to_numpy()
+        seg["level"] = pdf["level"].to_numpy()
+        for c in ("x1", "y1", "x2", "y2"):
+            seg[c] = pdf[c].to_numpy()
+        bags = stitch.stitch_tile(seg)
+        pls = bags.get(int(level), [])
+        rows = []
+        for i, pts in enumerate(pls):
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            rows.append(
+                {
+                    "image_id": image_id,
+                    "level": int(level),
+                    "poly_ord": i,
+                    "xs": xs,
+                    "ys": ys,
+                    "closed": pts[0] == pts[-1],
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in POLYLINES_SCHEMA.fields])
+
+    seg = segments
+    if shuffle_partitions:
+        seg = seg.repartition(shuffle_partitions, "image_id", "level")
+    return seg.groupBy("image_id", "level").applyInPandas(do_stitch, schema=POLYLINES_SCHEMA)
+
+
+def postprocess_polylines(
+    polylines: DataFrame, tiles_dims: DataFrame, opt: ContourOptions | None = None,
+    strict_reference: bool = True,
+) -> DataFrame:
+    """Stage 5 (F6-F10 + K5). tiles_dims: (image_id, w) — broadcast to
+    provide the edge width 1/Width (ContourProcessor2.cs:1534)."""
+    opt = opt or ContourOptions()
+    minpt, minbox, dp = opt.min_vertice_points, opt.min_bounding_box, opt.douglas_peucker
+
+    joined = polylines.join(F.broadcast(tiles_dims.select("image_id", "w", "h")), "image_id")
+
+    def post(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                pts = list(zip(r.xs, r.ys))
+                c = postprocess.PostCounters()
+                kept_pts = postprocess.run_polyline(
+                    pts, minpt, minbox, 1.0 / r.w, dp, c, strict_reference
+                )
+                reason = None
+                if kept_pts is None:
+                    for attr, name in (
+                        ("short_polylines", "short"),
+                        ("small_polylines", "small"),
+                        ("vertical_polylines", "vertical"),
+                        ("horizontal_polylines", "horizontal"),
+                    ):
+                        if getattr(c, attr):
+                            reason = name
+                            break
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "level": r.level,
+                        "poly_ord": r.poly_ord,
+                        "xs": [p[0] for p in kept_pts] if kept_pts else list(r.xs),
+                        "ys": [p[1] for p in kept_pts] if kept_pts else list(r.ys),
+                        "closed": r.closed,
+                        "kept": kept_pts is not None,
+                        "reason": reason,
+                        "collinear_removed": c.unnecessary_points,
+                        "dp_removed": c.douglas_peucker_points,
+                        "grid_w": int(r.w),
+                        "grid_h": int(r.h),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in POST_SCHEMA.fields])
+
+    return joined.mapInPandas(post, schema=POST_SCHEMA)
+
+
+def postprocess_metrics(post: DataFrame) -> DataFrame:
+    """A5 counters as a native aggregation — lands in the lineage table."""
+    return (
+        post.groupBy("image_id")
+        .agg(
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("removed_polylines"),
+            F.sum(F.when(F.col("reason") == "short", 1).otherwise(0)).alias("short_polylines"),
+            F.sum(F.when(F.col("reason") == "small", 1).otherwise(0)).alias("small_polylines"),
+            F.sum(F.when(F.col("reason") == "vertical", 1).otherwise(0)).alias("vertical_polylines"),
+            F.sum(F.when(F.col("reason") == "horizontal", 1).otherwise(0)).alias("horizontal_polylines"),
+            F.sum("collinear_removed").alias("unnecessary_points"),
+            F.sum("dp_removed").alias("douglas_peucker_points"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("polylines"),
+            F.sum(F.when(F.col("kept"), F.size("xs")).otherwise(0)).alias("points"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Tile decode + per-tile stats — the S1/S2 scan stage, Arrow-vectorized.
+
+The reference scans one HGT file at a time accumulating min/max/invalid
+(/root/reference/HGTReader.cs:111-166). Here the whole stage is a
+mapInArrow pass over the tiles table: bytes -> grid -> stats + phash
+recheck, never shipping a per-row Python object through the plan.
+
+The decoded grid intentionally does NOT leave the UDF as a column by
+default — downstream kernels re-decode inside their own Arrow batch
+(decode is cheap vs. shuffling raw grids; at 100 TB the win is never
+materializing 2x payload in the shuffle). `decode_stats` projects the
+payload away immediately (column pruning: select early, HGTReader's
+"crop before compute" analogue).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..kernels import codecs
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("minimum", T.IntegerType(), True),
+        T.StructField("maximum", T.IntegerType(), True),
+        T.StructField("not_valid", T.LongType(), False),
+        T.StructField("phash_ok", T.BooleanType(), False),
+        T.StructField("psnr_db", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_stats(tiles: DataFrame) -> DataFrame:
+    """Per-tile scan stats (A1) + phash integrity check.
+
+    psnr_db is null for lossless formats; for 'jpg' it is the PSNR of
+    the decoded grid vs. the re-encoded round trip (a self-check that
+    the lossy path stays >= 40 dB without needing the original)."""
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            d = batch.to_pydict()
+            out = {k: [] for k in
+                   ("image_id", "w", "h", "fmt", "caption", "minimum",
+                    "maximum", "not_valid", "phash_ok", "psnr_db")}
+            for img, data, w, h, fmt, cap, ph in zip(
+                d["image_id"], d["bytes"], d["w"], d["h"], d["fmt"], d["caption"], d["phash"]
+            ):
+                grid = codecs.decode(data, fmt, w, h)
+                valid = grid != codecs.NOVALUE
+                out["image_id"].append(img)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append(fmt)
+                out["caption"].append(cap)
+                out["minimum"].append(int(grid[valid].min()) if valid.any() else None)
+                out["maximum"].append(int(grid[valid].max()) if valid.any() else None)
+                out["not_valid"].append(int((~valid).sum()))
+                out["phash_ok"].append(codecs.phash64(grid) == ph)
+                if fmt == "jpg":
+                    rt = codecs.decode(codecs.encode(grid, "jpg"), "jpg", w, h)
+                    out["psnr_db"].append(float(codecs.psnr(grid, rt)))
+                else:
+                    out["psnr_db"].append(None)
+            yield pa.RecordBatch.from_pydict(out, schema=pa.schema(
+                [pa.field(f.name, pa.from_numpy_dtype(np.int32) if f.dataType == T.IntegerType()
+                  else pa.int64() if f.dataType == T.LongType()
+                  else pa.bool_() if f.dataType == T.BooleanType()
+                  else pa.float64() if f.dataType == T.DoubleType()
+                  else pa.string(), f.nullable) for f in STATS_SCHEMA.fields]))
+
+    return tiles.mapInArrow(scan, schema=STATS_SCHEMA)
+
+
+def decode_grid(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Convenience passthrough for kernels that decode in-batch."""
+    return codecs.decode(data, fmt, w, h)

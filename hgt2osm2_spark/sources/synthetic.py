@@ -1,0 +1,103 @@
+"""Deterministic synthetic tiles table (the input_hint schema).
+
+One row per raster tile:
+  (image_id string, bytes binary, w int, h int, fmt string,
+   caption string, phash long)
+
+This is the Spark analogue of a directory of HGT files
+(/root/reference/HGTReader.cs:111-166, Program.cs:132-167). Generation
+is seeded from the tile key only, so any executor can regenerate any
+row independently — the generator itself runs distributed via
+mapInPandas over a tiny spec DataFrame (at 10^12-image scale the spec
+is a range() DataFrame and generation is embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..kernels import codecs
+
+FMTS = ("hgt", "png", "jpg")
+
+TILES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def tile_key(idx: int) -> tuple[int, int, int]:
+    """Deterministic (lat, lon, k) for tile #idx — walks a lat/lon grid."""
+    lat = 40 + (idx % 8)
+    lon = (idx // 8) % 30
+    k = idx // 240
+    return lat, lon, k
+
+
+def image_id_for(idx: int) -> str:
+    lat, lon, k = tile_key(idx)
+    return f"n{lat:02d}e{lon:03d}_{k}"
+
+
+def heightfield(idx: int, n: int, seed: int = 42) -> np.ndarray:
+    """Seeded Gaussian bumps + a plateau, quantized to int16, sprinkled
+    NoValue holes. Deterministic in (idx, n, seed) only."""
+    rng = np.random.default_rng(np.uint64(seed * 1_000_003 + idx))
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64) / max(n - 1, 1)
+    g = np.zeros((n, n))
+    for _ in range(int(rng.integers(3, 7))):
+        cx, cy = rng.random(2)
+        amp = rng.uniform(80, 600)
+        sig = rng.uniform(0.08, 0.35)
+        g += amp * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig * sig))
+    g += rng.uniform(-40, 120)  # base level (can dip negative)
+    # a flat plateau quantized to the contour grid (exercises case b/e)
+    if rng.random() < 0.5:
+        px, py = rng.random(2) * 0.6
+        pm = (xx > px) & (xx < px + 0.3) & (yy > py) & (yy < py + 0.3)
+        g[pm] = float(int(g[pm].mean() // 20) * 20)
+    out = np.clip(np.rint(g), -32000, 32000).astype(np.int16)
+    holes = rng.random((n, n)) < 0.002
+    out[holes] = codecs.NOVALUE
+    return out
+
+
+def make_tile_row(idx: int, n: int, seed: int = 42) -> dict:
+    lat, lon, k = tile_key(idx)
+    image_id = f"n{lat:02d}e{lon:03d}_{k}"
+    fmt = FMTS[idx % len(FMTS)]
+    grid = heightfield(idx, n, seed)
+    return {
+        "image_id": image_id,
+        "bytes": codecs.encode(grid, fmt),
+        "w": n,
+        "h": n,
+        "fmt": fmt,
+        "caption": f"tile {image_id} seed{seed}",
+        "phash": codecs.phash64(grid),
+    }
+
+
+def tiles_df(spark: SparkSession, n_tiles: int = 12, size: int = 65, seed: int = 42,
+             partitions: int | None = None) -> DataFrame:
+    """Distributed generation: spec rows -> mapInPandas -> tile rows."""
+    import pandas as pd
+
+    spec = spark.range(n_tiles).withColumnRenamed("id", "idx")
+    if partitions:
+        spec = spec.repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_tile_row(int(i), size, seed) for i in pdf["idx"]]
+            yield pd.DataFrame(rows)
+
+    return spec.mapInPandas(gen, schema=TILES_SCHEMA)
