@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+  exact_dedup       hash-groupBy keep-first (JVM-side, SQL-comparable)
+  ngram_jaccard     exact n-gram Jaccard pairs via explode + self-join
+                    (fully relational — Catalyst plans the whole thing)
+  minhash_lsh       shingle -> minhash -> band -> bucket-join candidates
+                    -> exact verify (the 100TB-scale path: candidate
+                    generation never compares all pairs)
+  simhash           64-bit sign-sum sketch + banded hamming candidates
+
+Scale notes: every stage is a DataFrame op; minhash signatures are
+computed in one Arrow pass; the LSH band join is an equi-join on
+(band, bucket) which AQE can re-plan for skew. Exact verification only
+touches candidate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+
+def exact_dedup(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical key — returns survivors."""
+    w = W.partitionBy(key_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def word_ngrams(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-grams per doc: (id, gram)."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 3, threshold: float = 0.8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 gram.
+    Pure relational plan: explode -> self-join -> agg -> filter."""
+    g = word_ngrams(df, n, text_col, id_col).cache()
+    sizes = g.groupBy("id").agg(F.count("*").alias("n_grams"))
+    a = g.select(F.col("id").alias("id_a"), "gram")
+    b = g.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ------------------------------------------------------------- minhash LSH
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 64, shingle: int = 5, seed: int = 42,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig array<long>[k]) — character-shingle minhash, one Arrow pass.
+    Hashing: h_i(x) = (a_i * x + b_i) mod (2^61-1) over 64-bit FNV-1a
+    shingle hashes."""
+    a, b = _minhash_params(k, seed)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), False),
+         T.StructField("sig", T.ArrayType(T.LongType()), False)]
+    )
+
+    def gen(batches):
+        M = np.uint64(_MERSENNE)
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                s = txt.encode("utf-8")
+                if len(s) < shingle:
+                    hs = np.array([_fnv1a(s)], dtype=np.uint64)
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        np.frombuffer(s, dtype=np.uint8), shingle
+                    )
+                    hs = _fnv1a_rows(win)
+                hs = np.unique(hs)
+                vals = (np.outer(a, hs) + b[:, None]) % M  # (k, n_shingles)
+                sig = vals.min(axis=1).astype(np.int64)
+                ids.append(i)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(gen, schema=schema)
+
+
+def _fnv1a(data: bytes) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for c in data:
+        h = (h ^ np.uint64(c)) * np.uint64(0x100000001B3)
+    return h
+
+
+def _fnv1a_rows(win: np.ndarray) -> np.ndarray:
+    """FNV-1a over each row of a (n, w) uint8 window matrix, vectorized
+    over rows."""
+    h = np.full(win.shape[0], 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(win.shape[1]):
+        h = (h ^ win[:, j].astype(np.uint64)) * prime
+    return h
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, k: int = 64, bands: int = 16, shingle: int = 5,
+    threshold: float = 0.7, seed: int = 42,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified by signature-estimated
+    Jaccard >= threshold. (id_a, id_b, est_jaccard)."""
+    assert k % bands == 0
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, k, shingle, seed, text_col, id_col).cache()
+
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(k),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    return est
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash_sketch(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """64-bit simhash over word tokens: (id, simhash long)."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), False),
+         T.StructField("simhash", T.LongType(), False)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in txt.split():
+                    h = _fnv1a(tok.encode("utf-8"))
+                    bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                    acc += np.where(bits.astype(bool), 1, -1)
+                val = np.uint64(0)
+                for bit in range(64):
+                    if acc[bit] > 0:
+                        val |= np.uint64(1) << np.uint64(bit)
+                out.append((i, int(val.astype(np.int64))))
+            yield pd.DataFrame(out, columns=["id", "simhash"])
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(gen, schema=schema)
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Banded simhash candidates (4 x 16-bit bands; any equal band ->
+    candidate; guarantees recall for hamming <= 3), verified exactly."""
+    sk = simhash_sketch(df, **kw).cache()
+    banded = sk.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,143 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real image/audio/video codec libraries are NOT in this container, so
+the decode step for standard formats is a clearly-marked stub
+(NotImplementedError), while the Spark-side plumbing — schema,
+partition strategy, Arrow UDF signatures, batch shapes — is real and
+tested with the engine's own deterministic formats (hgt/png/djpg from
+kernels.codecs, which double as the 'fake decoder' for plumbing tests).
+
+Operators:
+  decode_features    binary -> fixed-width feature vector (mapInPandas)
+  resize_tiles       grid resize (block-mean downsample), re-encoded
+  frame_sample       treat a binary as T stacked frames; sample every
+                     k-th frame (video-shaped plumbing)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..kernels import codecs
+
+#: formats the stub decoder refuses (real libs unavailable here)
+UNSUPPORTED_REAL_FORMATS = {"jpeg", "png-rgb", "webp", "mp3", "wav", "mp4", "h264"}
+
+
+def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    if fmt in UNSUPPORTED_REAL_FORMATS:
+        raise NotImplementedError(
+            f"decoder for {fmt!r} requires an image/audio library not present "
+            "in this environment — plumbing is exercised via hgt/png/jpg"
+        )
+    return codecs.decode(data, fmt, w, h)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def decode_features(tiles: DataFrame, n_bins: int = 16) -> DataFrame:
+    """binary -> normalized histogram feature vector (fixed width).
+    The Arrow batch shape (rows of MB-sized binaries) is the same a JPEG
+    feature extractor would see."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for img, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                grid = _decode_any(data, fmt, int(w), int(h)).astype(np.float64)
+                valid = grid != codecs.NOVALUE
+                vals = grid[valid]
+                if vals.size == 0:
+                    hist = np.zeros(n_bins)
+                else:
+                    hist, _ = np.histogram(vals, bins=n_bins, range=(vals.min(), vals.max() + 1))
+                    hist = hist / vals.size
+                ids.append(img)
+                feats.append(hist.tolist())
+            yield pd.DataFrame({"image_id": ids, "features": feats})
+
+    return tiles.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+
+def resize_tiles(tiles: DataFrame, factor: int = 2) -> DataFrame:
+    """Block-mean downsample by `factor`, re-encoded in the same format.
+    NoValue cells poison their block (stay NoValue) — missing data is
+    never averaged into real samples."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for img, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                grid = _decode_any(data, fmt, int(w), int(h))
+                hh = (h // factor) * factor
+                ww = (w // factor) * factor
+                g = grid[:hh, :ww].astype(np.float64)
+                bad = g == codecs.NOVALUE
+                blocks = g.reshape(hh // factor, factor, ww // factor, factor)
+                badb = bad.reshape(hh // factor, factor, ww // factor, factor).any(axis=(1, 3))
+                small = blocks.mean(axis=(1, 3))
+                small = np.where(badb, codecs.NOVALUE, np.rint(small)).astype(np.int16)
+                out.append(
+                    {
+                        "image_id": img,
+                        "bytes": codecs.encode(small, fmt),
+                        "w": small.shape[1],
+                        "h": small.shape[0],
+                        "fmt": fmt,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def frame_sample(videos: DataFrame, every: int = 2, frame_bytes: int | None = None) -> DataFrame:
+    """Video-shaped plumbing: treat `bytes` as T concatenated raw frames
+    of `frame_bytes` each (w*h*2 if not given); emit every k-th frame.
+    A real container demuxer would slot into the same UDF."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for img, data, w, h in zip(pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]):
+                fb = frame_bytes or int(w) * int(h) * 2
+                n = len(data) // fb
+                for t in range(0, n, every):
+                    out.append({"image_id": img, "frame_idx": t, "frame": data[t * fb : (t + 1) * fb]})
+            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return videos.select("image_id", "bytes", "w", "h").mapInPandas(gen, schema=FRAMES_SCHEMA)

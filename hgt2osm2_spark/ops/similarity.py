@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+  brute_force_topk   exact cosine top-k — JVM-side higher-order
+                     functions (zip_with + aggregate), no Python in the
+                     hot path; the correctness baseline
+  lsh_ann_topk       random-hyperplane LSH buckets -> candidates ->
+                     exact re-rank; the scale path (candidates only)
+  embedding_near_dup cosine >= threshold near-duplicate pairs
+
+Distances are computed in float64 with left-to-right accumulation so
+results are deterministic and comparable to an external oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """queries (q_id, qvec) x embeddings -> (q_id, vec_id, rnk).
+    Query side is broadcast; ranking tiebreak is ascending id."""
+    q = queries.select(F.col("q_id"), F.col("qvec"))
+    e = embeddings.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("pvec"))
+    cand = F.broadcast(q).crossJoin(e).withColumn("sim", cosine_expr(F.col("qvec"), F.col("pvec")))
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("p_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "p_id", "rnk", F.col("sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from fixed hyperplanes (deterministic; planes
+    are literal arrays so the whole expression stays JVM-side)."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(v)) for v in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    acc = F.lit(0)
+    for bit in bits:
+        acc = F.shiftleft(acc, 1).bitwiseOR(bit)
+    return acc
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
+    n_tables: int = 2, dim: int = 64, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN: union of per-table bucket matches, exact cosine
+    re-rank. Recall grows with n_tables; candidates per query stay
+    ~N/2^n_planes * n_tables (the 10^12-scale path)."""
+    e = embeddings.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("pvec"))
+    q = queries.select("q_id", "qvec")
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 101 * t)
+        eb = e.withColumn("bucket", lsh_bucket_expr(F.col("pvec"), planes))
+        qb = q.withColumn("bucket", lsh_bucket_expr(F.col("qvec"), planes))
+        c = F.broadcast(qb).join(eb, "bucket").select("q_id", "qvec", "p_id", "pvec")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["q_id", "p_id"])
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("p_id").asc())
+    return (
+        cands.withColumn("sim", cosine_expr(F.col("qvec"), F.col("pvec")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "p_id", "rnk", "sim")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 10,
+    n_tables: int = 3, dim: int = 64, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold: LSH candidates +
+    exact verify (id_a < id_b)."""
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 977 * t)
+        b = e.withColumn("bucket", lsh_bucket_expr(F.col("vec"), planes))
+        l = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+        r = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+        c = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    return (
+        cands.withColumn("sim", cosine_expr(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

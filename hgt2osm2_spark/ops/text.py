@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side pyspark.sql.functions (codegen'd,
+SQL-oracle-comparable); only the rolling-hash fingerprint needs an
+Arrow-vectorized UDF. Operates on the documents table
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+#: tiny per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic (public-knowledge common words)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "que", "los"],
+}
+
+STOPWORDS_EN = ["the", "and", "of", "a", "to", "in", "is", "it"]
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish subword counting (K-analogue for budget
+    estimation): words, and regex word-pieces of <=4 chars."""
+    toks = tokens_expr(F.col(text_col))
+    # BPE-ish proxy: every run of <=4 word chars is one piece
+    pieces = F.size(
+        F.filter(
+            F.split(F.col(text_col), "(?<=\\G.{4})|\\s+"), lambda s: F.length(s) > 0
+        )
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        pieces.alias("n_subword_pieces"),
+        F.length(text_col).alias("n_chars_measured"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation density, stopword
+    ratio, mean word length. Pure column expressions."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(STOPWORDS_EN)))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, "[.,;:!?]", ""))
+    mean_wlen = F.when(n_tok > 0, (F.length(F.regexp_replace(t, "\\s+", "")) / n_tok)).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(0.0)
+    punct_ratio = F.when(F.length(t) > 0, n_punct / F.length(t)).otherwise(0.0)
+    score = (
+        F.when((n_tok >= 5) & (n_tok <= 100000), 0.4).otherwise(0.0)
+        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.15).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.15).otherwise(0.0)
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID (n-gram heuristic): count per-language
+    marker hits, argmax with deterministic language-name tiebreak."""
+    toks = F.transform(tokens_expr(F.col(text_col)), lambda w: F.lower(w))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda w: w.isin(ms))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ms in sorted(LANG_MARKERS.items())
+    ]
+    # argmax: sort by (hits asc, lang desc) and take the last => max hits,
+    # ties -> lexicographically-first language
+    best = F.array_sort(F.array(*scores))[len(LANG_MARKERS) - 1]
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fingerprint", T.LongType(), False),
+    ]
+)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", window: int = 16) -> DataFrame:
+    """Rolling polynomial hash fingerprint (document sketch): min of the
+    rolling hashes of `window`-byte substrings — a deterministic winnowing
+    fingerprint. Arrow-vectorized (one pandas batch at a time)."""
+
+    def fp(batches):
+        B = np.uint64(1000003)
+        Bw = B
+        for _ in range(window - 2):
+            Bw = Bw * B  # B^(window-1) mod 2^64
+        for pdf in batches:
+            out = []
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                data = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                n = len(data)
+                if n < window:
+                    h = np.uint64(0)
+                    for b in data:
+                        h = h * B + b
+                    out.append((doc_id, int(h.astype(np.int64))))
+                    continue
+                # rolling hash over all windows, vectorized via cumulative trick
+                pows = np.empty(window, dtype=np.uint64)
+                pows[0] = np.uint64(1)
+                for i in range(1, window):
+                    pows[i] = pows[i - 1] * B
+                mat = np.lib.stride_tricks.sliding_window_view(data, window)
+                hashes = (mat * pows[::-1]).sum(axis=1, dtype=np.uint64)
+                out.append((doc_id, int(hashes.min().astype(np.int64))))
+            yield pd.DataFrame(out, columns=["doc_id", "fingerprint"])
+
+    return df.select("doc_id", text_col).mapInPandas(fp, schema=FINGERPRINT_SCHEMA)

@@ -86,6 +86,47 @@ def make_tile_row(idx: int, n: int, seed: int = 42) -> dict:
     }
 
 
+def polygons_df(spark: SparkSession, n_polys: int = 8, seed: int = 42) -> DataFrame:
+    """Seeded convex + star-concave rings over the tile extents
+    (FIXTURES.md §4): (poly_id, xs array<double>=lon, ys array<double>=lat)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_polys):
+        cx = float(rng.uniform(0.1, 3.9))   # lon in the n4xe00x tile span
+        cy = float(rng.uniform(40.1, 43.9)) # lat
+        nv = int(rng.integers(4, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.05, 0.5, nv)
+        if i % 2 == 1:  # concave star
+            rad[::2] *= 0.35
+        xs = (cx + rad * np.cos(ang)).tolist()
+        ys = (cy + rad * np.sin(ang)).tolist()
+        xs.append(xs[0])
+        ys.append(ys[0])
+        rows.append({"poly_id": f"poly{i}", "xs": xs, "ys": ys})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def query_points_df(spark: SparkSession, n_points: int = 2000, seed: int = 42,
+                    skew_frac: float = 0.0) -> DataFrame:
+    """Seeded uniform + optionally skewed points (skew_frac of points in
+    one tiny hot cell — validates salting/AQE skew handling)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed + 1)
+    n_hot = int(n_points * skew_frac)
+    lon = rng.uniform(0.0, 4.0, n_points)
+    lat = rng.uniform(40.0, 44.0, n_points)
+    if n_hot:
+        lon[:n_hot] = rng.uniform(1.0, 1.01, n_hot)
+        lat[:n_hot] = rng.uniform(41.0, 41.01, n_hot)
+    return spark.createDataFrame(
+        pd.DataFrame({"q_id": [f"q{i}" for i in range(n_points)], "lat": lat, "lon": lon})
+    )
+
+
 def tiles_df(spark: SparkSession, n_tiles: int = 12, size: int = 65, seed: int = 42,
              partitions: int | None = None) -> DataFrame:
     """Distributed generation: spec rows -> mapInPandas -> tile rows."""

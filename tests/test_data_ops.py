@@ -1,0 +1,159 @@
+"""Dedup / text / similarity / multimodal ops on the driver testdata."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hgt2osm2_spark.ops import dedup, multimodal, similarity, text
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(docs):
+    n = docs.count()
+    d = dedup.exact_dedup(docs)
+    nd = d.count()
+    assert nd <= n
+    assert d.select("text").distinct().count() == nd
+
+
+def test_ngram_jaccard_pairs_vs_bruteforce(docs, spark):
+    sub = docs.limit(60).cache()
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(sub, n=3, threshold=0.5).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in sub.collect()]
+
+    def grams(t, n=3):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    want = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            ga, gb = grams(ta), grams(tb)
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.5:
+                key = (min(ia, ib), max(ia, ib))
+                want[key] = j
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-5
+
+
+def test_minhash_estimates_jaccard(docs):
+    pairs = dedup.minhash_lsh_pairs(docs.limit(120), k=64, bands=16, threshold=0.5)
+    rows = pairs.collect()
+    # LSH-estimated pairs should be real near-duplicates: verify a sample
+    if rows:
+        d = {r["doc_id"]: r["text"] for r in docs.limit(120).collect()}
+        for r in rows[:10]:
+            sa = set(d[r["id_a"]].split())
+            sb = set(d[r["id_b"]].split())
+            true_j = len(sa & sb) / len(sa | sb)
+            assert true_j > 0.2  # banded estimate can overshoot, not wildly
+
+
+def test_simhash_near_pairs(docs):
+    out = dedup.simhash_near_pairs(docs.limit(150), max_hamming=8)
+    for r in out.collect():
+        assert r["hamming"] <= 8
+        assert r["id_a"] < r["id_b"]
+
+
+def test_token_count_matches_python(docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs.limit(50)).collect()}
+    for r in docs.limit(50).collect():
+        assert got[r["doc_id"]] == len(r["text"].split())
+
+
+def test_quality_and_langid_run(docs):
+    q = text.quality_score(docs.limit(50)).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q)
+    l = text.language_id(docs.limit(50)).collect()
+    assert all(r["lang_pred"] in ("en", "de", "fr", "es", "unknown") for r in l)
+
+
+def test_fingerprint_deterministic(docs, spark):
+    a = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs.limit(30)).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs.limit(30)).collect()}
+    assert a == b and len(a) == 30
+
+
+def test_brute_force_topk_vs_numpy(embs, spark):
+    queries = embs.limit(5).select(
+        F.col("vec_id").cast("string").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    got = {}
+    for r in similarity.brute_force_topk(embs, queries, k=3).collect():
+        got.setdefault(r["q_id"], []).append((r["rnk"], r["p_id"]))
+
+    rows = embs.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    for q in queries.collect():
+        qv = np.array(q["qvec"], dtype=np.float64)
+        sims = mat @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:3]
+        want = [(rk + 1, int(ids[i])) for rk, i in enumerate(order)]
+        assert sorted(got[q["q_id"]]) == want
+
+
+def test_lsh_ann_recall(embs, spark):
+    queries = embs.limit(10).select(
+        F.col("vec_id").cast("string").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["q_id"], r["p_id"]) for r in similarity.brute_force_topk(embs, queries, k=1).collect()
+    }
+    ann = {
+        (r["q_id"], r["p_id"])
+        for r in similarity.lsh_ann_topk(embs, queries, k=1, n_planes=6, n_tables=4).collect()
+    }
+    # rank-1 should almost always be the query itself (sim=1) -> high recall
+    assert len(ann & exact) >= 8
+
+
+def test_multimodal_plumbing(spark):
+    from hgt2osm2_spark.sources.synthetic import tiles_df
+
+    tiles = tiles_df(spark, n_tiles=3, size=32).cache()
+    feats = multimodal.decode_features(tiles, n_bins=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-9 for r in feats)
+
+    small = multimodal.resize_tiles(tiles, factor=2)
+    r = small.collect()[0]
+    assert (r["w"], r["h"]) == (16, 16)
+
+    frames = multimodal.frame_sample(
+        tiles.filter("fmt = 'hgt'"), every=2, frame_bytes=32 * 2
+    )
+    fr = frames.collect()
+    assert fr and all(len(x["frame"]) == 64 for x in fr)
+
+
+def test_multimodal_stub_refuses_real_formats(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [{"image_id": "x", "bytes": b"\xff\xd8\xff", "w": 2, "h": 2, "fmt": "jpeg"}]
+        )
+    )
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_features(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "requires an image" in str(ei.value)

@@ -1,0 +1,97 @@
+"""PIP and kNN joins vs brute-force NumPy oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hgt2osm2_spark.ops import spatial
+from hgt2osm2_spark.sources.synthetic import polygons_df, query_points_df
+
+
+def _pip_oracle(pts, polys):
+    """point-in-polygon via an independently-written winding test."""
+    hits = set()
+    for qid, lat, lon in pts:
+        for pid, xs, ys in polys:
+            inside = False
+            n = len(xs)
+            j = n - 1
+            for i in range(n):
+                if (ys[i] > lat) != (ys[j] > lat):
+                    xint = (xs[j] - xs[i]) * (lat - ys[i]) / (ys[j] - ys[i]) + xs[i]
+                    if lon < xint:
+                        inside = not inside
+                j = i
+            if inside:
+                hits.add((qid, pid))
+    return hits
+
+
+@pytest.fixture(scope="module")
+def spatial_data(spark):
+    polys = polygons_df(spark, n_polys=6).cache()
+    pts = query_points_df(spark, n_points=400).cache()
+    return polys, pts, [tuple(r) for r in pts.collect()], [tuple(r) for r in polys.collect()]
+
+
+def test_pip_join_matches_bruteforce(spark, spatial_data):
+    polys, pts, pt_rows, poly_rows = spatial_data
+    got = {
+        (r["q_id"], r["poly_id"])
+        for r in spatial.pip_join(pts, polys, res=6).collect()
+    }
+    want = _pip_oracle([(q, la, lo) for q, la, lo in pt_rows], poly_rows)
+    assert got == want
+    assert len(want) > 0, "fixture should produce hits"
+
+
+def test_pip_res_invariance(spark, spatial_data):
+    polys, pts, *_ = spatial_data
+    a = {(r["q_id"], r["poly_id"]) for r in spatial.pip_join(pts, polys, res=4).collect()}
+    b = {(r["q_id"], r["poly_id"]) for r in spatial.pip_join(pts, polys, res=8).collect()}
+    assert a == b  # prefilter resolution must not change the exact result
+
+
+def test_knn_matches_bruteforce(spark, spatial_data):
+    _, pts, pt_rows, _ = spatial_data
+    base = pts.select(
+        F.col("q_id").alias("p_id"), "lat", "lon"
+    )
+    queries = pts.limit(25)
+    got = {}
+    for r in spatial.knn_join(base, queries, k=3, res=6).collect():
+        got.setdefault(r["q_id"], []).append((r["rnk"], r["p_id"]))
+
+    ids = np.array([p[0] for p in pt_rows])
+    lats = np.array([p[1] for p in pt_rows])
+    lons = np.array([p[2] for p in pt_rows])
+    qrows = [tuple(r) for r in queries.collect()]
+    assert len(got) == len(qrows)
+    for qid, qlat, qlon in qrows:
+        d2 = (lats - qlat) ** 2 + (lons - qlon) ** 2
+        order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))[:3]
+        want = [(rk + 1, ids[i]) for rk, i in enumerate(order)]
+        assert sorted(got[qid]) == want, qid
+
+
+def test_knn_skewed_points(spark):
+    # 90% of points in one hot cell (FIXTURES.md §4 skew fixture)
+    pts = query_points_df(spark, n_points=500, skew_frac=0.9, seed=7)
+    base = pts.select(F.col("q_id").alias("p_id"), "lat", "lon")
+    queries = pts.limit(10)
+    res = spatial.knn_join(base, queries, k=5, res=6).collect()
+    counts = {}
+    for r in res:
+        counts[r["q_id"]] = counts.get(r["q_id"], 0) + 1
+    assert all(v == 5 for v in counts.values())
+
+
+def test_cell_expr_values(spark):
+    df = spark.range(1).select(
+        spatial.cell_expr(F.lit(0.0), F.lit(0.0), 6).alias("c0"),
+        spatial.cell_expr(F.lit(40.5), F.lit(2.25), 6).alias("c1"),
+    )
+    r = df.collect()[0]
+    res, cpd = 6, 64
+    assert r["c0"] == (res << 48) | ((180 * cpd) << 24) | (90 * cpd)
+    assert r["c1"] == (res << 48) | (int((2.25 + 180) * cpd) << 24) | int((40.5 + 90) * cpd)
