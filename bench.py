@@ -1,0 +1,113 @@
+"""Benchmark harness: headline tile-encode + PIP-join throughput plus
+per-operator timings at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "tile_encode_pip_images_per_sec", "value": N,
+   "unit": "images/sec", "queries": {...: sec}, "sf": ..., "cores": N}
+
+The headline stage is the BASELINE.json metric: synthetic image tiles
+(input_hint schema) -> Arrow decode + marching-squares isolines ->
+stitch -> post-production -> contour nodes -> cell-indexed PIP join.
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TILES = int(os.environ.get("BENCH_TILES", "32"))
+BENCH_TILE_SIZE = int(os.environ.get("BENCH_TILE_SIZE", "201"))
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def headline_tile_pip(spark, cores: int):
+    """images -> contours -> PIP join; returns (sec, images/sec, rows)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from hgt2osm2_spark.config import ContourOptions
+    from hgt2osm2_spark.ops import spatial
+    from hgt2osm2_spark.plans.pipeline import run_contour_pipeline
+    from hgt2osm2_spark.sources import synthetic
+
+    tiles = synthetic.tiles_df(
+        spark, n_tiles=BENCH_TILES, size=BENCH_TILE_SIZE, partitions=cores * 2
+    )
+    t0 = time.time()
+    res = run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=cores * 2)
+    pts = res.nodes.select(
+        F.concat_ws("/", "image_id", "node_id").alias("q_id"), "lat", "lon"
+    )
+    hits = spatial.pip_join(pts, entrymod._pip_polygons_df(spark), res=6)
+    n = hits.count()
+    dt = time.time() - t0
+    return dt, BENCH_TILES / dt, n
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from hgt2osm2_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores * 2)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    bench_queries = [
+        "pricing_summary",
+        "top_revenue_orders",
+        "running_window",
+        "value_band_rangejoin",
+        "cell_index",
+        "knn_join",
+        "pip_join",
+        "token_count",
+        "quality_score",
+        "minhash_lsh",
+        "simhash_pairs",
+        "ann_bruteforce",
+        "ann_lsh",
+        "contour_nodes",
+    ]
+
+    # warm the JVM/Arrow paths once so per-query numbers measure the
+    # operators, not first-call codegen
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in bench_queries:
+        dt, _n = timed(lambda: qs[name](spark, sf_dir).count())
+        times[name] = round(dt, 3)
+
+    head_sec, imgs_per_sec, pip_rows = headline_tile_pip(spark, cores)
+    times["tile_encode_pip"] = round(head_sec, 3)
+
+    out = {
+        "metric": "tile_encode_pip_images_per_sec",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec",
+        "queries": times,
+        "sf": sf,
+        "cores": cores,
+        "tiles": {"n": BENCH_TILES, "size": BENCH_TILE_SIZE, "pip_rows": pip_rows},
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

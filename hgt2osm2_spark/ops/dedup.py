@@ -34,10 +34,15 @@ def exact_dedup(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") ->
 def word_ngrams(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-grams per doc: (id, gram)."""
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # guard: sequence(0, -1) would yield [0, -1] (Spark infers step -1),
+    # so short docs get an explicit empty gram array instead
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
         .distinct()

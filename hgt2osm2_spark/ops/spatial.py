@@ -186,8 +186,12 @@ def knn_join(
             with_k_ring(remaining, "lat", "lon", res, ring)
             .join(pts, "cell", "inner")
             .withColumn(
+                # plain multiplication, not pow(): bit-identical to any
+                # IEEE-754 oracle, so quantized-grid distance ties break
+                # on the same side everywhere
                 "dist2",
-                (F.col("lat") - F.col("p_lat")) ** 2 + (F.col("lon") - F.col("p_lon")) ** 2,
+                (F.col("lat") - F.col("p_lat")) * (F.col("lat") - F.col("p_lat"))
+                + (F.col("lon") - F.col("p_lon")) * (F.col("lon") - F.col("p_lon")),
             )
             # the same point can appear via several ring cells of one query
             .dropDuplicates(["q_id", "p_id"])
@@ -212,7 +216,8 @@ def knn_join(
             .crossJoin(pts.drop("cell"))
             .withColumn(
                 "dist2",
-                (F.col("lat") - F.col("p_lat")) ** 2 + (F.col("lon") - F.col("p_lon")) ** 2,
+                (F.col("lat") - F.col("p_lat")) * (F.col("lat") - F.col("p_lat"))
+                + (F.col("lon") - F.col("p_lon")) * (F.col("lon") - F.col("p_lon")),
             )
         )
         w = W.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("p_id").asc())

@@ -36,11 +36,11 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish subword counting (K-analogue for budget
     estimation): words, and regex word-pieces of <=4 chars."""
     toks = tokens_expr(F.col(text_col))
-    # BPE-ish proxy: every run of <=4 word chars is one piece
-    pieces = F.size(
-        F.filter(
-            F.split(F.col(text_col), "(?<=\\G.{4})|\\s+"), lambda s: F.length(s) > 0
-        )
+    # BPE-ish proxy: each whitespace token contributes ceil(len/4) pieces
+    # (a \G chunking regex has Matcher-advance quirks that make it span
+    # whitespace — this aggregate form is well-defined and stays JVM-side)
+    pieces = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int")
     )
     return df.select(
         "doc_id",
