@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_TILES = int(os.environ.get("BENCH_TILES", "32"))
+BENCH_TILES = int(os.environ.get("BENCH_TILES", "128"))
 BENCH_TILE_SIZE = int(os.environ.get("BENCH_TILE_SIZE", "201"))
 
 
@@ -41,6 +41,7 @@ def headline_tile_pip(spark, cores: int):
     from hgt2osm2_spark.plans.pipeline import run_contour_pipeline
     from hgt2osm2_spark.sources import synthetic
 
+    # 2 waves of cores: several tiles per task, constant task count
     tiles = synthetic.tiles_df(
         spark, n_tiles=BENCH_TILES, size=BENCH_TILE_SIZE, partitions=cores * 2
     )

@@ -107,118 +107,144 @@ def extract_segments(grid_ns: np.ndarray, contour_distance: int, fake_distance: 
     out_y: list[np.ndarray] = []
     out_lvl: list[np.ndarray] = []
     out_p = []  # x1,y1,x2,y2 arrays
-    out_sort = []  # (tri, fkey, seq)
+    out_sort = []  # (x, tri, fkey, seq)
 
     shape = YY.shape
 
-    def emit(mask, tri_i, fkey, seq, x1, y1, x2, y2, level):
-        idx = np.nonzero(mask)
-        n = idx[0].size
+    def emit1d(mask, ys, xs, tri_i, fkey, seq, x1, y1, x2, y2, level):
+        """Append segments from compacted 1-D arrays."""
+        idx = np.nonzero(mask)[0]
+        n = idx.size
         if n == 0:
             return
-        bc = lambda a: np.broadcast_to(a, shape)[idx]
-        out_y.append(YY[idx])
-        out_lvl.append(bc(level).astype(np.int64))
-        out_p.append((bc(x1), bc(y1), bc(x2), bc(y2)))
+        g = lambda a: a[idx] if isinstance(a, np.ndarray) else np.full(n, a)
+        out_y.append(ys[idx])
+        lv = g(level)
+        out_lvl.append(lv.astype(np.int64) if isinstance(lv, np.ndarray) else lv)
+        out_p.append((g(x1), g(y1), g(x2), g(y2)))
         out_sort.append(
-            (XX[idx], np.full(n, tri_i, np.int32), bc(fkey).astype(np.float64), np.full(n, seq, np.int8))
+            (xs[idx], np.full(n, tri_i, np.int32), g(fkey).astype(np.float64), np.full(n, seq, np.int8))
         )
 
     ccx, ccy = cx + 0.5, cy + 0.5  # center point
 
+    # Bandwidth note (the 100-TB lever): the naive formulation masks the
+    # FULL cell grid once per contour level, moving O(cells x levels)
+    # doubles through memory — ~GBs per tile, which saturates memory
+    # bandwidth long before CPUs at high parallelism. Instead we compact
+    # to the active triangles once, then expand each triangle over ONLY
+    # its own crossing levels (sum == segment count). Identical IEEE
+    # expression order, ~100x less traffic.
     for t, (ax, ay, ha, bx, by, hb, ab_valid) in enumerate(tris):
         tri_ok = cell_ok & ab_valid  # invalid corner kills the triangle (:1780-1783)
-        if not tri_ok.any():
+        act = np.nonzero(tri_ok)
+        if act[0].size == 0:
             continue
-        hc = Cf
+        g = lambda a: np.broadcast_to(a, shape)[act]
+        Ys = act[0].astype(np.int64)
+        Xs = act[1].astype(np.int64)
+        Ax, Ay, Ha = g(ax), g(ay), g(ha)
+        Bx, By, Hb = g(bx), g(by), g(hb)
+        Ccx, Ccy, Hc = g(ccx), g(ccy), g(Cf)
 
-        flat = tri_ok & (ha == hb) & (hb == hc)  # case e (:1802)
-        nonflat = tri_ok & ~flat
+        flat = (Ha == Hb) & (Hb == Hc)  # case e (:1802)
 
         # ---- flat triangles exactly on a contour level (:1804-1905)
         if flat.any():
-            ff = ha / d
+            ff = Ha / d
             on_level = flat & (np.trunc(ff) == ff)
             if on_level.any():
-                opp_a, opp_b, t1, t2 = flat_probe[t]
+                opp_a, opp_b, t1, t2 = (g(p) for p in flat_probe[t])
                 divider = 2 + (t1 != NOVALUE).astype(np.int8) + (t2 != NOVALUE).astype(np.int8)
-                opp_c_sum = ha + hb + np.where(t1 != NOVALUE, t1, 0.0) + np.where(t2 != NOVALUE, t2, 0.0)
+                opp_c_sum = Ha + Hb + np.where(t1 != NOVALUE, t1, 0.0) + np.where(t2 != NOVALUE, t2, 0.0)
                 opp_c = np.where(divider >= 3, opp_c_sum / divider, float(NOVALUE))
-                lvl = np.trunc(ha).astype(np.int64)  # (int)ha — exact multiple of d here
-                emit(on_level & (opp_a != ha), t, ff, 0, ax, ay, ccx, ccy, lvl)
-                emit(on_level & (opp_b != hb), t, ff, 1, bx, by, ccx, ccy, lvl)
-                emit(on_level & (opp_c != hc), t, ff, 2, ax, ay, bx, by, lvl)
+                lvl = np.trunc(Ha).astype(np.int64)  # (int)ha — exact multiple of d here
+                emit1d(on_level & (opp_a != Ha), Ys, Xs, t, ff, 0, Ax, Ay, Ccx, Ccy, lvl)
+                emit1d(on_level & (opp_b != Hb), Ys, Xs, t, ff, 1, Bx, By, Ccx, Ccy, lvl)
+                emit1d(on_level & (opp_c != Hc), Ys, Xs, t, ff, 2, Ax, Ay, Bx, By, lvl)
 
-        # ---- normal case: loop contour levels (:1906-1976)
-        if not nonflat.any():
+        # ---- normal case (:1906-1976): expand (triangle x its levels)
+        nf = np.nonzero(~flat)[0]
+        if nf.size == 0:
             continue
-        hmin = np.minimum(ha, np.minimum(hb, hc))
-        hmax = np.maximum(ha, np.maximum(hb, hc))
+        nHa, nHb, nHc = Ha[nf], Hb[nf], Hc[nf]
+        hmin = np.minimum(nHa, np.minimum(nHb, nHc))
+        hmax = np.maximum(nHa, np.maximum(nHb, nHc))
         fmax = np.trunc(hmax / d)
         fmin = np.trunc(hmin / d)
         fmin = np.where(fmin * d < hmin, fmin + 1, fmin)  # :1912-1913
 
-        fmin_m = np.where(nonflat, fmin, np.inf)
-        fmax_m = np.where(nonflat, fmax, -np.inf)
-        f_lo = fmin_m.min()
-        f_hi = fmax_m.max()
-        if not np.isfinite(f_lo) or f_lo > f_hi:
+        cnt = (fmax - fmin + 1).astype(np.int64)
+        np.clip(cnt, 0, None, out=cnt)
+        keep = np.nonzero(cnt > 0)[0]
+        if keep.size == 0:
             continue
+        kcnt = cnt[keep]
+        total = int(kcnt.sum())
+        rep = np.repeat(keep, kcnt)  # index into nf-compacted arrays
+        starts = np.cumsum(kcnt) - kcnt
+        fl = fmin[rep] + (np.arange(total, dtype=np.int64) - np.repeat(starts, kcnt))
+        h = fl * d
 
-        for f in range(int(f_lo), int(f_hi) + 1):
-            h = f * d
-            m = nonflat & (fmin <= f) & (f <= fmax) & (hmin <= h) & (h <= hmax)
-            if not m.any():
-                continue
-            ea = ha == h
-            eb = hb == h
-            ec = hc == h
-            identh = ea.astype(np.int8) + eb.astype(np.int8) + ec.astype(np.int8)
+        # reference loop guard :1916 (hmin <= h <= hmax, matters for h<0)
+        ok = (hmin[rep] <= h) & (h <= hmax[rep])
 
-            # case 0 (standard, :1936-1951): 2 edge crossings, edges checked AB, BC, CA
-            m0 = m & (identh == 0)
-            if m0.any():
-                cab = ((ha <= h) & (h <= hb)) | ((ha >= h) & (h >= hb))
-                cbc = ((hb <= h) & (h <= hc)) | ((hb >= h) & (h >= hc))
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    pabx, paby = _between(ax, ay, ha, bx, by, hb, h)
-                    pbcx, pbcy = _between(bx, by, hb, ccx, ccy, hc, h)
-                    pcax, pcay = _between(ccx, ccy, hc, ax, ay, ha, h)
-                p1x = np.where(cab, pabx, pbcx)
-                p1y = np.where(cab, paby, pbcy)
-                p2x = np.where(cab, np.where(cbc, pbcx, pcax), pcax)
-                p2y = np.where(cab, np.where(cbc, pbcy, pcay), pcay)
-                emit(m0, t, float(f), 0, p1x, p1y, p2x, p2y, h)
+        src = nf[rep]
+        PAx, PAy, HA = Ax[src], Ay[src], Ha[src]
+        PBx, PBy, HB = Bx[src], By[src], Hb[src]
+        PCx, PCy, HC = Ccx[src], Ccy[src], Hc[src]
+        Yp, Xp = Ys[src], Xs[src]
+        hmn, hmx = hmin[rep], hmax[rep]
 
-            # case 1 (:1953-1962): rotate so the on-level vertex is A;
-            # emit A -> crossing(C,B) iff A strictly between min and max
-            m1 = m & (identh == 1)
-            if m1.any():
-                # rotated vertices
-                rax = np.where(ea, ax, np.where(eb, bx, ccx))
-                ray = np.where(ea, ay, np.where(eb, by, ccy))
-                # rotation: if hb==h: (a,b,c)<-(b,c,a); if hc==h: (a,b,c)<-(c,a,b)
-                rbx = np.where(ea, bx, np.where(eb, ccx, ax))
-                rby = np.where(ea, by, np.where(eb, ccy, ay))
-                rhb = np.where(ea, hb, np.where(eb, hc, ha))
-                rcx = np.where(ea, ccx, np.where(eb, ax, bx))
-                rcy = np.where(ea, ccy, np.where(eb, ay, by))
-                rhc = np.where(ea, hc, np.where(eb, ha, hb))
-                rha = np.where(ea, ha, np.where(eb, hb, hc))
-                strict = (hmin < rha) & (rha < hmax)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    qx, qy = _between(rcx, rcy, rhc, rbx, rby, rhb, h)
-                emit(m1 & strict, t, float(f), 0, rax, ray, qx, qy, h)
+        ea = HA == h
+        eb = HB == h
+        ec = HC == h
+        identh = ea.astype(np.int8) + eb.astype(np.int8) + ec.astype(np.int8)
+        fkey = fl.astype(np.float64)
 
-            # case 2 (:1964-1971): the equal side itself, arg order (a,b)/(b,c)/(c,a)
-            m2 = m & (identh == 2)
-            if m2.any():
-                sab = ea & eb
-                sbc = eb & ec & ~sab
-                sca = ec & ea & ~sab & ~sbc
-                emit(m2 & sab, t, float(f), 0, ax, ay, bx, by, h)
-                emit(m2 & sbc, t, float(f), 0, bx, by, ccx, ccy, h)
-                emit(m2 & sca, t, float(f), 0, ccx, ccy, ax, ay, h)
+        # case 0 (standard, :1936-1951): 2 edge crossings, edges checked AB, BC, CA
+        m0 = ok & (identh == 0)
+        if m0.any():
+            cab = ((HA <= h) & (h <= HB)) | ((HA >= h) & (h >= HB))
+            cbc = ((HB <= h) & (h <= HC)) | ((HB >= h) & (h >= HC))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pabx, paby = _between(PAx, PAy, HA, PBx, PBy, HB, h)
+                pbcx, pbcy = _between(PBx, PBy, HB, PCx, PCy, HC, h)
+                pcax, pcay = _between(PCx, PCy, HC, PAx, PAy, HA, h)
+            p1x = np.where(cab, pabx, pbcx)
+            p1y = np.where(cab, paby, pbcy)
+            p2x = np.where(cab, np.where(cbc, pbcx, pcax), pcax)
+            p2y = np.where(cab, np.where(cbc, pbcy, pcay), pcay)
+            emit1d(m0, Yp, Xp, t, fkey, 0, p1x, p1y, p2x, p2y, h)
+
+        # case 1 (:1953-1962): rotate so the on-level vertex is A;
+        # emit A -> crossing(C,B) iff A strictly between min and max
+        m1 = ok & (identh == 1)
+        if m1.any():
+            rax = np.where(ea, PAx, np.where(eb, PBx, PCx))
+            ray = np.where(ea, PAy, np.where(eb, PBy, PCy))
+            # rotation: if hb==h: (a,b,c)<-(b,c,a); if hc==h: (a,b,c)<-(c,a,b)
+            rbx = np.where(ea, PBx, np.where(eb, PCx, PAx))
+            rby = np.where(ea, PBy, np.where(eb, PCy, PAy))
+            rhb = np.where(ea, HB, np.where(eb, HC, HA))
+            rcx = np.where(ea, PCx, np.where(eb, PAx, PBx))
+            rcy = np.where(ea, PCy, np.where(eb, PAy, PBy))
+            rhc = np.where(ea, HC, np.where(eb, HA, HB))
+            rha = np.where(ea, HA, np.where(eb, HB, HC))
+            strict = (hmn < rha) & (rha < hmx)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                qx, qy = _between(rcx, rcy, rhc, rbx, rby, rhb, h)
+            emit1d(m1 & strict, Yp, Xp, t, fkey, 0, rax, ray, qx, qy, h)
+
+        # case 2 (:1964-1971): the equal side itself, arg order (a,b)/(b,c)/(c,a)
+        m2 = ok & (identh == 2)
+        if m2.any():
+            sab = ea & eb
+            sbc = eb & ec & ~sab
+            sca = ec & ea & ~sab & ~sbc
+            emit1d(m2 & sab, Yp, Xp, t, fkey, 0, PAx, PAy, PBx, PBy, h)
+            emit1d(m2 & sbc, Yp, Xp, t, fkey, 0, PBx, PBy, PCx, PCy, h)
+            emit1d(m2 & sca, Yp, Xp, t, fkey, 0, PCx, PCy, PAx, PAy, h)
 
     if not out_y:
         return np.empty(0, dtype=SEG_DTYPE)

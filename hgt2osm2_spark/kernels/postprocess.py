@@ -110,8 +110,9 @@ def douglas_peucker(pts: list[Point], eps: float) -> tuple[list[Point], int]:
     if m <= 2:
         return pts, 0
 
-    xs = np.fromiter((p[0] for p in pts), dtype=np.float64, count=n)
-    ys = np.fromiter((p[1] for p in pts), dtype=np.float64, count=n)
+    arr = np.asarray(pts, dtype=np.float64)
+    xs = arr[:, 0]
+    ys = arr[:, 1]
     valid = np.zeros(n, dtype=bool)
     if closed:
         valid[n - 1] = True  # closing duplicate always kept (:422)
@@ -133,12 +134,12 @@ def douglas_peucker(pts: list[Point], eps: float) -> tuple[list[Point], int]:
         apy = ys[i0 + 1 : i1] - ys[i0]
         cross = abx * apy - aby * apx
         d2 = cross * cross / d2ab
+        # "dMinSquareWidth < dSquareWidth" running max (:566-569) keeps
+        # the FIRST index of the maximum — np.argmax semantics exactly
         best = -1
-        bestd = eps2
-        # replicate "dMinSquareWidth < dSquareWidth" running max (:566-569)
-        for j in range(d2.size):
-            if bestd < d2[j]:
-                bestd = d2[j]
+        if d2.size:
+            j = int(np.argmax(d2))
+            if d2[j] > eps2:
                 best = j
         if best >= 0:
             idx = i0 + 1 + best

@@ -23,6 +23,8 @@ task. A cross-tile variant would key groups by shared-border cell ids.
 
 from __future__ import annotations
 
+from collections import deque
+
 import numpy as np
 
 Point = tuple[float, float]
@@ -66,10 +68,14 @@ class LineBag:
 # ------------------------------------------------------------- polylines
 
 class Polyline:
+    """Growable point chain. ``pts`` is a deque so both append and
+    prepend are O(1) — the reference grows polylines at either end
+    (PseudoPolyline.Concat), and list-prepend would be O(n) per merge."""
+
     __slots__ = ("pts", "alive")
 
     def __init__(self, pts: list[Point]) -> None:
-        self.pts = pts
+        self.pts: deque[Point] = deque(pts)
         self.alive = True
 
     @property
@@ -91,18 +97,20 @@ class _Index:
         self.m: dict[Point, list[Polyline]] = {}
 
     def _insert(self, pl: Polyline, pt: Point) -> None:
+        # Polyline defines no __eq__, so list `in`/`remove` are identity
+        # checks at C speed — exactly the reference's List semantics.
         lst = self.m.setdefault(pt, [])
-        if not any(x is pl for x in lst):
+        if pl not in lst:
             lst.append(pl)
 
     def _remove(self, pl: Polyline, pt: Point) -> None:
         lst = self.m.get(pt)
         if lst is None:
             return
-        for i, x in enumerate(lst):
-            if x is pl:
-                del lst[i]
-                break
+        try:
+            lst.remove(pl)
+        except ValueError:
+            pass
         if not lst:
             del self.m[pt]
 
@@ -136,10 +144,10 @@ class _Index:
 
 
 def _remove_identity(lst: list[Polyline], pl: Polyline) -> None:
-    for i, x in enumerate(lst):
-        if x is pl:
-            del lst[i]
-            return
+    try:
+        lst.remove(pl)  # identity semantics — no __eq__ on Polyline
+    except ValueError:
+        pass
 
 
 def _concat(dst: Polyline, src: Polyline, index: _Index | None) -> bool:
@@ -166,14 +174,14 @@ def _concat(dst: Polyline, src: Polyline, index: _Index | None) -> bool:
             if index is not None:
                 index.remove(src)
                 index.change(dst, True, src.first)
-            del a[0]
-            a[0:0] = b
+            a.popleft()
+            a.extendleft(reversed(b))  # == b + a
         elif a[0] == b[0]:
             if index is not None:
                 index.remove(src)
                 index.change(dst, True, src.last)
-            del a[0]
-            a[0:0] = list(reversed(b))
+            a.popleft()
+            a.extendleft(b)  # == reversed(b) + a
         else:
             return False
         return True
@@ -222,6 +230,68 @@ def _add_polyline(ppl: Polyline, polylines: list[Polyline], index: _Index) -> No
         polylines.append(ppl)
 
 
+def _attach_seg(dst: Polyline, k: Point, p2: Point, index: _Index | None) -> bool:
+    """_concat(dst, Polyline([k, p2]), index) specialized for a 2-point
+    src — same 4-case priority and index updates, but appends/prepends
+    ONE point instead of allocating + merging a throwaway polyline."""
+    a = dst.pts
+    if a[-1] == k:          # a[-1] == b[0]
+        if index is not None:
+            index.change(dst, False, p2)
+        a.append(p2)
+    elif a[-1] == p2:       # a[-1] == b[-1]
+        if index is not None:
+            index.change(dst, False, k)
+        a.append(k)
+    elif a[0] == p2:        # a[0] == b[-1]
+        if index is not None:
+            index.change(dst, True, k)
+        a.appendleft(k)
+    elif a[0] == k:         # a[0] == b[0]
+        if index is not None:
+            index.change(dst, True, p2)
+        a.appendleft(p2)
+    else:
+        return False
+    return True
+
+
+def _add_segment(k: Point, p2: Point, polylines: list[Polyline], index: _Index) -> None:
+    """AddPolyline fast path for the fresh 2-point segment (k, p2).
+
+    Candidate collection inlines _Index.candidates — the self-removal
+    there is a no-op for a never-indexed segment. Bridging still routes
+    through _concat (true polyline-polyline merge)."""
+    m = index.m
+    l1 = m.get(k)
+    if l1 is not None:
+        lines = l1.copy()
+        l2 = m.get(p2)
+        if l2:
+            lines.extend(l2)
+    else:
+        l2 = m.get(p2)
+        lines = l2.copy() if l2 is not None else None
+    if lines:
+        first = lines[0]
+        if len(lines) == 2 and first is lines[1]:
+            # segment closes `first` into a ring — retire from index
+            index.remove(first)
+            _attach_seg(first, k, p2, None)
+        else:
+            _attach_seg(first, k, p2, index)
+            if len(lines) > 1:
+                second = lines[1]
+                index.remove(second)
+                _concat(first, second, index)
+                # dropped from the output list even if Concat failed (:979)
+                second.alive = False
+    else:
+        pl = Polyline((k, p2))
+        index.add(pl)
+        polylines.append(pl)
+
+
 def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
     """Full per-tile stage 3+4: per-(row, level) bags -> per-level gather
     -> per-level stitching (ContourProcessor2.cs:1461-1525).
@@ -268,13 +338,10 @@ def _stitch_master(master: LineBag) -> list[list[Point]]:
     keys = sorted(master.adj)
     polylines: list[Polyline] = []
     index = _Index()
-    ki = 0
-    while ki < len(keys):
-        lst = master.adj.get(keys[ki])
-        if not lst:
-            ki += 1
-            continue
-        p2 = lst.pop(0)
-        seg = Polyline([keys[ki], p2])
-        _add_polyline(seg, polylines, index)
-    return [pl.pts for pl in polylines if pl.alive]
+    adj = master.adj
+    for key in keys:
+        lst = adj[key]
+        while lst:
+            p2 = lst.pop(0)
+            _add_segment(key, p2, polylines, index)
+    return [list(pl.pts) for pl in polylines if pl.alive]

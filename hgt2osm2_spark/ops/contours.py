@@ -190,6 +190,142 @@ def postprocess_polylines(
     return joined.mapInPandas(post, schema=POST_SCHEMA)
 
 
+def extract_stitch_post_fused(
+    tiles: DataFrame, opt: ContourOptions | None = None, strict_reference: bool = True
+) -> DataFrame:
+    """Fused fast path: stages 1-5 in ONE mapInPandas pass per tile.
+
+    Semantically identical to extract -> stitch -> post (tested), but
+    with zero shuffles before ID assignment: the reference never
+    crosses tile boundaries (ContourProcessor2.cs:1451-1624), so the
+    per-(tile,level) shuffle in the staged path buys intra-tile
+    parallelism that only matters when #tiles < #cores. At the target
+    scale (10^12 tiles >> executors) tile-level parallelism is the
+    right grain — this path turns the whole contour pipeline into a
+    narrow map, which is what makes the N->4N scaling efficiency hold
+    (the staged variant remains for checkpoint-resume and for few-huge-
+    tile workloads)."""
+    opt = opt or ContourOptions()
+    d, fake = opt.minor_distance, opt.fake_distance
+    minpt, minbox, dp = opt.min_vertice_points, opt.min_bounding_box, opt.douglas_peucker
+    cols = [f.name for f in POST_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for img, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                w, h = int(w), int(h)
+                grid = codecs.decode(data, fmt, w, h)
+                seg = marching.extract_segments(grid, d, fake)
+                if len(seg) == 0:
+                    continue
+                bags = stitch.stitch_tile(seg)
+                edge = 1.0 / w
+                for level in sorted(bags):
+                    for i, pts in enumerate(bags[level]):
+                        c = postprocess.PostCounters()
+                        kept_pts = postprocess.run_polyline(
+                            pts, minpt, minbox, edge, dp, c, strict_reference
+                        )
+                        reason = None
+                        if kept_pts is None:
+                            for attr, name in (
+                                ("short_polylines", "short"),
+                                ("small_polylines", "small"),
+                                ("vertical_polylines", "vertical"),
+                                ("horizontal_polylines", "horizontal"),
+                            ):
+                                if getattr(c, attr):
+                                    reason = name
+                                    break
+                        use = kept_pts if kept_pts is not None else pts
+                        out.append(
+                            (
+                                img,
+                                int(level),
+                                i,
+                                [p[0] for p in use],
+                                [p[1] for p in use],
+                                pts[0] == pts[-1],
+                                kept_pts is not None,
+                                reason,
+                                c.unnecessary_points,
+                                c.douglas_peucker_points,
+                                w,
+                                h,
+                            )
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return tiles.mapInPandas(gen, schema=POST_SCHEMA)
+
+
+NODES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("level", T.IntegerType(), False),
+        T.StructField("poly_ord", T.IntegerType(), False),
+        T.StructField("node_id", T.LongType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+    ]
+)
+
+
+def fused_tile_nodes(
+    tiles: DataFrame, opt: ContourOptions | None = None, strict_reference: bool = True
+) -> DataFrame:
+    """tiles -> OSM node rows in ONE narrow map (stages 1-6, no shuffle).
+
+    ID assignment happens inside the per-tile pass with plain counters —
+    bit-identical to the window formulation (ids.assign_ids) because
+    node bases are tile-keyed (W1/Q5) and the iteration order here
+    (level asc, then stitching order) IS the window's ordering.
+    Window-free, so it runs on STREAMING DataFrames (streaming/ingest),
+    where Structured Streaming forbids non-time windows."""
+    from ..config import tile_first_id
+
+    opt = opt or ContourOptions()
+    d, fake = opt.minor_distance, opt.fake_distance
+    minpt, minbox, dp = opt.min_vertice_points, opt.min_bounding_box, opt.douglas_peucker
+    cols = [f.name for f in NODES_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for img, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                w, h = int(w), int(h)
+                grid = codecs.decode(data, fmt, w, h)
+                seg = marching.extract_segments(grid, d, fake)
+                if len(seg) == 0:
+                    continue
+                bags = stitch.stitch_tile(seg)
+                edge = 1.0 / w
+                lat0 = int(img[1:3]) * (-1 if img[0] in "sS" else 1)
+                lon0 = int(img[4:7]) * (-1 if img[3] in "wW" else 1)
+                node_id = tile_first_id(lat0, lon0)
+                c = postprocess.PostCounters()
+                for level in sorted(bags):
+                    for i, pts in enumerate(bags[level]):
+                        kept = postprocess.run_polyline(
+                            pts, minpt, minbox, edge, dp, c, strict_reference
+                        )
+                        if kept is None:
+                            continue
+                        for x, y in kept:
+                            out.append(
+                                (img, int(level), i, node_id, lat0 + y / (h - 1), lon0 + x / (w - 1))
+                            )
+                            node_id += 1
+            yield pd.DataFrame(out, columns=cols)
+
+    return tiles.mapInPandas(gen, schema=NODES_SCHEMA)
+
+
 def postprocess_metrics(post: DataFrame) -> DataFrame:
     """A5 counters as a native aggregation — lands in the lineage table."""
     return (

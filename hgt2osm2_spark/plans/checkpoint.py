@@ -1,0 +1,222 @@
+"""Checkpoint / lineage layer — resumable pipeline (S11 + J7).
+
+Reference semantics: the tool skips a tile whose output file already
+exists and recovers the last node ID from it
+(/root/reference/Program.cs:402-427). Here the unit of resume is
+(stage, image_id): every pipeline stage
+
+ 1. writes its output parquet partitioned by ``image_id`` with
+    *dynamic partition overwrite* — the parquet-dir stand-in for
+    Iceberg's overwrite-by-partition commit, so a re-run of a tile
+    replaces any partial data for that tile atomically at the
+    partition level;
+ 2. then appends per-partition lineage rows
+    ``(stage, image_id, n_rows, max_id, wall_s, run_id)``.
+
+On restart, pending work per stage = tiles LEFT ANTI JOIN lineage
+(J7) — completed tiles are never recomputed; tiles that died between
+(1) and (2) are recomputed and overwritten. Because node/way ID bases
+are tile-keyed (W1/Q5, ops/ids.py), a tile's output is identical no
+matter which run produced it, so resumed and fresh runs byte-match.
+
+At cluster scale the same protocol writes to an Iceberg table with
+``write.distribution-mode=hash`` on image_id; the lineage table doubles
+as the metrics sink (A5 / north_rule "per-partition lineage + metrics").
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..config import ContourOptions
+from ..ops import contours, ids
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("max_id", T.LongType(), True),
+        T.StructField("wall_s", T.DoubleType(), False),
+        T.StructField("run_id", T.StringType(), False),
+    ]
+)
+
+#: pipeline stage order; each consumes the previous stage's store
+STAGES = ("segments", "polylines", "post", "nodes", "ways")
+
+
+class CheckpointStore:
+    """Parquet-dir checkpoint store (Iceberg stand-in, see module doc)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # -- paths -------------------------------------------------------
+    def stage_path(self, stage: str) -> str:
+        return f"{self.root}/stage={stage}"
+
+    @property
+    def lineage_path(self) -> str:
+        return f"{self.root}/lineage"
+
+    # -- lineage -----------------------------------------------------
+    def lineage(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_path)
+        except Exception:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    def completed_ids(self, stage: str) -> DataFrame:
+        return (
+            self.lineage().filter(F.col("stage") == stage).select("image_id").distinct()
+        )
+
+    def pending(self, tiles: DataFrame, stage: str) -> DataFrame:
+        """J7: anti-join work table against the checkpoint table."""
+        return tiles.join(F.broadcast(self.completed_ids(stage)), "image_id", "left_anti")
+
+    def last_ids(self) -> DataFrame:
+        """Per-tile max assigned ID — the S11 'recover LastID' analogue
+        (Program.cs:411-420)."""
+        return (
+            self.lineage()
+            .filter(F.col("stage").isin("nodes", "ways"))
+            .groupBy("image_id")
+            .agg(F.max("max_id").alias("last_id"))
+        )
+
+    # -- stage data ----------------------------------------------------
+    def commit_stage(
+        self, df: DataFrame, stage: str, run_id: str, id_col: str | None = None
+    ) -> None:
+        """Write stage output (partition-overwrite by image_id), then
+        append lineage+metrics rows. Lineage is written strictly after
+        the data commit — the crash window re-runs the tile."""
+        t0 = time.time()
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("image_id")
+            .parquet(self.stage_path(stage))
+        )
+        wall = time.time() - t0
+        out = self.spark.read.parquet(self.stage_path(stage))
+        mx = F.max(id_col).cast("long") if id_col else F.lit(None).cast("long")
+        # metrics only for the tiles written in THIS commit
+        written = df.select("image_id").distinct()
+        rows = (
+            out.join(F.broadcast(written), "image_id")
+            .groupBy("image_id")
+            .agg(F.count("*").alias("n_rows"), mx.alias("max_id"))
+            .select(
+                F.lit(stage).alias("stage"),
+                "image_id",
+                "n_rows",
+                "max_id",
+                F.lit(float(wall)).alias("wall_s"),
+                F.lit(run_id).alias("run_id"),
+            )
+        )
+        rows.write.mode("append").parquet(self.lineage_path)
+
+    def load_stage(self, stage: str, only_ids: DataFrame | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self.stage_path(stage))
+        if only_ids is not None:
+            df = df.join(F.broadcast(only_ids.select("image_id")), "image_id")
+        return df
+
+
+@dataclass
+class ResumableResult:
+    store: CheckpointStore
+    run_id: str
+    computed: dict[str, int]  # stage -> #tiles computed this run
+
+    def nodes(self) -> DataFrame:
+        return self.store.load_stage("nodes")
+
+    def ways(self) -> DataFrame:
+        return self.store.load_stage("ways")
+
+    def metrics(self) -> DataFrame:
+        return self.store.lineage()
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    tiles: DataFrame,
+    root: str,
+    opt: ContourOptions | None = None,
+    strict_reference: bool = True,
+    shuffle_partitions: int | None = None,
+    stop_after: str | None = None,
+) -> ResumableResult:
+    """Run the contour pipeline stage-by-stage with per-stage commits.
+
+    ``stop_after`` simulates a mid-run kill after the named stage (for
+    resume tests); a subsequent call with the same root picks up where
+    it stopped without recomputing committed (stage, tile) pairs.
+    """
+    opt = opt or ContourOptions()
+    store = CheckpointStore(spark, root)
+    run_id = uuid.uuid4().hex[:12]
+    computed: dict[str, int] = {}
+    dims = tiles.select("image_id", "w", "h")
+
+    def count_pending(p: DataFrame) -> int:
+        return p.select("image_id").distinct().count()
+
+    # stage 1-2: decode + marching kernel
+    p = store.pending(tiles, "segments")
+    n = count_pending(p)
+    computed["segments"] = n
+    if n:
+        store.commit_stage(contours.extract_contour_segments(p, opt), "segments", run_id)
+    if stop_after == "segments":
+        return ResumableResult(store, run_id, computed)
+
+    # stage 3-4: stitch per (tile, level)
+    p = store.pending(tiles, "polylines")
+    n = count_pending(p)
+    computed["polylines"] = n
+    if n:
+        segs = store.load_stage("segments", p)
+        store.commit_stage(
+            contours.stitch_polylines(segs, shuffle_partitions), "polylines", run_id
+        )
+    if stop_after == "polylines":
+        return ResumableResult(store, run_id, computed)
+
+    # stage 5: post-production
+    p = store.pending(tiles, "post")
+    n = count_pending(p)
+    computed["post"] = n
+    if n:
+        pl = store.load_stage("polylines", p)
+        store.commit_stage(
+            contours.postprocess_polylines(pl, dims, opt, strict_reference), "post", run_id
+        )
+    if stop_after == "post":
+        return ResumableResult(store, run_id, computed)
+
+    # stage 6: IDs + node/way outputs
+    for stage, builder, id_col in (
+        ("nodes", lambda a: ids.nodes_df(a), "node_id"),
+        ("ways", lambda a: ids.ways_df(a, opt), "way_id"),
+    ):
+        p = store.pending(tiles, stage)
+        n = count_pending(p)
+        computed[stage] = n
+        if n:
+            kept = store.load_stage("post", p).filter("kept")
+            store.commit_stage(builder(ids.assign_ids(kept, opt)), stage, run_id, id_col)
+        if stop_after == stage:
+            return ResumableResult(store, run_id, computed)
+
+    return ResumableResult(store, run_id, computed)

@@ -23,8 +23,8 @@ from ..ops import contours, ids
 
 @dataclass
 class ContourResult:
-    segments: DataFrame
-    polylines: DataFrame
+    segments: DataFrame | None
+    polylines: DataFrame | None
     post: DataFrame
     assigned: DataFrame
     nodes: DataFrame
@@ -37,13 +37,23 @@ def run_contour_pipeline(
     opt: ContourOptions | None = None,
     strict_reference: bool = True,
     shuffle_partitions: int | None = None,
+    fused: bool = True,
 ) -> ContourResult:
+    """fused=True (default): stages 1-5 run as one narrow map per tile
+    (contours.extract_stitch_post_fused) — zero shuffles before ID
+    assignment; right grain when #tiles >> #cores (the 10^12 design
+    point). fused=False: staged variant with a per-(tile,level) shuffle
+    for intra-tile parallelism + stage-level checkpointing."""
     opt = opt or ContourOptions()
     dims = tiles.select("image_id", "w", "h")
 
-    segments = contours.extract_contour_segments(tiles, opt)
-    polylines = contours.stitch_polylines(segments, shuffle_partitions)
-    post = contours.postprocess_polylines(polylines, dims, opt, strict_reference)
+    if fused:
+        segments = polylines = None
+        post = contours.extract_stitch_post_fused(tiles, opt, strict_reference)
+    else:
+        segments = contours.extract_contour_segments(tiles, opt)
+        polylines = contours.stitch_polylines(segments, shuffle_partitions)
+        post = contours.postprocess_polylines(polylines, dims, opt, strict_reference)
     metrics = contours.postprocess_metrics(post)
 
     kept = post.filter("kept")

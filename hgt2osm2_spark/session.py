@@ -35,6 +35,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = ncores
 
+    # one BLAS thread per task slot: a worker that fans out BLAS threads
+    # oversubscribes the executor's cores (and in local mode lets a
+    # "small cluster" run silently borrow idle cores, skewing any
+    # N-vs-4N scaling measurement)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     b = (
         SparkSession.builder.master(master)
         .appName(app)
@@ -45,7 +52,11 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # 1024 rows/batch: amortizes per-batch Arrow+UDF overhead for
+        # skinny rows (points, polylines) while staying bounded for fat
+        # tile rows — tile pipelines keep O(10) tiles per task via
+        # repartition, so a batch never exceeds the partition anyway.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,0 +1,77 @@
+"""Streaming ingestion (§2.10 extension): file-source tiles stream ->
+contour nodes, equal to the batch pipeline; watermarked window agg
+over the events stream equals the batch groupBy."""
+
+import pytest
+
+from hgt2osm2_spark.config import ContourOptions
+from hgt2osm2_spark.plans.pipeline import run_contour_pipeline
+from hgt2osm2_spark.sources.synthetic import tiles_df
+from hgt2osm2_spark.streaming import ingest
+
+OPT = ContourOptions()
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_contour_matches_batch(spark, tmp_path):
+    tiles = tiles_df(spark, n_tiles=3, size=17, seed=5)
+    src = str(tmp_path / "tiles_in")
+    tiles.write.parquet(src)
+
+    stream = ingest.stream_tiles(spark, src, max_files=1)
+    assert stream.isStreaming
+    nodes_stream = ingest.stream_contour_nodes(stream, OPT)
+    q = ingest.write_nodes_stream(
+        nodes_stream, str(tmp_path / "nodes_out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "nodes_out"))
+    want = run_contour_pipeline(tiles, OPT).nodes
+    cols = ["image_id", "node_id", "level", "poly_ord", "lat", "lon"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+    # restart with no new files: checkpoint prevents reprocessing
+    q2 = ingest.write_nodes_stream(
+        nodes_stream, str(tmp_path / "nodes_out"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(str(tmp_path / "nodes_out")).count() == got.count()
+
+
+def test_windowed_event_stats_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "events_in")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = ingest.windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+    out = str(tmp_path / "agg_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    want = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match the batch result exactly
+    got_map = {(r["win_start"], r["event_type"]): r["n"] for r in got.collect()}
+    want_map = {(r["win_start"], r["event_type"]): r["n"] for r in want.collect()}
+    assert got_map
+    for k, n in got_map.items():
+        assert want_map[k] == n
