@@ -381,6 +381,99 @@ def q_frame_sample(spark, sf_dir):
     return frames.select("image_id", "frame_idx")
 
 
+def q_salted_skew_agg(spark, sf_dir):
+    """Skew-proof two-stage aggregation over a deliberately skewed key
+    (~50% of rows share one key). Result identical to a direct
+    groupBy — the salt only changes the physical plan."""
+    from hgt2osm2_spark.ops import skew
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "skew_key", F.when(F.col("event_id") % 2 == 0, F.lit("hot")).otherwise(F.col("event_type"))
+    )
+    return skew.salted_agg(
+        e,
+        ["skew_key"],
+        partial_aggs=[
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            F.max("value").alias("mx"),
+        ],
+        final_aggs=[
+            F.sum("n").alias("n"),
+            F.sum("s").cast("double").alias("sum_value"),
+            F.max("mx").alias("max_value"),
+        ],
+        n_salt=16,
+        salt_src="event_id",
+    )
+
+
+def q_windowed_stats(spark, sf_dir):
+    """Tumbling-window event rollup (streaming/ingest.windowed_event_stats
+    semantics on the batch table; the stream variant is pytest-covered)."""
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum("value", "sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_arcinfo_sink(spark, sf_dir):
+    """S6 sink artifacts (payload size as the checkable surface)."""
+    from hgt2osm2_spark.sinks import rasters
+
+    return rasters.arcinfo_grid(_synth_tiles(spark)).select(
+        "image_id", "filename", F.length("payload").alias("n_bytes")
+    )
+
+
+def q_geopng_sink(spark, sf_dir):
+    """S7 sink artifacts: Geo-PNG + worldfile per tile."""
+    from hgt2osm2_spark.sinks import rasters
+
+    return rasters.geo_png(_synth_tiles(spark)).select(
+        "image_id", "filename", F.length("payload").alias("n_bytes")
+    )
+
+
+def q_tsv_sink(spark, sf_dir):
+    """S9 sink artifacts: TSV raster dump per tile."""
+    from hgt2osm2_spark.sinks import rasters
+
+    return rasters.tsv_dump(_synth_tiles(spark)).select(
+        "image_id", "filename", F.length("payload").alias("n_bytes")
+    )
+
+
+def q_osm_xml_tiles(spark, sf_dir):
+    """S5 sink: per-tile OSM XML documents (text length + way count)."""
+    from hgt2osm2_spark.sinks import osm_xml
+
+    r = _contour_result(spark)
+    x = osm_xml.tile_xml(r.nodes, r.ways)
+    return x.select("image_id", F.length("xml").alias("n_chars"))
+
+
+def q_checkpoint_lineage(spark, sf_dir):
+    """S11/J7: run the checkpointed pipeline twice (second run resumes);
+    returns the lineage metrics table — one row per (stage, tile), and
+    the resume run must add zero rows."""
+    import tempfile
+
+    from hgt2osm2_spark.plans import checkpoint
+
+    root = tempfile.mkdtemp(prefix="ckpt_query_")
+    tiles = _synth_tiles(spark, n_tiles=4, size=21)
+    checkpoint.run_checkpointed(spark, tiles, root, ContourOptions())
+    r2 = checkpoint.run_checkpointed(spark, tiles, root, ContourOptions())
+    assert all(v == 0 for v in r2.computed.values())
+    return r2.store.lineage().select("stage", "image_id", "n_rows", "max_id")
+
+
 def q_tile_pip_flagship(spark, sf_dir):
     r = _contour_result(spark)
     pts = r.nodes.select(
@@ -418,6 +511,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
+        # skew + windows over event time (streaming semantics, batch-checked)
+        "salted_skew_agg": q_salted_skew_agg,
+        "windowed_stats": q_windowed_stats,
+        # sinks + checkpoint/lineage (rows-only; golden-tested in tests/)
+        "arcinfo_sink": q_arcinfo_sink,
+        "geopng_sink": q_geopng_sink,
+        "tsv_sink": q_tsv_sink,
+        "osm_xml_tiles": q_osm_xml_tiles,
+        "checkpoint_lineage": q_checkpoint_lineage,
         # contour pipeline (rows-only; golden-tested in tests/)
         "contour_nodes": q_contour_nodes,
         "contour_ways": q_contour_ways,
@@ -646,6 +748,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
+        """,
+        "salted_skew_agg": """
+            SELECT CASE WHEN event_id % 2 = 0 THEN 'hot' ELSE event_type END AS skew_key,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   MAX(value) AS max_value
+            FROM events
+            GROUP BY 1
+        """,
+        "windowed_stats": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "ann_bruteforce": f"""
             WITH q AS (SELECT vec_id AS q_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),

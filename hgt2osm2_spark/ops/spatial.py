@@ -161,71 +161,85 @@ def knn_join(
     queries: DataFrame,
     k: int = 5,
     res: int = 6,
-    ring: int = 1,
+    ring: int | None = None,
     max_ring: int = 8,
 ) -> DataFrame:
     """queries(q_id, lat, lon) x points(p_id, lat, lon) -> top-k nearest
     (planar squared degree distance, deterministic p_id tiebreak).
 
-    Ring-growth loop: start with a (2*ring+1)^2 cell neighborhood; any
-    query whose k-th neighbor isn't *provably* inside the ring (distance
-    <= ring cell width) or that found < k candidates is retried with a
-    doubled ring. Exactness: a hit at distance d can only be missed if
-    d > ring_width, which the check rules out."""
+    Two-phase exact kNN: one (2*ring+1)^2 cell-neighborhood join pass
+    settles every query whose k-th neighbor is *provably* inside the
+    ring (k hits and max distance <= ring cell width); the rest fall
+    back to a broadcast exhaustive pass. Exactness: a hit at distance d
+    can only be missed by pass 1 if d > ring_width, which the guard
+    rules out — then pass 2 is exhaustive. max_ring is kept for API
+    compatibility (the fallback replaces ring growth; growth rebuilt
+    its full lineage every iteration and serialized on driver syncs)."""
     pts = points.select(
         F.col("p_id"), F.col("lat").alias("p_lat"), F.col("lon").alias("p_lon")
-    ).withColumn("cell", cell_expr(F.col("p_lat"), F.col("p_lon"), res))
+    ).withColumn("cell", cell_expr(F.col("p_lat"), F.col("p_lon"), res)).cache()
 
-    remaining = queries.select("q_id", "lat", "lon")
-    results = None
     cell_w = 1.0 / (2**res)
+    if ring is None:
+        # density-adaptive ring: expected k-NN radius for a roughly
+        # uniform point set is r ~ sqrt((k+1) * area / (pi * n)); pick
+        # the smallest ring whose guard covers it so pass 1 settles the
+        # bulk instead of dumping everything into the fallback. One
+        # tiny agg job — worth it: the fallback is a cross join.
+        import math
 
+        stats = pts.agg(
+            F.count("*").alias("n"),
+            F.min("p_lat").alias("lat0"), F.max("p_lat").alias("lat1"),
+            F.min("p_lon").alias("lon0"), F.max("p_lon").alias("lon1"),
+        ).collect()[0]
+        area = max((stats["lat1"] - stats["lat0"]) * (stats["lon1"] - stats["lon0"]), 1e-12)
+        r_est = math.sqrt((k + 1) * area / (math.pi * max(stats["n"], 1)))
+        ring = min(max(int(math.ceil(1.5 * r_est / cell_w)), 1), max_ring)
     out_cols = ["q_id", "p_id", "dist2", "rnk"]
-    while ring <= max_ring and remaining.isEmpty() is False:
-        cand = (
-            with_k_ring(remaining, "lat", "lon", res, ring)
-            .join(pts, "cell", "inner")
-            .withColumn(
-                # plain multiplication, not pow(): bit-identical to any
-                # IEEE-754 oracle, so quantized-grid distance ties break
-                # on the same side everywhere
-                "dist2",
-                (F.col("lat") - F.col("p_lat")) * (F.col("lat") - F.col("p_lat"))
-                + (F.col("lon") - F.col("p_lon")) * (F.col("lon") - F.col("p_lon")),
-            )
-            # the same point can appear via several ring cells of one query
-            .dropDuplicates(["q_id", "p_id"])
-        )
-        w = W.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("p_id").asc())
-        topk = cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
-        # a query is settled when it has k hits and the k-th distance is
-        # covered by the ring (no closer point can live outside it)
-        guard = (ring * cell_w) ** 2
-        agg = topk.groupBy("q_id").agg(F.count("*").alias("n"), F.max("dist2").alias("maxd"))
-        settled_ids = agg.filter((F.col("n") == k) & (F.col("maxd") <= F.lit(guard)))
-        settled = topk.join(settled_ids.select("q_id"), "q_id", "left_semi").select(out_cols)
-        results = settled if results is None else results.unionByName(settled)
-        remaining = remaining.join(settled_ids.select("q_id"), "q_id", "left_anti")
-        ring *= 2
+    d2 = (
+        (F.col("lat") - F.col("p_lat")) * (F.col("lat") - F.col("p_lat"))
+        + (F.col("lon") - F.col("p_lon")) * (F.col("lon") - F.col("p_lon"))
+    )  # plain multiplication, not pow(): bit-identical to the IEEE oracle
 
-    if remaining.isEmpty() is False:
-        # exhaustive fallback for stragglers (rare; e.g. sparse regions):
-        # a broadcast cross join of the leftover queries against all points
-        cand = (
-            F.broadcast(remaining)
-            .crossJoin(pts.drop("cell"))
-            .withColumn(
-                "dist2",
-                (F.col("lat") - F.col("p_lat")) * (F.col("lat") - F.col("p_lat"))
-                + (F.col("lon") - F.col("p_lon")) * (F.col("lon") - F.col("p_lon")),
-            )
-        )
+    def topk_of(cand: DataFrame) -> DataFrame:
         w = W.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("p_id").asc())
-        topk = (
-            cand.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select(out_cols)
-        )
-        results = topk if results is None else results.unionByName(topk)
+        return cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
-    return results
+    # pass 1 — one ring-join pass; cache so the settled/unsettled split
+    # doesn't recompute the join (the old geometric-growth loop rebuilt
+    # its whole lineage every iteration: O(rings^2) work + driver sync
+    # per ring)
+    cand1 = (
+        with_k_ring(queries.select("q_id", "lat", "lon"), "lat", "lon", res, ring)
+        .join(pts, "cell", "inner")
+        .withColumn("dist2", d2)
+        # the same point can appear via several ring cells of one query
+        .dropDuplicates(["q_id", "p_id"])
+    )
+    # a query is settled when it has k hits and the k-th distance is
+    # covered by the ring (no closer point can live outside it). The
+    # check rides the SAME q_id partitioning as the ranking window —
+    # no extra shuffle for a groupBy + semi-join round trip.
+    guard = (ring * cell_w) ** 2
+    wq = W.partitionBy("q_id")
+    topk1 = (
+        topk_of(cand1)
+        .withColumn("_n", F.count("*").over(wq))
+        .withColumn("_maxd", F.max("dist2").over(wq))
+        .withColumn("_settled", (F.col("_n") == k) & (F.col("_maxd") <= F.lit(guard)))
+        .cache()
+    )
+    settled = topk1.filter("_settled").select(out_cols)
+
+    # pass 2 — exhaustive fallback for the stragglers only (sparse
+    # regions / ring misses). Queries are the small side: broadcast
+    # them against all points; at scale this is a tiny tail.
+    settled_ids = topk1.filter("_settled").select("q_id")
+    remaining = queries.select("q_id", "lat", "lon").join(settled_ids, "q_id", "left_anti")
+    if remaining.isEmpty():
+        return settled
+    fb = topk_of(
+        F.broadcast(remaining).crossJoin(pts.drop("cell")).withColumn("dist2", d2)
+    ).select(out_cols)
+    return settled.unionByName(fb)
