@@ -381,6 +381,29 @@ def q_frame_sample(spark, sf_dir):
     return frames.select("image_id", "frame_idx")
 
 
+def q_point_store(spark, sf_dir):
+    """K11 PointStore: dense negative first-wins pseudo-IDs for the
+    distinct derived points."""
+    from hgt2osm2_spark.ops import ids as ids_ops
+
+    pts = _li_points(spark, sf_dir)
+    out = ids_ops.point_store_ids(
+        pts.select(F.col("lat").alias("y"), F.col("lon").alias("x"), "p_id"), ord_col="p_id"
+    )
+    return out.select("p_id", "x", "y", "pseudo_id")
+
+
+def q_crop_stats(spark, sf_dir):
+    """F1/F2 degree-box crop: per-tile recomputed stats after masking
+    (rows-only; the crop kernel is golden-tested in tests/)."""
+    from hgt2osm2_spark.ops import crop
+
+    t = _synth_tiles(spark, n_tiles=6, size=33)
+    return crop.crop_tiles(t, 0.25, 40.25, 0.75, 43.75).select(
+        "image_id", "minimum", "maximum", "not_valid", "kept"
+    )
+
+
 def q_salted_skew_agg(spark, sf_dir):
     """Skew-proof two-stage aggregation over a deliberately skewed key
     (~50% of rows share one key). Result identical to a direct
@@ -511,6 +534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
+        # point store + crop
+        "point_store": q_point_store,
+        "crop_stats": q_crop_stats,
         # skew + windows over event time (streaming semantics, batch-checked)
         "salted_skew_agg": q_salted_skew_agg,
         "windowed_stats": q_windowed_stats,
@@ -748,6 +774,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
+        """,
+        "point_store": f"""
+            WITH p AS (
+                SELECT lon AS x, lat AS y, p_id FROM ({_LI_POINTS_SQL})
+            ), firsts AS (
+                SELECT x, y, MIN(p_id) AS f FROM p GROUP BY x, y
+            ), ids AS (
+                SELECT x, y,
+                       -CAST(ROW_NUMBER() OVER (ORDER BY f, x, y) AS BIGINT) AS pseudo_id
+                FROM firsts
+            )
+            SELECT p.p_id, p.x, p.y, ids.pseudo_id
+            FROM p JOIN ids ON p.x = ids.x AND p.y = ids.y
         """,
         "salted_skew_agg": """
             SELECT CASE WHEN event_id % 2 = 0 THEN 'hot' ELSE event_type END AS skew_key,

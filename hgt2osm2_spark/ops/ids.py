@@ -70,6 +70,24 @@ def assign_ids(kept_polylines: DataFrame, opt: ContourOptions | None = None) -> 
     return df
 
 
+def point_store_ids(points: DataFrame, x: str = "x", y: str = "y",
+                    ord_col: str | None = None) -> DataFrame:
+    """K11 PointStore: point -> dense NEGATIVE pseudo-ID, first-wins
+    (ContourProcessor2.cs:2425-2494 — used by the ShowPoints/ShowAreas
+    decorations). Insertion order is ord_col if given, else (x, y):
+    first occurrence of a point claims the next ID; duplicates resolve
+    to the same ID via the join back. The dense sequence needs a global
+    row_number (single-task sort) — fine for its decoration use-case;
+    scale users partition first (the reference's store is per-tile)."""
+    firsts = (
+        points.groupBy(x, y)
+        .agg(F.min(ord_col).alias("_first") if ord_col else F.min(F.lit(0)).alias("_first"))
+    )
+    w = W.orderBy(F.col("_first").asc(), F.col(x).asc(), F.col(y).asc())
+    ids_df = firsts.withColumn("pseudo_id", -F.row_number().over(w).cast("long")).drop("_first")
+    return points.join(ids_df, [x, y])
+
+
 def nodes_df(assigned: DataFrame) -> DataFrame:
     """Explode points -> OSM nodes. Grid->degree transform is K6
     (lat = bottom + y/(H-1), lon = left + x/(W-1),
