@@ -204,8 +204,11 @@ def q_running_window(spark, sf_dir):
         "user_id",
         "event_id",
         F.row_number().over(w).alias("seq"),
+        F.rank().over(w).alias("rnk"),
         F.sum("event_id").over(run).alias("running_ids"),
         F.max("value").over(run).alias("running_max_value"),
+        F.lag("event_id", 1).over(w).alias("prev_event"),
+        F.lead("event_id", 1).over(w).alias("next_event"),
     )
 
 
@@ -334,6 +337,15 @@ def q_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
     )
     return similarity.lsh_ann_topk(e, q, k=KNN_K, dim=64).select("q_id", "p_id", "rnk")
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (cluster-probe scale path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_ann_topk(e, q, k=KNN_K).select("q_id", "p_id", "rnk")
 
 
 def _contour_result(spark):
@@ -534,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         # point store + crop
         "point_store": q_point_store,
         "crop_stats": q_crop_stats,
@@ -639,10 +652,13 @@ def oracle_sql() -> dict[str, str]:
         "running_window": """
             SELECT user_id, event_id,
                    ROW_NUMBER() OVER w AS seq,
+                   RANK() OVER w AS rnk,
                    SUM(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_ids,
                    MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max_value
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max_value,
+                   LAG(event_id, 1) OVER w AS prev_event,
+                   LEAD(event_id, 1) OVER w AS next_event
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,

@@ -340,5 +340,8 @@ def postprocess_metrics(post: DataFrame) -> DataFrame:
             F.sum("dp_removed").alias("douglas_peucker_points"),
             F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("polylines"),
             F.sum(F.when(F.col("kept"), F.size("xs")).otherwise(0)).alias("points"),
+            # A6: closed rings among survivors (FirstPoint == LastPoint,
+            # ContourProcessor2.cs:1040-1047)
+            F.sum(F.when(F.col("kept") & F.col("closed"), 1).otherwise(0)).alias("closed_polylines"),
         )
     )

@@ -97,6 +97,86 @@ def lsh_ann_topk(
     )
 
 
+def _kmeans(vecs: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Small deterministic k-means on L2-normalized vectors (spherical)."""
+    rng = np.random.default_rng(seed)
+    v = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    cent = v[rng.choice(len(v), size=min(n_centroids, len(v)), replace=False)]
+    for _ in range(iters):
+        sims = v @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                nc = v[m].mean(axis=0)
+                cent[c] = nc / max(np.linalg.norm(nc), 1e-12)
+    return cent
+
+
+def ivf_assign_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id as a JVM-side expression: argmax of dot
+    against literal centroid arrays (norm of `vec` divides out of the
+    argmax). Implemented as one array_sort over (score, -i) structs —
+    NOT a chained when/otherwise running max, whose expression tree
+    doubles per centroid (2^n nodes) and stalls codegen. Ties pick the
+    smallest centroid id, matching NumPy argmax."""
+    scored = F.array(*[
+        F.struct(
+            _dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+            F.lit(-i).alias("negi"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    top = F.element_at(F.array_sort(scored), -1)  # max s, then max -i = min i
+    return (-top["negi"]).cast("int")
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16,
+    n_probe: int = 4, train_sample: int = 2048, iters: int = 10, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate NN (the coarse-quantizer scale path, alternative
+    to LSH): k-means centroids trained on a deterministic sample ->
+    every vector assigned to its nearest centroid (inverted lists =
+    cluster-keyed partitions) -> each query probes its n_probe nearest
+    clusters -> exact cosine re-rank inside the probed lists.
+
+    At 10^12 scale the assignment is a write-once partition/bucket key
+    (Iceberg partition on `cluster`), so a query touches n_probe/n_c of
+    the data; training stays O(sample x iters) on the driver."""
+    e = embeddings.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("pvec"))
+    q = queries.select("q_id", "qvec")
+
+    sample = np.array(
+        [r["v"] for r in
+         embeddings.select(F.col(vec_col).alias("v")).orderBy(F.col(id_col)).limit(train_sample).collect()],
+        dtype=np.float64,
+    )
+    cent = _kmeans(sample, n_centroids, iters, seed)
+
+    eb = e.withColumn("cluster", ivf_assign_expr(F.col("pvec"), cent))
+    # query-side probe list: n_probe best clusters by centroid cosine
+    probe_scores = F.array(*[
+        F.struct(_dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                 F.lit(i).alias("c"))
+        for i, c in enumerate(cent)
+    ])
+    qb = (
+        q.withColumn("_p", F.slice(F.reverse(F.array_sort(probe_scores)), 1, n_probe))
+        .withColumn("cluster", F.explode(F.transform("_p", lambda st: st["c"])))
+        .drop("_p")
+    )
+    cand = F.broadcast(qb).join(eb, "cluster").select("q_id", "qvec", "p_id", "pvec")
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("p_id").asc())
+    return (
+        cand.withColumn("sim", cosine_expr(F.col("qvec"), F.col("pvec")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "p_id", "rnk", "sim")
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 10,
     n_tables: int = 3, dim: int = 64, seed: int = 42,

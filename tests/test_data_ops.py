@@ -127,6 +127,30 @@ def test_lsh_ann_recall(embs, spark):
     assert len(ann & exact) >= 8
 
 
+def test_ivf_ann_recall(embs, spark):
+    queries = embs.limit(10).select(
+        F.col("vec_id").cast("string").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["q_id"], r["p_id"]) for r in similarity.brute_force_topk(embs, queries, k=1).collect()
+    }
+    ivf = {
+        (r["q_id"], r["p_id"])
+        for r in similarity.ivf_ann_topk(embs, queries, k=1, n_centroids=8, n_probe=3).collect()
+    }
+    # rank-1 is the query itself (sim=1); probing its own cluster finds it
+    assert len(ivf & exact) >= 8
+
+
+def test_ivf_deterministic(embs, spark):
+    queries = embs.limit(5).select(
+        F.col("vec_id").cast("string").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(map(tuple, similarity.ivf_ann_topk(embs, queries, k=3).collect()))
+    b = sorted(map(tuple, similarity.ivf_ann_topk(embs, queries, k=3).collect()))
+    assert a == b
+
+
 def test_multimodal_plumbing(spark):
     from hgt2osm2_spark.sources.synthetic import tiles_df
 
