@@ -393,6 +393,39 @@ def q_frame_sample(spark, sf_dir):
     return frames.select("image_id", "frame_idx")
 
 
+def q_cross_tile_stitch(spark, sf_dir):
+    """Cross-tile contour stitching (§4.3 extension): split one
+    continuous field over two border-sharing tiles, merge back."""
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.kernels import codecs
+    from hgt2osm2_spark.ops import cross_tile
+    from hgt2osm2_spark.sources.synthetic import TILES_SCHEMA
+
+    n = 17
+    yy = np.arange(n, dtype=np.float64)[:, None]
+    xx = np.arange(2 * n - 1, dtype=np.float64)[None, :]
+    full = (200 + 8 * yy + 0.5 * xx).astype(np.int16)
+
+    def row(image_id, grid):
+        return {
+            "image_id": image_id, "bytes": codecs.encode(grid, "hgt"),
+            "w": grid.shape[1], "h": grid.shape[0], "fmt": "hgt",
+            "caption": f"tile {image_id}", "phash": codecs.phash64(grid),
+        }
+
+    tiles = spark.createDataFrame(
+        pd.DataFrame([row("n40e000_0", full[:, :n].copy()), row("n40e001_0", full[:, n - 1:].copy())]),
+        schema=TILES_SCHEMA,
+    )
+    post = run_contour_pipeline(tiles, ContourOptions()).post.filter("kept")
+    merged = cross_tile.stitch_across_tiles(post)
+    return merged.select(
+        "level", "component", "n_parts", F.size("lats").alias("n_points"), "closed"
+    )
+
+
 def q_point_store(spark, sf_dir):
     """K11 PointStore: dense negative first-wins pseudo-IDs for the
     distinct derived points."""
@@ -547,7 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        # point store + crop
+        # cross-tile stitch + point store + crop
+        "cross_tile_stitch": q_cross_tile_stitch,
         "point_store": q_point_store,
         "crop_stats": q_crop_stats,
         # skew + windows over event time (streaming semantics, batch-checked)
