@@ -135,66 +135,71 @@ def extract_segments(grid_ns: np.ndarray, contour_distance: int, fake_distance: 
     # to the active triangles once, then expand each triangle over ONLY
     # its own crossing levels (sum == segment count). Identical IEEE
     # expression order, ~100x less traffic.
+    nxl = np.int64(nx)
     for t, (ax, ay, ha, bx, by, hb, ab_valid) in enumerate(tris):
-        tri_ok = cell_ok & ab_valid  # invalid corner kills the triangle (:1780-1783)
-        act = np.nonzero(tri_ok)
-        if act[0].size == 0:
+        tri_ok = (cell_ok & ab_valid).ravel()  # invalid corner kills the triangle (:1780-1783)
+        if not tri_ok.any():
             continue
-        g = lambda a: np.broadcast_to(a, shape)[act]
-        Ys = act[0].astype(np.int64)
-        Xs = act[1].astype(np.int64)
-        Ax, Ay, Ha = g(ax), g(ay), g(ha)
-        Bx, By, Hb = g(bx), g(by), g(hb)
-        Ccx, Ccy, Hc = g(ccx), g(ccy), g(Cf)
+        # full raveled views — no per-orientation gather: most corner
+        # arrays are already dense (ny, nx) buffers, so .ravel() is free
+        rv = lambda a: np.ascontiguousarray(np.broadcast_to(a, shape)).reshape(-1)
+        Ax, Ay, Ha = rv(ax), rv(ay), rv(ha)
+        Bx, By, Hb = rv(bx), rv(by), rv(hb)
+        Ccx, Ccy, Hc = rv(ccx), rv(ccy), rv(Cf)
 
-        flat = (Ha == Hb) & (Hb == Hc)  # case e (:1802)
+        flat = tri_ok & (Ha == Hb) & (Hb == Hc)  # case e (:1802)
 
         # ---- flat triangles exactly on a contour level (:1804-1905)
         if flat.any():
-            ff = Ha / d
-            on_level = flat & (np.trunc(ff) == ff)
+            with np.errstate(invalid="ignore"):
+                ff = Ha / d
+                on_level = flat & (np.trunc(ff) == ff)
             if on_level.any():
-                opp_a, opp_b, t1, t2 = (g(p) for p in flat_probe[t])
+                onz = np.nonzero(on_level)[0]
+                oYs, oXs = onz // nxl, onz % nxl
+                gg = lambda a: np.broadcast_to(a, shape)[oYs, oXs]
+                opp_a, opp_b, t1, t2 = (gg(p) for p in flat_probe[t])
+                fHa, fHb, fHc = Ha[onz], Hb[onz], Hc[onz]
+                fAx, fAy, fBx, fBy = Ax[onz], Ay[onz], Bx[onz], By[onz]
+                fCx, fCy = Ccx[onz], Ccy[onz]
                 divider = 2 + (t1 != NOVALUE).astype(np.int8) + (t2 != NOVALUE).astype(np.int8)
-                opp_c_sum = Ha + Hb + np.where(t1 != NOVALUE, t1, 0.0) + np.where(t2 != NOVALUE, t2, 0.0)
+                opp_c_sum = fHa + fHb + np.where(t1 != NOVALUE, t1, 0.0) + np.where(t2 != NOVALUE, t2, 0.0)
                 opp_c = np.where(divider >= 3, opp_c_sum / divider, float(NOVALUE))
-                lvl = np.trunc(Ha).astype(np.int64)  # (int)ha — exact multiple of d here
-                emit1d(on_level & (opp_a != Ha), Ys, Xs, t, ff, 0, Ax, Ay, Ccx, Ccy, lvl)
-                emit1d(on_level & (opp_b != Hb), Ys, Xs, t, ff, 1, Bx, By, Ccx, Ccy, lvl)
-                emit1d(on_level & (opp_c != Hc), Ys, Xs, t, ff, 2, Ax, Ay, Bx, By, lvl)
+                fff = fHa / d
+                lvl = np.trunc(fHa).astype(np.int64)  # (int)ha — exact multiple of d here
+                emit1d(opp_a != fHa, oYs, oXs, t, fff, 0, fAx, fAy, fCx, fCy, lvl)
+                emit1d(opp_b != fHb, oYs, oXs, t, fff, 1, fBx, fBy, fCx, fCy, lvl)
+                emit1d(opp_c != fHc, oYs, oXs, t, fff, 2, fAx, fAy, fBx, fBy, lvl)
 
         # ---- normal case (:1906-1976): expand (triangle x its levels)
-        nf = np.nonzero(~flat)[0]
-        if nf.size == 0:
-            continue
-        nHa, nHb, nHc = Ha[nf], Hb[nf], Hc[nf]
-        hmin = np.minimum(nHa, np.minimum(nHb, nHc))
-        hmax = np.maximum(nHa, np.maximum(nHb, nHc))
+        nonflat = tri_ok & ~flat
+        hmin = np.minimum(Ha, np.minimum(Hb, Hc))
+        hmax = np.maximum(Ha, np.maximum(Hb, Hc))
         fmax = np.trunc(hmax / d)
         fmin = np.trunc(hmin / d)
         fmin = np.where(fmin * d < hmin, fmin + 1, fmin)  # :1912-1913
 
         cnt = (fmax - fmin + 1).astype(np.int64)
         np.clip(cnt, 0, None, out=cnt)
-        keep = np.nonzero(cnt > 0)[0]
+        cnt[~nonflat] = 0
+        keep = np.nonzero(cnt)[0]
         if keep.size == 0:
             continue
         kcnt = cnt[keep]
         total = int(kcnt.sum())
-        rep = np.repeat(keep, kcnt)  # index into nf-compacted arrays
+        rep = np.repeat(keep, kcnt)  # flat cell index per (triangle, level) pair
         starts = np.cumsum(kcnt) - kcnt
         fl = fmin[rep] + (np.arange(total, dtype=np.int64) - np.repeat(starts, kcnt))
         h = fl * d
 
         # reference loop guard :1916 (hmin <= h <= hmax, matters for h<0)
-        ok = (hmin[rep] <= h) & (h <= hmax[rep])
-
-        src = nf[rep]
-        PAx, PAy, HA = Ax[src], Ay[src], Ha[src]
-        PBx, PBy, HB = Bx[src], By[src], Hb[src]
-        PCx, PCy, HC = Ccx[src], Ccy[src], Hc[src]
-        Yp, Xp = Ys[src], Xs[src]
         hmn, hmx = hmin[rep], hmax[rep]
+        ok = (hmn <= h) & (h <= hmx)
+
+        PAx, PAy, HA = Ax[rep], Ay[rep], Ha[rep]
+        PBx, PBy, HB = Bx[rep], By[rep], Hb[rep]
+        PCx, PCy, HC = Ccx[rep], Ccy[rep], Hc[rep]
+        Yp, Xp = rep // nxl, rep % nxl
 
         ea = HA == h
         eb = HB == h
