@@ -393,6 +393,25 @@ def q_frame_sample(spark, sf_dir):
     return frames.select("image_id", "frame_idx")
 
 
+def q_show_points(spark, sf_dir):
+    """ShowPoints decoration: raw heights as tagged nodes in a box."""
+    from hgt2osm2_spark.ops import decorations
+
+    t = _synth_tiles(spark, n_tiles=4, size=17)
+    return decorations.show_points(t, 40.0, 0.0, 0.4, 0.4).select(
+        "image_id", "node_id", "lat", "lon", "ele"
+    )
+
+
+def q_show_areas(spark, sf_dir):
+    """ShowAreas decoration: cell rectangles as closed tagged ways."""
+    from hgt2osm2_spark.ops import decorations
+
+    t = _synth_tiles(spark, n_tiles=2, size=17)
+    _nodes, ways = decorations.show_areas(t, 40.0, 0.0, 0.3, 0.3)
+    return ways.select("image_id", "way_id", F.size("node_refs").alias("n_refs"), "ele")
+
+
 def q_cross_tile_stitch(spark, sf_dir):
     """Cross-tile contour stitching (§4.3 extension): split one
     continuous field over two border-sharing tiles, merge back."""
@@ -580,7 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        # cross-tile stitch + point store + crop
+        # decorations + cross-tile stitch + point store + crop
+        "show_points": q_show_points,
+        "show_areas": q_show_areas,
         "cross_tile_stitch": q_cross_tile_stitch,
         "point_store": q_point_store,
         "crop_stats": q_crop_stats,

@@ -83,31 +83,38 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--levels", type=int, nargs="+", default=(2, 8, 32))
+    ap.add_argument("--rounds", type=int, default=int(os.environ.get("SCALE_ROUNDS", "2")),
+                    help="full sweeps over the levels; best per level wins "
+                         "(the shared VM host drifts minute-to-minute, so "
+                         "time-adjacent children would bias a single sweep)")
     args = ap.parse_args()
 
     if args.child is not None:
         print("CHILD_JSON:" + json.dumps(run_child(args.child)))
         return
 
-    results = []
-    for cores in args.levels:
-        env = dict(os.environ)
-        env.pop("SPARK_GRAFT_CPUS", None)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_JSON:")]
-        if not line:
-            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-            raise SystemExit(f"child at {cores} cores failed")
-        results.append(json.loads(line[-1][len("CHILD_JSON:"):]))
-        print(json.dumps(results[-1]))
+    by_cores: dict[int, dict] = {}
+    for rnd in range(args.rounds):
+        for cores in args.levels:
+            env = dict(os.environ)
+            env.pop("SPARK_GRAFT_CPUS", None)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_JSON:")]
+            if not line:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise SystemExit(f"child at {cores} cores failed")
+            r = json.loads(line[-1][len("CHILD_JSON:"):])
+            print(json.dumps({"round": rnd, **r}))
+            if cores not in by_cores or r["sec"] < by_cores[cores]["sec"]:
+                by_cores[cores] = r
 
-    by_cores = {r["cores"]: r for r in results}
+    results = [by_cores[c] for c in sorted(by_cores)]
     pairs = []
     for lo_c, hi_c in [(c, c * 4) for c in sorted(by_cores) if c * 4 in by_cores]:
         lo, hi = by_cores[lo_c], by_cores[hi_c]
