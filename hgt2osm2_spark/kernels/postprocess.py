@@ -113,6 +113,10 @@ def douglas_peucker(pts: list[Point], eps: float) -> tuple[list[Point], int]:
     arr = np.asarray(pts, dtype=np.float64)
     xs = arr[:, 0]
     ys = arr[:, 1]
+    # plain-float copies for the small-span path (scalar indexing of
+    # ndarrays allocates np.float64 boxes; float ops are IEEE-identical)
+    xl = xs.tolist()
+    yl = ys.tolist()
     valid = np.zeros(n, dtype=bool)
     if closed:
         valid[n - 1] = True  # closing duplicate always kept (:422)
@@ -125,22 +129,39 @@ def douglas_peucker(pts: list[Point], eps: float) -> tuple[list[Point], int]:
         i0, i1 = stack.pop()
         if i1 - i0 < 2:
             continue
-        abx = xs[i1] - xs[i0]
-        aby = ys[i1] - ys[i0]
-        d2ab = abx * abx + aby * aby
-        if d2ab == 0.0:
-            continue  # :527-528
-        apx = xs[i0 + 1 : i1] - xs[i0]
-        apy = ys[i0 + 1 : i1] - ys[i0]
-        cross = abx * apy - aby * apx
-        d2 = cross * cross / d2ab
         # "dMinSquareWidth < dSquareWidth" running max (:566-569) keeps
         # the FIRST index of the maximum — np.argmax semantics exactly
         best = -1
-        if d2.size:
-            j = int(np.argmax(d2))
-            if d2[j] > eps2:
-                best = j
+        if i1 - i0 <= 32:
+            # small span: scalar Python beats per-op NumPy overhead;
+            # identical IEEE-754 arithmetic either way
+            x0, y0 = xl[i0], yl[i0]
+            abx = xl[i1] - x0
+            aby = yl[i1] - y0
+            d2ab = abx * abx + aby * aby
+            if d2ab == 0.0:
+                continue  # :527-528
+            bestd = eps2
+            for jj in range(i0 + 1, i1):
+                cr = abx * (yl[jj] - y0) - aby * (xl[jj] - x0)
+                dd = cr * cr / d2ab
+                if bestd < dd:
+                    bestd = dd
+                    best = jj - i0 - 1
+        else:
+            abx = xs[i1] - xs[i0]
+            aby = ys[i1] - ys[i0]
+            d2ab = abx * abx + aby * aby
+            if d2ab == 0.0:
+                continue  # :527-528
+            apx = xs[i0 + 1 : i1] - xs[i0]
+            apy = ys[i0 + 1 : i1] - ys[i0]
+            cross = abx * apy - aby * apx
+            d2 = cross * cross / d2ab
+            if d2.size:
+                j = int(np.argmax(d2))
+                if d2[j] > eps2:
+                    best = j
         if best >= 0:
             idx = i0 + 1 + best
             valid[idx] = True

@@ -78,6 +78,19 @@ def test_new_tiles_only_incremental(spark, tiles, tmp_path_factory):
     assert r2.nodes().select("image_id").distinct().count() == 4
 
 
+def test_partition_pruning_on_stage_store(spark, tiles, tmp_path_factory):
+    """The stage store is partitioned by image_id — a tile-keyed read
+    must prune to one partition (the Iceberg partition-pruning analogue
+    the resume path relies on)."""
+    root = str(tmp_path_factory.mktemp("ckpt_p"))
+    r = checkpoint.run_checkpointed(spark, tiles, root, OPT, stop_after="segments")
+    one = tiles.select("image_id").orderBy("image_id").first()["image_id"]
+    df = r.store.load_stage("segments").filter(f"image_id = '{one}'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(image_id" in plan and one in plan
+    assert df.select("image_id").distinct().count() == 1
+
+
 def test_lineage_metrics_match_outputs(spark, tiles, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("ckpt_m"))
     r = checkpoint.run_checkpointed(spark, tiles, root, OPT)
