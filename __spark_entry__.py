@@ -227,6 +227,28 @@ def q_value_band_rangejoin(spark, sf_dir):
     return j.select("event_id", "band")
 
 
+def q_small_order_revenue(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape) — Catalyst
+    decorrelates it into an aggregate + join; expressed via spark.sql
+    so the subquery path itself is exercised."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"_q17_{t}")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM _q17_lineitem l JOIN _q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < (
+              SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                            / COUNT(l2.l_quantity))
+              FROM _q17_lineitem l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
 def q_rollup_events(spark, sf_dir):
     """A8: rollup aggregation (metrics roll-up pattern)."""
     e = _t(spark, sf_dir, "events")
@@ -579,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_intersect": q_nation_intersect,
         "running_window": q_running_window,
         "value_band_rangejoin": q_value_band_rangejoin,
+        "small_order_revenue": q_small_order_revenue,
         "rollup_events": q_rollup_events,
         "json_extract": q_json_extract,
         # spatial layer (K12, J3, J4)
@@ -722,6 +745,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN (VALUES {bands_values}) AS b(lo, hi, band)
               ON e.value >= b.lo AND e.value < b.hi
+        """,
+        "small_order_revenue": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                       AS avg_yearly
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#4'
+              AND l.l_quantity < (
+                  SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(l2.l_quantity))
+                  FROM lineitem l2
+                  WHERE l2.l_partkey = p.p_partkey
+              )
         """,
         "rollup_events": """
             SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids

