@@ -731,8 +731,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    ROW_NUMBER() OVER w AS seq,
                    RANK() OVER w AS rnk,
-                   SUM(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_ids,
+                   -- CAST: DuckDB SUM(BIGINT) OVER returns HUGEINT; Spark returns
+                   -- bigint. Values are identical, the driver hash is typed.
+                   CAST(SUM(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS running_ids,
                    MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max_value,
                    LAG(event_id, 1) OVER w AS prev_event,

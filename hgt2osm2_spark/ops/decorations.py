@@ -25,6 +25,12 @@ from ..kernels import codecs
 
 #: offset added to the tile base for decoration IDs
 DECOR_OFFSET = 5_000_000_000
+#: distinct sub-bands so ShowPoints, ShowAreas corner nodes, and
+#: ShowAreas ways never collide when both decorations are emitted for
+#: one tile (the reference can emit both, ContourProcessor2.cs:2062-2134)
+POINTS_SUB = 0
+AREA_NODES_SUB = 1_000_000_000
+AREA_WAYS_SUB = 2_000_000_000
 
 POINTS_SCHEMA = T.StructType(
     [
@@ -72,7 +78,7 @@ def show_points(
                 lat0, lon0 = _tile_geo(img)
                 grid = codecs.decode(data, fmt, w, h)  # rows N->S
                 gb = grid[::-1, :]  # y up from SW (Get4XY origin)
-                actid = tile_first_id(lat0, lon0) + DECOR_OFFSET
+                actid = tile_first_id(lat0, lon0) + DECOR_OFFSET + POINTS_SUB
                 for x in range(w):
                     lon = lon0 + x / (w - 1)
                     if not (lon_min <= lon <= lon_min + dlon):
@@ -110,7 +116,8 @@ def show_areas(tiles: DataFrame, lat_min: float, lon_min: float, dlat: float, dl
             lat0, lon0 = _tile_geo(img)
             grid = codecs.decode(data, fmt, w, h)
             gb = grid[::-1, :]
-            actid = tile_first_id(lat0, lon0) + DECOR_OFFSET
+            node_base = tile_first_id(lat0, lon0) + DECOR_OFFSET + AREA_NODES_SUB
+            way_base = tile_first_id(lat0, lon0) + DECOR_OFFSET + AREA_WAYS_SUB
             store: dict[tuple[int, int], int] = {}
             next_id = -1
             waypoints: list[int] = []
@@ -134,15 +141,15 @@ def show_areas(tiles: DataFrame, lat_min: float, lon_min: float, dlat: float, dl
             dlon_h = (1.0 / (w - 1)) / 2
             for (cx, cy), pid in store.items():
                 nodes_out.append(
-                    (img, actid - pid,
+                    (img, node_base - pid,
                      lat0 + cy / (h - 1) - dlat_h, lon0 + cx / (w - 1) - dlon_h,
                      0, "elevationarea_corner")
                 )
             for i in range(0, len(waypoints), 4):
                 x, y = cells[i // 4]
-                refs = [actid - waypoints[i + j] for j in (0, 1, 2, 3)] + [actid - waypoints[i]]
+                refs = [node_base - waypoints[i + j] for j in (0, 1, 2, 3)] + [node_base - waypoints[i]]
                 ways_out.append(
-                    (img, actid - next_id + i // 4, refs, int(gb[min(y, h - 1), min(x, w - 1)]),
+                    (img, way_base + 1 + i // 4, refs, int(gb[min(y, h - 1), min(x, w - 1)]),
                      "elevationarea")
                 )
         if want == "nodes":

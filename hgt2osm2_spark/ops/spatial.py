@@ -156,6 +156,28 @@ def pip_join(
 
 # ------------------------------------------------------------- kNN join
 
+#: caches created by the previous knn_join call; released on the next
+#: call (or via release_caches) so a long-lived session never
+#: accumulates executor storage. A caller that lazily re-materializes
+#: an OLD knn result after a new call recomputes instead of reading
+#: cache — correct, just slower.
+_LIVE_CACHES: list[DataFrame] = []
+
+#: telemetry of the most recent knn_join call — settled vs fallback
+#: query counts, so a skewed dataset can't silently degrade to the
+#: broadcast-scan fallback ("no silent caps").
+LAST_KNN_METRICS: dict = {}
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
@@ -163,6 +185,7 @@ def knn_join(
     res: int = 6,
     ring: int | None = None,
     max_ring: int = 8,
+    metrics_sink=None,
 ) -> DataFrame:
     """queries(q_id, lat, lon) x points(p_id, lat, lon) -> top-k nearest
     (planar squared degree distance, deterministic p_id tiebreak).
@@ -174,7 +197,11 @@ def knn_join(
     can only be missed by pass 1 if d > ring_width, which the guard
     rules out — then pass 2 is exhaustive. max_ring is kept for API
     compatibility (the fallback replaces ring growth; growth rebuilt
-    its full lineage every iteration and serialized on driver syncs)."""
+    its full lineage every iteration and serialized on driver syncs).
+
+    Telemetry: settled/fallback query counts land in LAST_KNN_METRICS
+    and, when given, ``metrics_sink(dict)`` — the lineage/metrics hook."""
+    release_caches()
     pts = points.select(
         F.col("p_id"), F.col("lat").alias("p_lat"), F.col("lon").alias("p_lon")
     ).withColumn("cell", cell_expr(F.col("p_lat"), F.col("p_lon"), res)).cache()
@@ -230,15 +257,34 @@ def knn_join(
         .withColumn("_settled", (F.col("_n") == k) & (F.col("_maxd") <= F.lit(guard)))
         .cache()
     )
+    _LIVE_CACHES.extend([pts, topk1])
     settled = topk1.filter("_settled").select(out_cols)
+
+    # telemetry — one small agg on the cached ranking output + one count
+    # of the (small) query side; also gates the fallback (replaces the
+    # old remaining.isEmpty() job, so the job count is unchanged)
+    n_total = queries.select("q_id").distinct().count()
+    n_settled = (
+        topk1.filter("_settled").agg(F.count_distinct("q_id").alias("n")).collect()[0]["n"]
+    )
+    n_fallback = n_total - n_settled
+    LAST_KNN_METRICS.clear()
+    LAST_KNN_METRICS.update(
+        {"ring": int(ring), "res": int(res), "k": int(k),
+         "n_queries": int(n_total), "n_settled": int(n_settled),
+         "n_fallback": int(n_fallback)}
+    )
+    if metrics_sink is not None:
+        metrics_sink(dict(LAST_KNN_METRICS))
+
+    if n_fallback == 0:
+        return settled
 
     # pass 2 — exhaustive fallback for the stragglers only (sparse
     # regions / ring misses). Queries are the small side: broadcast
     # them against all points; at scale this is a tiny tail.
     settled_ids = topk1.filter("_settled").select("q_id")
     remaining = queries.select("q_id", "lat", "lon").join(settled_ids, "q_id", "left_anti")
-    if remaining.isEmpty():
-        return settled
     fb = topk_of(
         F.broadcast(remaining).crossJoin(pts.drop("cell")).withColumn("dist2", d2)
     ).select(out_cols)

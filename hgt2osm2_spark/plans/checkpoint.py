@@ -93,11 +93,23 @@ class CheckpointStore:
 
     # -- stage data ----------------------------------------------------
     def commit_stage(
-        self, df: DataFrame, stage: str, run_id: str, id_col: str | None = None
+        self,
+        df: DataFrame,
+        stage: str,
+        run_id: str,
+        id_col: str | None = None,
+        pending_ids: DataFrame | None = None,
     ) -> None:
         """Write stage output (partition-overwrite by image_id), then
         append lineage+metrics rows. Lineage is written strictly after
-        the data commit — the crash window re-runs the tile."""
+        the data commit — the crash window re-runs the tile.
+
+        ``pending_ids`` is the full tile list this commit processed:
+        a tile whose stage output is EMPTY (flat/sea tile, everything
+        filtered) still gets an n_rows=0 lineage row, so resume never
+        recomputes it — the zero-recompute invariant holds for empty
+        tiles too (the reference writes an output file even then,
+        Program.cs:402-427)."""
         t0 = time.time()
         (
             df.write.mode("overwrite")
@@ -108,17 +120,21 @@ class CheckpointStore:
         wall = time.time() - t0
         out = self.spark.read.parquet(self.stage_path(stage))
         mx = F.max(id_col).cast("long") if id_col else F.lit(None).cast("long")
-        # metrics only for the tiles written in THIS commit
-        written = df.select("image_id").distinct()
-        rows = (
+        # metrics for every tile in THIS commit — left join so tiles with
+        # zero output rows still get a lineage row
+        written = (pending_ids if pending_ids is not None else df).select("image_id").distinct()
+        counts = (
             out.join(F.broadcast(written), "image_id")
             .groupBy("image_id")
             .agg(F.count("*").alias("n_rows"), mx.alias("max_id"))
+        )
+        rows = (
+            written.join(counts, "image_id", "left")
             .select(
                 F.lit(stage).alias("stage"),
                 "image_id",
-                "n_rows",
-                "max_id",
+                F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+                F.col("max_id").cast("long").alias("max_id"),
                 F.lit(float(wall)).alias("wall_s"),
                 F.lit(run_id).alias("run_id"),
             )
@@ -177,7 +193,8 @@ def run_checkpointed(
     n = count_pending(p)
     computed["segments"] = n
     if n:
-        store.commit_stage(contours.extract_contour_segments(p, opt), "segments", run_id)
+        store.commit_stage(contours.extract_contour_segments(p, opt), "segments", run_id,
+                           pending_ids=p.select("image_id"))
     if stop_after == "segments":
         return ResumableResult(store, run_id, computed)
 
@@ -188,7 +205,8 @@ def run_checkpointed(
     if n:
         segs = store.load_stage("segments", p)
         store.commit_stage(
-            contours.stitch_polylines(segs, shuffle_partitions), "polylines", run_id
+            contours.stitch_polylines(segs, shuffle_partitions), "polylines", run_id,
+            pending_ids=p.select("image_id"),
         )
     if stop_after == "polylines":
         return ResumableResult(store, run_id, computed)
@@ -200,7 +218,8 @@ def run_checkpointed(
     if n:
         pl = store.load_stage("polylines", p)
         store.commit_stage(
-            contours.postprocess_polylines(pl, dims, opt, strict_reference), "post", run_id
+            contours.postprocess_polylines(pl, dims, opt, strict_reference), "post", run_id,
+            pending_ids=p.select("image_id"),
         )
     if stop_after == "post":
         return ResumableResult(store, run_id, computed)
@@ -215,7 +234,8 @@ def run_checkpointed(
         computed[stage] = n
         if n:
             kept = store.load_stage("post", p).filter("kept")
-            store.commit_stage(builder(ids.assign_ids(kept, opt)), stage, run_id, id_col)
+            store.commit_stage(builder(ids.assign_ids(kept, opt)), stage, run_id, id_col,
+                               pending_ids=p.select("image_id"))
         if stop_after == stage:
             return ResumableResult(store, run_id, computed)
 

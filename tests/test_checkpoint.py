@@ -116,3 +116,40 @@ def test_lineage_metrics_match_outputs(spark, tiles, tmp_path_factory):
     }
     for tid in mx_nodes:
         assert last[tid] == max(mx_nodes[tid], mx_ways.get(tid, 0))
+
+
+def test_empty_tile_gets_lineage_and_never_recomputes(spark, tmp_path_factory):
+    """A flat tile that produces ZERO contour rows still gets n_rows=0
+    lineage rows at every stage, so resume skips it (zero-recompute
+    invariant; the reference writes an output file even for empty tiles,
+    Program.cs:402-427)."""
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.config import ContourOptions
+    from hgt2osm2_spark.kernels import codecs
+    from hgt2osm2_spark.plans import checkpoint
+    from hgt2osm2_spark.sources.synthetic import TILES_SCHEMA, make_tile_row
+
+    # constant 105 m: with MinorDistance=20 and fake=-0.5 no level is
+    # crossed and no flat-triangle level is hit -> zero segments
+    flat = np.full((17, 17), 105, dtype=np.int16)
+    rows = [
+        {
+            "image_id": "n47e005_0", "bytes": codecs.encode(flat, "hgt"),
+            "w": 17, "h": 17, "fmt": "hgt",
+            "caption": "flat tile", "phash": codecs.phash64(flat),
+        },
+        make_tile_row(1, 17),
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows), schema=TILES_SCHEMA)
+    root = str(tmp_path_factory.mktemp("ckpt_empty"))
+
+    r1 = checkpoint.run_checkpointed(spark, tiles, root, ContourOptions())
+    lin = r1.store.lineage().toPandas()
+    flat_rows = lin[lin.image_id == "n47e005_0"]
+    assert set(flat_rows.stage) == set(checkpoint.STAGES)
+    assert (flat_rows.n_rows == 0).all()
+
+    r2 = checkpoint.run_checkpointed(spark, tiles, root, ContourOptions())
+    assert all(v == 0 for v in r2.computed.values()), r2.computed

@@ -34,3 +34,23 @@ def test_show_areas_rectangles(spark):
         assert r["contour"] == "elevationarea"
     # shared corners: fewer nodes than 4x cells
     assert len(n) < 4 * len(w)
+
+
+def test_decoration_id_bands_disjoint(spark):
+    """ShowPoints, ShowAreas corner nodes, and ShowAreas ways emitted for
+    the SAME tile must never share IDs (distinct sub-offsets within the
+    decoration band)."""
+    tiles = tiles_df(spark, n_tiles=1, size=9, seed=3)
+    pts = decorations.show_points(tiles, 40.0, 0.0, 0.5, 0.5).collect()
+    nodes, ways = decorations.show_areas(tiles, 40.0, 0.0, 0.5, 0.5)
+    n, w = nodes.collect(), ways.collect()
+    p_ids = {r["node_id"] for r in pts}
+    an_ids = {r["node_id"] for r in n}
+    aw_ids = {r["way_id"] for r in w}
+    assert p_ids and an_ids and aw_ids
+    assert not (p_ids & an_ids)
+    assert not (p_ids & aw_ids)
+    assert not (an_ids & aw_ids)
+    # way refs resolve within the corner-node band
+    for r in w:
+        assert set(r["node_refs"]) <= an_ids

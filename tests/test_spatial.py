@@ -95,3 +95,42 @@ def test_cell_expr_values(spark):
     res, cpd = 6, 64
     assert r["c0"] == (res << 48) | ((180 * cpd) << 24) | (90 * cpd)
     assert r["c1"] == (res << 48) | (int((2.25 + 180) * cpd) << 24) | int((40.5 + 90) * cpd)
+
+
+def test_knn_telemetry_clustered(spark):
+    """Clustered point set: telemetry must expose the fallback tail
+    (no silent degradation to the broadcast-scan path), and the result
+    must still be exact."""
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import spatial
+
+    rng = np.random.default_rng(7)
+    # points bunched in one corner, queries spread across the extent ->
+    # far-away queries cannot be settled by the ring guard
+    pts = pd.DataFrame({
+        "p_id": np.arange(300),
+        "lat": 40.0 + rng.random(300) * 0.05,
+        "lon": 0.0 + rng.random(300) * 0.05,
+    })
+    qs = pd.DataFrame({
+        "q_id": np.arange(20),
+        "lat": 40.0 + rng.random(20) * 3.9,
+        "lon": 0.0 + rng.random(20) * 3.9,
+    })
+    seen = []
+    out = spatial.knn_join(
+        spark.createDataFrame(pts), spark.createDataFrame(qs), k=3, res=6,
+        metrics_sink=seen.append,
+    ).toPandas()
+    m = spatial.LAST_KNN_METRICS
+    assert seen and seen[0] == m
+    assert m["n_queries"] == 20
+    assert m["n_settled"] + m["n_fallback"] == 20
+    assert m["n_fallback"] > 0  # the clustered set MUST hit the fallback
+    # exactness vs brute force
+    for qid, grp in out.groupby("q_id"):
+        d2 = (pts.lat - qs.lat[qid]) ** 2 + (pts.lon - qs.lon[qid]) ** 2
+        want = set(pts.p_id[np.argsort(d2.to_numpy(), kind="stable")[:3]])
+        assert set(grp.p_id) == want

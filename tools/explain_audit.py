@@ -37,7 +37,8 @@ AUDITED = {
         ("per-query top-k window", r"RunningWindowFunction|Window"),
     ],
     "cell_index": [
-        ("pure column expressions (no Python)", r"^(?!.*EvalPython).*$"),
+        # negative check: the plan must contain NO Python eval at all
+        ("pure column expressions (no Python eval in plan)", r"EvalPython", "absent"),
         ("whole-stage codegen", r"WholeStageCodegen|codegen id|\*\(\d+\)"),
     ],
     "salted_skew_agg": [
@@ -69,8 +70,10 @@ def main() -> None:
             df.explain("formatted")
         plan = buf.getvalue()
         lines = []
-        for label, pat in checks:
-            ok = re.search(pat, plan, re.MULTILINE) is not None
+        for check in checks:
+            label, pat = check[0], check[1]
+            hit = re.search(pat, plan, re.MULTILINE) is not None
+            ok = (not hit) if (len(check) > 2 and check[2] == "absent") else hit
             lines.append(f"- [{'x' if ok else ' '}] {label}")
             if not ok:
                 failures.append(f"{name}: {label}")

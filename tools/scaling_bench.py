@@ -135,12 +135,20 @@ def main() -> None:
             }
         )
     rows_match = len({r["pip_rows"] for r in results}) == 1
+    # the authoritative north-rule pair is the lowest N with 4N present:
+    # the unsaturated pair is the faithful cluster analogue (executors
+    # bring their own memory channels; one VM's shared bus does not) —
+    # see the caveat in BENCH/BASELINE.md. Other pairs are reported too.
+    auth = pairs[0] if pairs else None
     summary = {
         "metric": "tile_encode_pip_scaling_efficiency",
         "levels": results,
         "pairs": pairs,
         "target": 0.8,
-        "pass": any(p["pass"] for p in pairs),
+        "authoritative_pair": [auth["n_cores"], auth["4n_cores"]] if auth else None,
+        "pass": bool(auth and auth["pass"]),
+        "any_pair_pass": any(p["pass"] for p in pairs),
+        "all_pairs_pass": bool(pairs) and all(p["pass"] for p in pairs),
         "rows_match": rows_match,
     }
     print(json.dumps(summary))
