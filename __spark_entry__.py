@@ -415,6 +415,63 @@ def q_frame_sample(spark, sf_dir):
     return frames.select("image_id", "frame_idx")
 
 
+#: the hgt_zip_scan fixture set — (tile name, zipped?, nested dir inside zip?)
+HGT_SCAN_TILES = [
+    ("n45e010", True, False),
+    ("n45e011", False, False),
+    ("s03w072", True, True),
+    ("n00e000", False, False),
+    ("s10e020", True, False),
+    ("n45e012", False, False),
+]
+
+
+def _write_hgt_dir() -> str:
+    """Deterministic on-disk .hgt / .hgt.zip fixture directory (cached
+    per process — the payloads are seeded, so every run writes the same
+    bytes)."""
+    import io
+    import os
+    import tempfile
+    import zipfile
+
+    from hgt2osm2_spark.kernels import codecs
+    from hgt2osm2_spark.sources import synthetic
+
+    root = os.path.join(tempfile.gettempdir(), "hgt_scan_fixture_v1")
+    os.makedirs(root, exist_ok=True)
+    for idx, (name, zipped, nested) in enumerate(HGT_SCAN_TILES):
+        grid = synthetic.heightfield(idx, 21, seed=9)
+        path = os.path.join(root, f"{name}.hgt" + (".zip" if zipped else ""))
+        if os.path.exists(path):
+            continue
+        if zipped:
+            if nested:  # SRTM zips sometimes nest the member in a folder
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                    z.writestr(f"inner/{name.upper()}.hgt", codecs.encode_hgt(grid))
+                payload = buf.getvalue()
+            else:
+                payload = codecs.encode_hgt_zip(grid, name)
+        else:
+            payload = codecs.encode_hgt(grid)
+        with open(path, "wb") as f:
+            f.write(payload)
+    return root
+
+
+def q_hgt_zip_scan(spark, sf_dir):
+    """S2+S4: real .hgt/.hgt.zip directory scan via the binaryFile
+    source — filename tile-key parse, transparent zip member lookup
+    (HGTReader.cs:127-146), per-tile stats."""
+    from hgt2osm2_spark.sources.decode import scan_hgt_dir
+
+    tiles = scan_hgt_dir(spark, _write_hgt_dir())
+    return decode_stats(tiles).select(
+        "image_id", "w", "h", "fmt", "minimum", "maximum", "not_valid", "phash_ok"
+    )
+
+
 def q_show_points(spark, sf_dir):
     """ShowPoints decoration: raw heights as tagged nodes in a box."""
     from hgt2osm2_spark.ops import decorations
@@ -622,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        # real-file ingestion (S2/S4)
+        "hgt_zip_scan": q_hgt_zip_scan,
         # decorations + cross-tile stitch + point store + crop
         "show_points": q_show_points,
         "show_areas": q_show_areas,

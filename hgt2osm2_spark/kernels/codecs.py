@@ -19,7 +19,10 @@ All codecs are vectorized NumPy — they run inside Arrow-batched UDFs.
 
 from __future__ import annotations
 
+import io
+import math
 import struct
+import zipfile
 import zlib
 
 import numpy as np
@@ -35,6 +38,50 @@ def encode_hgt(grid: np.ndarray) -> bytes:
 
 def decode_hgt(data: bytes, w: int, h: int) -> np.ndarray:
     return np.frombuffer(data, dtype=">i2").reshape(h, w).astype(np.int16)
+
+
+# ---------------------------------------------------------------- hgt.zip
+
+def encode_hgt_zip(grid: np.ndarray, name: str) -> bytes:
+    """One-tile `.hgt.zip` archive, member `<name>.hgt` (the SRTM
+    distribution layout the reference reads transparently)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(f"{name}.hgt", encode_hgt(grid))
+    return buf.getvalue()
+
+
+def decode_hgt_zip(data: bytes, w: int = 0, h: int = 0, name: str | None = None) -> np.ndarray:
+    """Transparent zipped-HGT member lookup (HGTReader.cs:127-146):
+    prefer the member named ``<name>.hgt`` (case-insensitive, any
+    directory prefix — SRTM zips sometimes nest), else the archive's
+    single ``.hgt`` member. w/h of 0 means infer the square size from
+    the member length (Rows == Columns == sqrt(len/2), HGTReader.cs:150)."""
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        cands = [zi for zi in z.infolist() if zi.filename.lower().endswith(".hgt")]
+        member = None
+        if name:
+            want = f"{name.lower()}.hgt"
+            for zi in cands:
+                base = zi.filename.replace("\\", "/").rsplit("/", 1)[-1].lower()
+                if base == want:
+                    member = zi
+                    break
+        if member is None:
+            if len(cands) == 1:
+                member = cands[0]
+            else:
+                raise ValueError(
+                    f"hgt.zip: need member {name!r}.hgt but archive has "
+                    f"{[zi.filename for zi in cands]!r}"
+                )
+        raw = z.read(member)
+    if w <= 0 or h <= 0:
+        n = math.isqrt(len(raw) // 2)
+        if 2 * n * n != len(raw):
+            raise ValueError(f"hgt member length {len(raw)} is not 2*n^2")
+        w = h = n
+    return decode_hgt(raw, w, h)
 
 
 # ---------------------------------------------------------------- png
@@ -164,9 +211,11 @@ def decode_djpg(data: bytes) -> np.ndarray:
 
 # ---------------------------------------------------------------- dispatch
 
-def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+def decode(data: bytes, fmt: str, w: int, h: int, name: str | None = None) -> np.ndarray:
     if fmt == "hgt":
         return decode_hgt(data, w, h)
+    if fmt in ("hgt.zip", "zip"):
+        return decode_hgt_zip(data, w, h, name)
     if fmt == "png":
         return decode_png16(data)
     if fmt == "jpg":
@@ -174,9 +223,11 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     raise NotImplementedError(f"unknown tile format {fmt!r}")
 
 
-def encode(grid: np.ndarray, fmt: str) -> bytes:
+def encode(grid: np.ndarray, fmt: str, name: str = "tile") -> bytes:
     if fmt == "hgt":
         return encode_hgt(grid)
+    if fmt in ("hgt.zip", "zip"):
+        return encode_hgt_zip(grid, name)
     if fmt == "png":
         return encode_png16(grid)
     if fmt == "jpg":

@@ -15,6 +15,7 @@ payload away immediately (column pruning: select early, HGTReader's
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -84,3 +85,71 @@ def decode_stats(tiles: DataFrame) -> DataFrame:
 def decode_grid(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     """Convenience passthrough for kernels that decode in-batch."""
     return codecs.decode(data, fmt, w, h)
+
+
+# ----------------------------------------------------------- S2/S4 dir scan
+
+#: [ns]DD[ew]DDD tile-key filenames (Program.cs:132-167). The reference
+#: stores N/S into its Lon list and E/W into Lat (quirk Q2); the engine
+#: uses unambiguous names end-to-end.
+_TILE_RE = r"([NnSs]\d{2}[EeWw]\d{3})\.(hgt|HGT)(\.zip|\.ZIP)?$"
+
+
+def scan_hgt_dir(tiles_spark, path: str) -> DataFrame:
+    """Directory of real ``.hgt`` / ``.hgt.zip`` files -> the input_hint
+    tiles table. Spark-native ``binaryFile`` source (partitioned,
+    pushdown on path glob) + tile-key filename parse (S4) + transparent
+    zip member lookup inside the decode pass (S2, HGTReader.cs:127-146).
+
+    Output fmt stays 'hgt.zip' for zipped tiles — every downstream
+    kernel decodes through codecs.decode, which unzips transparently,
+    so zipped and raw tiles flow through one pipeline."""
+    import pandas as pd
+
+    bf = (
+        tiles_spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.[hH][gG][tT]*")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), _TILE_RE, 1).alias("tile_key"),
+            F.when(F.lower(F.col("path")).endswith(".zip"), F.lit("hgt.zip"))
+            .otherwise(F.lit("hgt"))
+            .alias("fmt"),
+            F.col("content").alias("bytes"),
+        )
+        .filter(F.col("tile_key") != "")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("caption", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+
+    def finish(batches):
+        for pdf in batches:
+            rows = []
+            for key, fmt, data in zip(pdf["tile_key"], pdf["fmt"], pdf["bytes"]):
+                data = bytes(data)
+                if fmt == "hgt.zip":
+                    grid = codecs.decode(data, fmt, 0, 0, name=key)
+                else:
+                    n = math.isqrt(len(data) // 2)  # HGTReader.cs:150
+                    grid = codecs.decode_hgt(data, n, n)
+                h, w = grid.shape
+                rows.append(
+                    {
+                        "image_id": key.lower(), "bytes": data, "w": w, "h": h,
+                        "fmt": fmt, "caption": f"hgt scan {key.lower()}",
+                        "phash": codecs.phash64(grid),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return bf.mapInPandas(finish, schema=out_schema)

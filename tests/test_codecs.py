@@ -58,3 +58,68 @@ def test_phash_deterministic_and_sensitive():
     g2[:32, :] += 500
     assert h1 != codecs.phash64(g2)
     assert -(2**63) <= h1 < 2**63
+
+
+def test_hgt_zip_roundtrip_and_member_lookup():
+    """S2: transparent .hgt.zip member lookup (HGTReader.cs:127-146) —
+    named lookup (case-insensitive, nested dirs), single-member
+    fallback, size inference from member length."""
+    import io
+    import zipfile
+
+    import numpy as np
+    import pytest
+
+    from hgt2osm2_spark.kernels import codecs
+
+    grid = np.arange(49, dtype=np.int16).reshape(7, 7) - 10
+    grid[0, 3] = codecs.NOVALUE
+
+    # simple roundtrip through the dispatch layer
+    data = codecs.encode(grid, "hgt.zip", name="n51e002")
+    out = codecs.decode(data, "hgt.zip", 7, 7, name="n51e002")
+    assert np.array_equal(out, grid)
+    # size inference (w=h=0)
+    assert np.array_equal(codecs.decode(data, "hgt.zip", 0, 0), grid)
+
+    # multi-member archive: named lookup must pick the right member,
+    # case-insensitively and under a directory prefix
+    other = np.full((7, 7), 99, dtype=np.int16)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a/N51E002.hgt", codecs.encode_hgt(grid))
+        z.writestr("b/N51E003.hgt", codecs.encode_hgt(other))
+    multi = buf.getvalue()
+    assert np.array_equal(codecs.decode_hgt_zip(multi, name="n51e002"), grid)
+    assert np.array_equal(codecs.decode_hgt_zip(multi, name="N51E003"), other)
+    # ambiguous without a name
+    with pytest.raises(ValueError):
+        codecs.decode_hgt_zip(multi)
+
+
+def test_scan_hgt_dir_binaryfile(spark, tmp_path):
+    """S2+S4 end-to-end: binaryFile scan of a mixed raw/zip directory
+    reproduces the original grids bit-exactly."""
+    import numpy as np
+
+    from hgt2osm2_spark.kernels import codecs
+    from hgt2osm2_spark.sources.decode import scan_hgt_dir
+    from hgt2osm2_spark.sources.synthetic import heightfield
+
+    grids = {}
+    for i, (name, zipped) in enumerate(
+        [("n45e010", True), ("s03w072", False), ("n00e000", True)]
+    ):
+        g = heightfield(i, 13, seed=5)
+        grids[name] = g
+        p = tmp_path / (f"{name}.hgt" + (".zip" if zipped else ""))
+        p.write_bytes(codecs.encode(g, "hgt.zip" if zipped else "hgt", name=name))
+    # a non-tile file must be ignored
+    (tmp_path / "README.txt").write_text("not a tile")
+
+    rows = scan_hgt_dir(spark, str(tmp_path)).collect()
+    assert sorted(r["image_id"] for r in rows) == sorted(grids)
+    for r in rows:
+        got = codecs.decode(bytes(r["bytes"]), r["fmt"], r["w"], r["h"], name=r["image_id"])
+        assert np.array_equal(got, grids[r["image_id"]])
+        assert codecs.phash64(got) == r["phash"]
