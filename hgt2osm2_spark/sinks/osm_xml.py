@@ -115,10 +115,102 @@ def write_tile_files(xml_df: DataFrame, out_dir: str, gz: bool = True) -> list[s
     return paths
 
 
+def _node_lines(nodes: DataFrame) -> DataFrame:
+    """One formatted <node/> line per row (no trailing newline), ordered
+    by node_id — vectorized Arrow formatting, stays distributed."""
+
+    @F.pandas_udf(T.StringType())
+    def fmt_node(node_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(
+            [f"<node id='{int(i)}' lat='{_fmt(a)}' lon='{_fmt(o)}'/>"
+             for i, a, o in zip(node_id, lat, lon)]
+        )
+
+    return (
+        nodes.orderBy("node_id")
+        .select(fmt_node("node_id", "lat", "lon").alias("value"))
+    )
+
+
+def _way_blocks(ways: DataFrame) -> DataFrame:
+    """One formatted <way>...</way> block per row (embedded newlines, no
+    trailing newline), ordered by way_id."""
+
+    @F.pandas_udf(T.StringType())
+    def fmt_way(way_id: pd.Series, node_refs: pd.Series, ele: pd.Series,
+                contour_ext: pd.Series) -> pd.Series:
+        out = []
+        for wid, refs, e, ext in zip(way_id, node_refs, ele, contour_ext):
+            parts = [f"<way id='{int(wid)}'>"]
+            parts.extend(f"<nd ref='{int(r)}' />" for r in refs)
+            parts.append(f"<tag k='ele' v='{int(e)}'/>")
+            parts.append("<tag k='contour' v='elevation'/>")
+            if ext is not None:
+                parts.append(f"<tag k='contour_ext' v='{ext}'/>")
+            parts.append("</way>")
+            out.append("\n".join(parts))
+        return pd.Series(out)
+
+    return (
+        ways.orderBy("way_id")
+        .select(fmt_way("way_id", "node_refs", "ele", "contour_ext").alias("value"))
+    )
+
+
+def write_merged_distributed(
+    nodes: DataFrame, ways: DataFrame, out_path: str, gz: bool = False
+) -> str:
+    """S10/U1 merge at scale: the two-section structure of the
+    reference's Create2Mergefile (Program.cs:267-363 — pass 1 nodes,
+    pass 2 ways, global <bounds>) as two ORDERED DISTRIBUTED text
+    writes + a streaming concat at the storage layer. Nothing larger
+    than one scalar bounds row ever reaches the driver; the concat is
+    a constant-memory file copy (the parquet-dir stand-in for an S3
+    multipart-compose / HDFS concat).
+
+    Byte-identical to ``merged_xml`` (golden-tested); returns out_path."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    b = nodes.agg(
+        F.min("lat").alias("minlat"),
+        F.min("lon").alias("minlon"),
+        F.max("lat").alias("maxlat"),
+        F.max("lon").alias("maxlon"),
+    ).collect()[0]
+    head = _HEADER + (
+        f"<bounds minlat='{_fmt(b['minlat'])}' minlon='{_fmt(b['minlon'])}'"
+        f" maxlat='{_fmt(b['maxlat'])}' maxlon='{_fmt(b['maxlon'])}'/>\n"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="osm_merge_")
+    ntmp, wtmp = os.path.join(tmp, "nodes"), os.path.join(tmp, "ways")
+    # orderBy -> range-partitioned write: part files are globally ordered
+    # by filename, so concatenation in name order preserves the sort
+    _node_lines(nodes).write.mode("overwrite").text(ntmp)
+    _way_blocks(ways).write.mode("overwrite").text(wtmp)
+
+    opener = (lambda p: gzip.open(p, "wb")) if gz else (lambda p: open(p, "wb"))
+    with opener(out_path) as out:
+        out.write(head.encode())
+        for section in (ntmp, wtmp):
+            for part in sorted(glob.glob(os.path.join(section, "part-*"))):
+                with open(part, "rb") as src:
+                    shutil.copyfileobj(src, out)
+        out.write(_FOOTER.encode())
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out_path
+
+
 def merged_xml(nodes: DataFrame, ways: DataFrame) -> str:
     """Union merge with global <bounds> (Program.cs:267-363). The
     seek-position quirk Q6 is file mechanics, not semantics — union +
-    bounds aggregation is what's replicated."""
+    bounds aggregation is what's replicated.
+
+    NOTE: driver-side collect — golden-test helper only. The scale path
+    is ``write_merged_distributed`` (byte-identical output)."""
     b = nodes.agg(
         F.min("lat").alias("minlat"),
         F.min("lon").alias("minlon"),

@@ -51,3 +51,27 @@ def test_approx_count_distinct_close(spark):
     exact = li.select(F.countDistinct("l_partkey").alias("n")).collect()[0]["n"]
     approx = li.select(F.approx_count_distinct("l_partkey", 0.02).alias("n")).collect()[0]["n"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_distributed_merge_bytematches_collect_path(spark, tmp_path):
+    """S10 scale path: ordered distributed two-section write + storage
+    concat must byte-match the collect-based golden helper on multi-tile
+    input — with no driver materialization of nodes/ways."""
+    import gzip
+
+    from hgt2osm2_spark.config import ContourOptions
+    from hgt2osm2_spark.plans.pipeline import run_contour_pipeline
+    from hgt2osm2_spark.sinks import osm_xml
+    from hgt2osm2_spark.sources.synthetic import tiles_df
+
+    tiles = tiles_df(spark, n_tiles=3, size=21, seed=11)
+    res = run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=8)
+    golden = osm_xml.merged_xml(res.nodes, res.ways).encode()
+
+    out = str(tmp_path / "merged.osm")
+    osm_xml.write_merged_distributed(res.nodes, res.ways, out)
+    assert open(out, "rb").read() == golden
+
+    outgz = str(tmp_path / "merged.osm.gz")
+    osm_xml.write_merged_distributed(res.nodes, res.ways, outgz, gz=True)
+    assert gzip.open(outgz, "rb").read() == golden
