@@ -181,3 +181,45 @@ def test_multimodal_stub_refuses_real_formats(spark):
     with pytest.raises(Exception) as ei:
         multimodal.decode_features(df).collect()
     assert "NotImplementedError" in str(ei.value) or "requires an image" in str(ei.value)
+
+
+def test_simhash_vectorized_matches_scalar_twin(spark):
+    """The batch-vectorized simhash sketch must equal a deliberately
+    scalar per-token twin (the pre-vectorization semantics) bit for bit,
+    including empty/whitespace-only docs."""
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import dedup
+
+    def simhash_scalar(txt):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in txt.split():
+            h = dedup._fnv1a(tok.encode("utf-8"))
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        val = np.uint64(0)
+        for bit in range(64):
+            if acc[bit] > 0:
+                val |= np.uint64(1) << np.uint64(bit)
+        return int(val.astype(np.int64))
+
+    texts = [
+        "", " ", "one", "the quick brown fox", "a a a b",
+        "unicode tökens überall", "x " * 300,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        dedup.simhash_sketch(spark.createDataFrame(pdf))
+        .toPandas().sort_values("id").simhash.tolist()
+    )
+    assert got == [simhash_scalar(t) for t in texts]
+
+    # vectorized varlen FNV == scalar FNV on random ragged tokens
+    rng = np.random.default_rng(0)
+    toks = [bytes(rng.integers(32, 127, int(rng.integers(0, 25))).astype(np.uint8))
+            for _ in range(1000)]
+    assert np.array_equal(
+        dedup._fnv1a_varlen(toks),
+        np.array([dedup._fnv1a(t) for t in toks], dtype=np.uint64),
+    )
