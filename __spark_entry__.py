@@ -589,11 +589,12 @@ def q_windowed_stats(spark, sf_dir):
 
 
 def q_arcinfo_sink(spark, sf_dir):
-    """S6 sink artifacts (payload size as the checkable surface)."""
+    """S6 sink artifacts (payload bytes pinned via md5)."""
     from hgt2osm2_spark.sinks import rasters
 
     return rasters.arcinfo_grid(_synth_tiles(spark)).select(
-        "image_id", "filename", F.length("payload").alias("n_bytes")
+        "image_id", "filename", F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
     )
 
 
@@ -602,7 +603,8 @@ def q_geopng_sink(spark, sf_dir):
     from hgt2osm2_spark.sinks import rasters
 
     return rasters.geo_png(_synth_tiles(spark)).select(
-        "image_id", "filename", F.length("payload").alias("n_bytes")
+        "image_id", "filename", F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
     )
 
 
@@ -611,17 +613,21 @@ def q_tsv_sink(spark, sf_dir):
     from hgt2osm2_spark.sinks import rasters
 
     return rasters.tsv_dump(_synth_tiles(spark)).select(
-        "image_id", "filename", F.length("payload").alias("n_bytes")
+        "image_id", "filename", F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
     )
 
 
 def q_osm_xml_tiles(spark, sf_dir):
-    """S5 sink: per-tile OSM XML documents (text length + way count)."""
+    """S5 sink: per-tile OSM XML documents (length + content md5)."""
     from hgt2osm2_spark.sinks import osm_xml
 
     r = _contour_result(spark)
     x = osm_xml.tile_xml(r.nodes, r.ways)
-    return x.select("image_id", F.length("xml").alias("n_chars"))
+    return x.select(
+        "image_id", F.length("xml").alias("n_chars"),
+        F.md5(F.encode("xml", "UTF-8")).alias("xml_md5"),
+    )
 
 
 def q_checkpoint_lineage(spark, sf_dir):
@@ -738,6 +744,27 @@ def _pip_inside_sql(px: str, py: str) -> str:
     return polys
 
 
+#: queries whose oracle is a golden parquet computed by an independent
+#: scalar (no-Spark) twin — see tools/make_golden.py for provenance.
+#: Regenerate with `python tools/make_golden.py` after a semantic change.
+GOLDEN_ORACLES = [
+    "contour_nodes", "contour_ways", "contour_metrics", "checkpoint_lineage",
+    "osm_xml_tiles", "tile_pip_flagship", "decode_stats", "hgt_zip_scan",
+    "crop_stats", "arcinfo_sink", "geopng_sink", "tsv_sink",
+    "multimodal_features", "multimodal_resize", "frame_sample",
+    "show_points", "show_areas", "cross_tile_stitch",
+    "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
+    "ann_lsh", "ann_ivf",
+]
+
+
+def _golden_sql(name: str) -> str:
+    import os
+
+    golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+    return f"SELECT * FROM read_parquet('{golden_dir}/{name}.parquet')"
+
+
 def oracle_sql() -> dict[str, str]:
     bands_values = ", ".join(f"({lo!r}, {hi!r}, '{b}')" for lo, hi, b in VALUE_BANDS)
     pip_cases = _pip_inside_sql("p.lon", "p.lat")
@@ -747,7 +774,8 @@ def oracle_sql() -> dict[str, str]:
     )
     res_shift = f"({CELL_RES}::BIGINT << 48)"
 
-    return {
+    golden = {name: _golden_sql(name) for name in GOLDEN_ORACLES}
+    return golden | {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,951 @@
+"""Golden-parquet oracle generator for the formerly rows-only queries.
+
+Every golden is computed by a SCALAR, no-Spark twin of the query:
+
+ - contour goldens start from the independent per-triangle scalar
+   oracle (kernels/oracle.py — written straight from the reference's
+   documented case analysis, ContourProcessor2.cs:1785-1800) and chain
+   the pure stitch/postprocess kernels with SEQUENTIAL id counters
+   (the reference's own model, ContourProcessor2.cs:1576-1607) —
+   validating the distributed plumbing (shuffles, windows, ordering,
+   explode/chunking) against a single-process implementation;
+ - sketch goldens (minhash/simhash/fingerprint/ANN) are independent
+   scalar reimplementations of the same published algorithms with the
+   same seeds — plain-int FNV, per-token loops, sequential-accumulation
+   dots — deliberately structured UNLIKE the vectorized engine code;
+ - sink goldens run the pure per-tile formatter kernels driver-side.
+
+Run from the repo root:  python tools/make_golden.py [names...]
+Writes golden/<query>.parquet; __spark_entry__.oracle_sql() points the
+driver's DuckDB at them via read_parquet().
+
+The generator asserts, for every contour tile, that the scalar oracle's
+segment stream equals the vectorized marching kernel's (order included)
+before deriving anything from it — so a kernel regression can never be
+baked into a golden.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+GOLDEN_DIR = os.path.join(ROOT, "golden")
+SF_DIR = os.environ.get("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.01")
+
+from hgt2osm2_spark.config import ContourOptions, tile_first_id  # noqa: E402
+from hgt2osm2_spark.kernels import codecs, marching, oracle, postprocess, stitch  # noqa: E402
+from hgt2osm2_spark.sources import synthetic  # noqa: E402
+
+
+def _round_half_up(v: float, digits: int) -> float:
+    """Spark F.round semantics: HALF_UP on the double's SHORTEST decimal
+    repr (Scala BigDecimal.decimal) — NOT Python round (banker's)."""
+    return float(Decimal(repr(float(v))).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
+def _tile_geo(img: str) -> tuple[int, int]:
+    lat0 = int(img[1:3]) * (-1 if img[0] in "sS" else 1)
+    lon0 = int(img[4:7]) * (-1 if img[3] in "wW" else 1)
+    return lat0, lon0
+
+
+def _seq_sum(vals) -> float:
+    """Strict left-to-right float64 accumulation (= F.aggregate)."""
+    acc = 0.0
+    for v in vals:
+        acc += float(v)
+    return acc
+
+
+# ======================================================================
+# scalar contour pipeline (stages 1-6, sequential)
+# ======================================================================
+
+def scalar_tile_grid(idx: int, size: int, seed: int = 42):
+    """The decode-roundtrip grid the pipeline actually sees (jpg tiles
+    are lossy — the pipeline consumes the DECODED grid)."""
+    row = synthetic.make_tile_row(idx, size, seed)
+    grid = codecs.decode(row["bytes"], row["fmt"], size, size)
+    return row, grid
+
+
+def scalar_segments(grid: np.ndarray, opt: ContourOptions) -> np.ndarray:
+    """Independent scalar-oracle segments, cross-checked against the
+    vectorized kernel (order included) so goldens can't inherit a
+    kernel bug silently."""
+    segs = oracle.extract_segments_scalar(grid, opt.minor_distance, opt.fake_distance)
+    arr = np.empty(len(segs), dtype=marching.SEG_DTYPE)
+    for i, (y, lv, x1, y1, x2, y2) in enumerate(segs):
+        arr[i] = (y, lv, x1, y1, x2, y2)
+    vec = marching.extract_segments(grid, opt.minor_distance, opt.fake_distance)
+    assert len(vec) == len(arr), "scalar oracle vs vectorized kernel: count"
+    for f in ("y", "level", "x1", "y1", "x2", "y2"):
+        assert np.array_equal(vec[f], arr[f]), f"oracle/kernel mismatch in {f}"
+    return arr
+
+
+def scalar_contours(tile_rows: list[tuple[str, np.ndarray, int, int]],
+                    opt: ContourOptions | None = None) -> dict:
+    """Sequential stage 1-6 twin. tile_rows: (image_id, grid, w, h).
+    Returns dict of row lists: nodes, ways, post, metrics, lineage."""
+    opt = opt or ContourOptions()
+    maxn = opt.max_nodes_per_way
+    out = {"nodes": [], "ways": [], "post": [], "metrics": [], "lineage": []}
+
+    for img, grid, w, h in tile_rows:
+        lat0, lon0 = _tile_geo(img)
+        first = tile_first_id(lat0, lon0)
+        arr = scalar_segments(grid, opt)
+        lin = {"segments": (len(arr), None)}
+        if len(arr) == 0:
+            for st in ("polylines", "post", "nodes", "ways"):
+                lin[st] = (0, None)
+            out["lineage"].extend(
+                (st, img, n, mx) for st, (n, mx) in lin.items()
+            )
+            continue
+        bags = stitch.stitch_tile(arr)
+        n_poly = sum(len(v) for v in bags.values())
+        lin["polylines"] = (n_poly, None)
+        lin["post"] = (n_poly, None)
+
+        c_tot = postprocess.PostCounters()
+        tile_metrics = dict(
+            removed_polylines=0, short_polylines=0, small_polylines=0,
+            vertical_polylines=0, horizontal_polylines=0,
+            unnecessary_points=0, douglas_peucker_points=0,
+            polylines=0, points=0, closed_polylines=0,
+        )
+        node_id = first
+        way_ctr = first
+        n_nodes = n_ways = 0
+        max_node = max_way = None
+        edge = 1.0 / w
+        for level in sorted(bags):
+            for i, pts in enumerate(bags[level]):
+                c = postprocess.PostCounters()
+                kept = postprocess.run_polyline(
+                    pts, opt.min_vertice_points, opt.min_bounding_box,
+                    edge, opt.douglas_peucker, c, True,
+                )
+                reason = None
+                if kept is None:
+                    for attr, name in (
+                        ("short_polylines", "short"), ("small_polylines", "small"),
+                        ("vertical_polylines", "vertical"), ("horizontal_polylines", "horizontal"),
+                    ):
+                        if getattr(c, attr):
+                            reason = name
+                            break
+                use = kept if kept is not None else pts
+                closed = pts[0] == pts[-1]
+                out["post"].append((img, int(level), i, len(use), closed,
+                                    kept is not None, reason))
+                # metrics (postprocess_metrics over post rows)
+                if kept is None:
+                    tile_metrics["removed_polylines"] += 1
+                    if reason:
+                        tile_metrics[reason + "_polylines"] += 1
+                tile_metrics["unnecessary_points"] += c.unnecessary_points
+                tile_metrics["douglas_peucker_points"] += c.douglas_peucker_points
+                if kept is not None:
+                    tile_metrics["polylines"] += 1
+                    tile_metrics["points"] += len(kept)
+                    if closed:
+                        tile_metrics["closed_polylines"] += 1
+                    # W1 nodes
+                    for x, y in kept:
+                        out["nodes"].append(
+                            (img, int(level), i, node_id,
+                             lat0 + y / (h - 1), lon0 + x / (w - 1))
+                        )
+                        max_node = node_id
+                        node_id += 1
+                        n_nodes += 1
+                    # W2/W3 ways with Q3 (+1 gap) and Q4 (shared node)
+                    n = len(kept)
+                    n_chunks = 1 if n <= maxn else math.ceil((n - 1) / (maxn - 1))
+                    node_base = node_id - n
+                    for chunk in range(n_chunks):
+                        start = chunk * (maxn - 1)
+                        end = min(start + maxn, n)
+                        way_id = way_ctr + chunk
+                        if opt.write_elevation_type:
+                            if level % opt.diff_major == 0:
+                                ext = "elevation_major"
+                            elif level % opt.diff_medium == 0:
+                                ext = "elevation_medium"
+                            else:
+                                ext = "elevation_minor"
+                        else:
+                            ext = None
+                        out["ways"].append(
+                            (img, int(level), i, way_id, end - start,
+                             int(level), "elevation", ext,
+                             list(range(node_base + start, node_base + end)))
+                        )
+                        max_way = way_id
+                        n_ways += 1
+                    way_ctr += n_chunks + 1  # Q3
+        out["metrics"].append((img, tile_metrics))
+        lin["nodes"] = (n_nodes, max_node)
+        lin["ways"] = (n_ways, max_way)
+        out["lineage"].extend((st, img, n, mx) for st, (n, mx) in lin.items())
+    return out
+
+
+def _synth_tile_rows(n_tiles: int, size: int, seed: int = 42):
+    rows = []
+    for idx in range(n_tiles):
+        row, grid = scalar_tile_grid(idx, size, seed)
+        rows.append((row["image_id"], grid, size, size))
+    return rows
+
+
+def _write(name: str, df: pd.DataFrame, schema: pa.Schema) -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    pq.write_table(table, os.path.join(GOLDEN_DIR, f"{name}.parquet"))
+    print(f"golden/{name}.parquet: {len(df)} rows")
+
+
+# ======================================================================
+# contour-family goldens
+# ======================================================================
+
+def g_contour_nodes():
+    res = scalar_contours(_synth_tile_rows(6, 33))
+    df = pd.DataFrame(res["nodes"],
+                      columns=["image_id", "level", "poly_ord", "node_id", "lat", "lon"])
+    _write("contour_nodes", df, pa.schema([
+        ("image_id", pa.string()), ("level", pa.int32()), ("poly_ord", pa.int32()),
+        ("node_id", pa.int64()), ("lat", pa.float64()), ("lon", pa.float64()),
+    ]))
+
+
+def g_contour_ways():
+    res = scalar_contours(_synth_tile_rows(6, 33))
+    df = pd.DataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7]) for r in res["ways"]],
+        columns=["image_id", "level", "poly_ord", "way_id", "n_refs",
+                 "ele", "contour", "contour_ext"],
+    )
+    _write("contour_ways", df, pa.schema([
+        ("image_id", pa.string()), ("level", pa.int32()), ("poly_ord", pa.int32()),
+        ("way_id", pa.int64()), ("n_refs", pa.int32()), ("ele", pa.int32()),
+        ("contour", pa.string()), ("contour_ext", pa.string()),
+    ]))
+
+
+def g_contour_metrics():
+    res = scalar_contours(_synth_tile_rows(6, 33))
+    cols = ["removed_polylines", "short_polylines", "small_polylines",
+            "vertical_polylines", "horizontal_polylines", "unnecessary_points",
+            "douglas_peucker_points", "polylines", "points", "closed_polylines"]
+    df = pd.DataFrame(
+        [{"image_id": img, **m} for img, m in res["metrics"]],
+        columns=["image_id"] + cols,
+    )
+    _write("contour_metrics", df, pa.schema(
+        [("image_id", pa.string())] + [(c, pa.int64()) for c in cols]))
+
+
+def g_checkpoint_lineage():
+    res = scalar_contours(_synth_tile_rows(4, 21))
+    df = pd.DataFrame(res["lineage"], columns=["stage", "image_id", "n_rows", "max_id"])
+    _write("checkpoint_lineage", df, pa.schema([
+        ("stage", pa.string()), ("image_id", pa.string()),
+        ("n_rows", pa.int64()), ("max_id", pa.int64()),
+    ]))
+
+
+def _fmt15g(v: float) -> str:
+    return f"{v:.15g}"
+
+
+def g_osm_xml_tiles():
+    """Scalar XML formatter twin of sinks.osm_xml.tile_xml (S5)."""
+    res = scalar_contours(_synth_tile_rows(6, 33))
+    nodes_by_tile: dict[str, list] = {}
+    for img, level, poly_ord, node_id, lat, lon in res["nodes"]:
+        nodes_by_tile.setdefault(img, []).append((level, poly_ord, node_id, lat, lon))
+    ways_by_tile: dict[str, list] = {}
+    for img, level, poly_ord, way_id, n_refs, ele, contour, ext, refs in res["ways"]:
+        ways_by_tile.setdefault(img, []).append((level, poly_ord, way_id, refs, ele, ext))
+    rows = []
+    header = "<?xml version='1.0' encoding='UTF-8'?>\n<osm version='0.6' generator='HGT2OSM'>\n"
+    for img in sorted(set(nodes_by_tile) | set(ways_by_tile)):
+        parts = [header]
+        for level, poly_ord, node_id, lat, lon in sorted(nodes_by_tile.get(img, [])):
+            parts.append(f"<node id='{node_id}' lat='{_fmt15g(lat)}' lon='{_fmt15g(lon)}'/>\n")
+        for level, poly_ord, way_id, refs, ele, ext in sorted(ways_by_tile.get(img, [])):
+            parts.append(f"<way id='{way_id}'>\n")
+            parts.extend(f"<nd ref='{r}' />\n" for r in refs)
+            parts.append(f"<tag k='ele' v='{ele}'/>\n")
+            parts.append("<tag k='contour' v='elevation'/>\n")
+            if ext is not None:
+                parts.append(f"<tag k='contour_ext' v='{ext}'/>\n")
+            parts.append("</way>\n")
+        parts.append("</osm>\n")
+        xml = "".join(parts)
+        rows.append((img, len(xml), hashlib.md5(xml.encode()).hexdigest()))
+    df = pd.DataFrame(rows, columns=["image_id", "n_chars", "xml_md5"])
+    _write("osm_xml_tiles", df, pa.schema([
+        ("image_id", pa.string()), ("n_chars", pa.int32()), ("xml_md5", pa.string()),
+    ]))
+
+
+def _pip_inside(px: float, py: float, xs: list[float], ys: list[float]) -> bool:
+    """Even-odd ray cast, same formula as ops.spatial._ray_crossings
+    (bit-identical arithmetic)."""
+    inside = False
+    n = len(xs)
+    j = n - 1
+    for i in range(n):
+        xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
+        if (yi > py) != (yj > py):
+            xint = (xj - xi) * (py - yi) / (yj - yi) + xi
+            if px < xint:
+                inside = not inside
+        j = i
+    return inside
+
+
+def g_tile_pip_flagship():
+    import __spark_entry__ as entrymod
+
+    res = scalar_contours(_synth_tile_rows(6, 33))
+    counts: dict[str, int] = {}
+    for pid, verts in entrymod.PIP_POLYGONS:
+        xs = [v[0] for v in verts] + [verts[0][0]]
+        ys = [v[1] for v in verts] + [verts[0][1]]
+        c = 0
+        for _, _, _, _, lat, lon in res["nodes"]:
+            if _pip_inside(lon, lat, xs, ys):
+                c += 1
+        if c:
+            counts[pid] = c
+    df = pd.DataFrame(sorted(counts.items()), columns=["poly_id", "n_contour_nodes"])
+    _write("tile_pip_flagship", df, pa.schema([
+        ("poly_id", pa.string()), ("n_contour_nodes", pa.int64()),
+    ]))
+
+
+# ======================================================================
+# tiles-table goldens (decode / crop / sinks / multimodal / decorations)
+# ======================================================================
+
+def g_decode_stats():
+    rows = []
+    for idx in range(6):
+        row, grid = scalar_tile_grid(idx, 33)
+        valid = grid != codecs.NOVALUE
+        psnr = None
+        if row["fmt"] == "jpg":
+            rt = codecs.decode(codecs.encode(grid, "jpg"), "jpg", 33, 33)
+            psnr = float(codecs.psnr(grid, rt))
+        rows.append((row["image_id"], 33, 33, row["fmt"], row["caption"],
+                     int(grid[valid].min()) if valid.any() else None,
+                     int(grid[valid].max()) if valid.any() else None,
+                     int((~valid).sum()),
+                     codecs.phash64(grid) == row["phash"], psnr))
+    df = pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt", "caption",
+                                     "minimum", "maximum", "not_valid", "phash_ok", "psnr_db"])
+    _write("decode_stats", df, pa.schema([
+        ("image_id", pa.string()), ("w", pa.int32()), ("h", pa.int32()),
+        ("fmt", pa.string()), ("caption", pa.string()),
+        ("minimum", pa.int32()), ("maximum", pa.int32()), ("not_valid", pa.int64()),
+        ("phash_ok", pa.bool_()), ("psnr_db", pa.float64()),
+    ]))
+
+
+def g_hgt_zip_scan():
+    import __spark_entry__ as entrymod
+
+    rows = []
+    for idx, (name, zipped, _n) in enumerate(entrymod.HGT_SCAN_TILES):
+        grid = synthetic.heightfield(idx, 21, seed=9)
+        valid = grid != codecs.NOVALUE
+        rows.append((name, 21, 21, "hgt.zip" if zipped else "hgt",
+                     int(grid[valid].min()), int(grid[valid].max()),
+                     int((~valid).sum()), True))
+    df = pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt",
+                                     "minimum", "maximum", "not_valid", "phash_ok"])
+    _write("hgt_zip_scan", df, pa.schema([
+        ("image_id", pa.string()), ("w", pa.int32()), ("h", pa.int32()),
+        ("fmt", pa.string()), ("minimum", pa.int32()), ("maximum", pa.int32()),
+        ("not_valid", pa.int64()), ("phash_ok", pa.bool_()),
+    ]))
+
+
+def g_crop_stats():
+    from hgt2osm2_spark.ops import crop
+
+    rows = []
+    for idx in range(6):
+        row, grid = scalar_tile_grid(idx, 33)
+        lat0, lon0 = _tile_geo(row["image_id"])
+        win = crop.degree_window_to_index(lon0, lat0, 33, 33, 0.25, 40.25, 0.75, 43.75)
+        _, stats = crop.crop_grid(grid, *win)
+        rows.append((row["image_id"], stats["minimum"], stats["maximum"],
+                     stats["not_valid"], stats["kept"]))
+    df = pd.DataFrame(rows, columns=["image_id", "minimum", "maximum", "not_valid", "kept"])
+    _write("crop_stats", df, pa.schema([
+        ("image_id", pa.string()), ("minimum", pa.int32()), ("maximum", pa.int32()),
+        ("not_valid", pa.int64()), ("kept", pa.int64()),
+    ]))
+
+
+def _sink_rows(kind: str):
+    from hgt2osm2_spark.sinks import rasters
+
+    coltab = rasters.build_coltab() if kind == "geopng" else None
+    rows = []
+    for idx in range(6):  # q_* sinks use _synth_tiles defaults (6, 33)
+        row, grid = scalar_tile_grid(idx, 33)
+        img = row["image_id"]
+        lat, lon = _tile_geo(img)
+        if kind == "arcinfo":
+            payloads = [(f"{img}.asc", rasters.arcinfo_text(grid, lon, lat).encode())]
+        elif kind == "tsv":
+            payloads = [(f"{img}.tsv", rasters.tsv_text(grid).encode())]
+        else:
+            payloads = rasters.geo_png_payloads(grid, img, coltab)
+        for name, payload in payloads:
+            rows.append((img, name, len(payload), hashlib.md5(payload).hexdigest()))
+    return rows
+
+
+def _g_sink(kind: str, qname: str):
+    df = pd.DataFrame(_sink_rows(kind),
+                      columns=["image_id", "filename", "n_bytes", "payload_md5"])
+    _write(qname, df, pa.schema([
+        ("image_id", pa.string()), ("filename", pa.string()),
+        ("n_bytes", pa.int32()), ("payload_md5", pa.string()),
+    ]))
+
+
+def g_arcinfo_sink():
+    _g_sink("arcinfo", "arcinfo_sink")
+
+
+def g_geopng_sink():
+    _g_sink("geopng", "geopng_sink")
+
+
+def g_tsv_sink():
+    _g_sink("tsv", "tsv_sink")
+
+
+def g_multimodal_features():
+    rows = []
+    for idx in range(6):
+        row, grid = scalar_tile_grid(idx, 33)
+        g = grid.astype(np.float64)
+        vals = g[grid != codecs.NOVALUE]
+        if vals.size == 0:
+            hist = np.zeros(16)
+        else:
+            hist, _ = np.histogram(vals, bins=16, range=(vals.min(), vals.max() + 1))
+            hist = hist / vals.size
+        rows.append((row["image_id"], _round_half_up(_seq_sum(hist.tolist()), 6)))
+    df = pd.DataFrame(rows, columns=["image_id", "hist_mass"])
+    _write("multimodal_features", df, pa.schema([
+        ("image_id", pa.string()), ("hist_mass", pa.float64()),
+    ]))
+
+
+def g_multimodal_resize():
+    rows = []
+    for idx in range(6):
+        row, grid = scalar_tile_grid(idx, 33)
+        f = 2
+        hh, ww = (33 // f) * f, (33 // f) * f
+        rows.append((row["image_id"], ww // f, hh // f, row["fmt"]))
+    df = pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt"])
+    _write("multimodal_resize", df, pa.schema([
+        ("image_id", pa.string()), ("w", pa.int32()), ("h", pa.int32()),
+        ("fmt", pa.string()),
+    ]))
+
+
+def g_frame_sample():
+    rows = []
+    for idx in range(6):
+        row, _grid = scalar_tile_grid(idx, 33)
+        if row["fmt"] != "hgt":
+            continue
+        fb = 33 * 2 * 3
+        n = len(row["bytes"]) // fb
+        for t in range(0, n, 4):
+            rows.append((row["image_id"], t))
+    df = pd.DataFrame(rows, columns=["image_id", "frame_idx"])
+    _write("frame_sample", df, pa.schema([
+        ("image_id", pa.string()), ("frame_idx", pa.int32()),
+    ]))
+
+
+def g_show_points():
+    from hgt2osm2_spark.ops.decorations import DECOR_OFFSET, POINTS_SUB
+
+    rows = []
+    for idx in range(4):
+        row, grid = scalar_tile_grid(idx, 17)
+        img = row["image_id"]
+        lat0, lon0 = _tile_geo(img)
+        gb = grid[::-1, :]
+        actid = tile_first_id(lat0, lon0) + DECOR_OFFSET + POINTS_SUB
+        w = h = 17
+        for x in range(w):
+            lon = lon0 + x / (w - 1)
+            if not (0.0 <= lon <= 0.4):
+                continue
+            for y in range(h):
+                lat = lat0 + y / (h - 1)
+                if 40.0 <= lat <= 40.4:
+                    rows.append((img, actid, lat, lon, int(gb[y, x])))
+                    actid += 1
+    df = pd.DataFrame(rows, columns=["image_id", "node_id", "lat", "lon", "ele"])
+    _write("show_points", df, pa.schema([
+        ("image_id", pa.string()), ("node_id", pa.int64()),
+        ("lat", pa.float64()), ("lon", pa.float64()), ("ele", pa.int32()),
+    ]))
+
+
+def g_show_areas():
+    from hgt2osm2_spark.ops.decorations import AREA_WAYS_SUB, DECOR_OFFSET
+
+    rows = []
+    for idx in range(2):
+        row, grid = scalar_tile_grid(idx, 17)
+        img = row["image_id"]
+        lat0, lon0 = _tile_geo(img)
+        gb = grid[::-1, :]
+        way_base = tile_first_id(lat0, lon0) + DECOR_OFFSET + AREA_WAYS_SUB
+        w = h = 17
+        nway = 0
+        for x in range(w):
+            lon = lon0 + x / (w - 1)
+            if not (0.0 <= lon <= 0.3):
+                continue
+            for y in range(h):
+                lat = lat0 + y / (h - 1)
+                if not (40.0 <= lat <= 40.3):
+                    continue
+                rows.append((img, way_base + 1 + nway, 5, int(gb[min(y, h - 1), min(x, w - 1)])))
+                nway += 1
+    df = pd.DataFrame(rows, columns=["image_id", "way_id", "n_refs", "ele"])
+    _write("show_areas", df, pa.schema([
+        ("image_id", pa.string()), ("way_id", pa.int64()),
+        ("n_refs", pa.int32()), ("ele", pa.int32()),
+    ]))
+
+
+def g_cross_tile_stitch():
+    """Scalar twin of ops.cross_tile.stitch_across_tiles on the query's
+    two-tile split field."""
+    opt = ContourOptions()
+    n = 17
+    yy = np.arange(n, dtype=np.float64)[:, None]
+    xx = np.arange(2 * n - 1, dtype=np.float64)[None, :]
+    full = (200 + 8 * yy + 0.5 * xx).astype(np.int16)
+    tiles = [("n40e000_0", full[:, :n].copy()), ("n40e001_0", full[:, n - 1:].copy())]
+
+    pieces = {}  # pid -> (level, lats, lons)
+    for img, grid in tiles:
+        lat0, lon0 = _tile_geo(img)
+        h, w = grid.shape
+        arr = scalar_segments(grid, opt)
+        bags = stitch.stitch_tile(arr)
+        edge = 1.0 / w
+        for level in sorted(bags):
+            for i, pts in enumerate(bags[level]):
+                c = postprocess.PostCounters()
+                kept = postprocess.run_polyline(
+                    pts, opt.min_vertice_points, opt.min_bounding_box,
+                    edge, opt.douglas_peucker, c, True,
+                )
+                if kept is None:
+                    continue
+                pid = f"{img}/{level}/{i}"
+                lats = [lat0 + y / (h - 1) for _, y in kept]
+                lons = [lon0 + x / (w - 1) for x, _ in kept]
+                pieces[pid] = (int(level), lats, lons)
+
+    # edges: endpoints equal across DIFFERENT tiles, same level
+    eps = {}
+    for pid, (lv, lats, lons) in pieces.items():
+        eps[pid] = [(lv, lats[0], lons[0]), (lv, lats[-1], lons[-1])]
+    import itertools
+
+    parent = {pid: pid for pid in pieces}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(pieces), 2):
+        if a.split("/")[0] == b.split("/")[0]:
+            continue
+        if set(eps[a]) & set(eps[b]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-label components
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+    comps: dict[str, list[str]] = {}
+    for pid in pieces:
+        comps.setdefault(find(pid), []).append(pid)
+
+    rows = []
+    for comp, members in comps.items():
+        level = pieces[members[0]][0]
+        order = sorted(members)
+        first = order[0]
+        lats, lons = list(pieces[first][1]), list(pieces[first][2])
+        used = {first}
+        grew = True
+        while grew and len(used) < len(order):
+            grew = False
+            for pid in order:
+                if pid in used:
+                    continue
+                _, plats, plons = pieces[pid]
+                if (plats[0], plons[0]) == (lats[-1], lons[-1]):
+                    lats += plats[1:]; lons += plons[1:]
+                elif (plats[-1], plons[-1]) == (lats[-1], lons[-1]):
+                    lats += plats[-2::-1]; lons += plons[-2::-1]
+                elif (plats[-1], plons[-1]) == (lats[0], lons[0]):
+                    lats = plats[:-1] + lats; lons = plons[:-1] + lons
+                elif (plats[0], plons[0]) == (lats[0], lons[0]):
+                    lats = plats[:0:-1] + lats; lons = plons[:0:-1] + lons
+                else:
+                    continue
+                used.add(pid)
+                grew = True
+        rows.append((level, comp, len(used), len(lats),
+                     (lats[0], lons[0]) == (lats[-1], lons[-1])))
+        for pid in order:
+            if pid not in used:
+                _, plats, plons = pieces[pid]
+                rows.append((pieces[pid][0], f"{comp}!{pid}", 1, len(plats),
+                             (plats[0], plons[0]) == (plats[-1], plons[-1])))
+    df = pd.DataFrame(rows, columns=["level", "component", "n_parts", "n_points", "closed"])
+    _write("cross_tile_stitch", df, pa.schema([
+        ("level", pa.int32()), ("component", pa.string()),
+        ("n_parts", pa.int32()), ("n_points", pa.int32()), ("closed", pa.bool_()),
+    ]))
+
+
+# ======================================================================
+# sketch goldens over the sf0.01 documents/embeddings tables
+# ======================================================================
+
+def _fnv1a_int(data: bytes) -> int:
+    """Plain-Python-int FNV-1a (independent of the numpy versions)."""
+    h = 0xCBF29CE484222325
+    for c in data:
+        h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _embs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def g_minhash_lsh():
+    """Scalar minhash twin: plain-int FNV shingle hashes + per-doc
+    min over (a*x+b) mod 2^61-1; banded candidates by EXACT band-slice
+    equality (two slices hash-equal in the engine iff equal, modulo a
+    2^-32 murmur collision)."""
+    from hgt2osm2_spark.ops.dedup import _minhash_params
+
+    k, bands, shingle, threshold, seed = 64, 16, 5, 0.5, 42
+    a, b = _minhash_params(k, seed)
+    M = np.uint64((1 << 61) - 1)
+    docs = _docs()
+    ids = docs.doc_id.tolist()
+    sigs = []
+    for txt in docs.text:
+        s = txt.encode("utf-8")
+        # INDEPENDENT shingle hashing: plain-Python-int FNV over a set
+        # (the engine uses a vectorized sliding-window FNV + np.unique)
+        if len(s) < shingle:
+            hset = {_fnv1a_int(s)}
+        else:
+            hset = {_fnv1a_int(s[i:i + shingle]) for i in range(len(s) - shingle + 1)}
+        hs = np.fromiter(hset, dtype=np.uint64, count=len(hset))
+        # (a*x + b) mod M in WRAPPING uint64 arithmetic — the engine's
+        # exact formula (dedup.py minhash_signatures); values < 2^61
+        vals = (np.outer(a, hs) + b[:, None]) % M
+        sigs.append(vals.min(axis=1).astype(np.int64))
+    sig_m = np.array(sigs, dtype=np.int64)
+    r = k // bands
+    rows = []
+    nd = len(ids)
+    for i in range(nd):
+        eq_all = sig_m[i + 1:] == sig_m[i]  # (nd-i-1, k)
+        band_eq = eq_all.reshape(-1, bands, r).all(axis=2).any(axis=1)
+        est = eq_all.mean(axis=1)
+        for off in np.nonzero(band_eq & (est >= threshold))[0]:
+            j = i + 1 + off
+            ia, ib = ids[i], ids[j]
+            if ia > ib:
+                ia, ib = ib, ia
+            rows.append((ia, ib, _round_half_up(float(est[off]), 6)))
+    df = pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "est_jaccard"])
+    _write("minhash_lsh", df, pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("est_jaccard", pa.float64()),
+    ]))
+
+
+def g_simhash_pairs():
+    """Scalar simhash twin: the per-token loop formulation (the engine
+    is the batch-vectorized one); banded 4x16-bit candidates then exact
+    hamming <= 8."""
+    docs = _docs()
+    ids = docs.doc_id.tolist()
+    hashes = []
+    for txt in docs.text:
+        acc = [0] * 64
+        for tok in txt.split():
+            h = _fnv1a_int(tok.encode("utf-8"))
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                v |= 1 << bit
+        hashes.append(v)
+    rows = []
+    nd = len(ids)
+    for i in range(nd):
+        hi = hashes[i]
+        for j in range(i + 1, nd):
+            hj = hashes[j]
+            band_eq = any(((hi >> (16 * t)) & 0xFFFF) == ((hj >> (16 * t)) & 0xFFFF)
+                          for t in range(4))
+            if not band_eq:
+                continue
+            ham = bin(hi ^ hj).count("1")
+            if ham <= 8:
+                ia, ib = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                rows.append((ia, ib, ham))
+    df = pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "hamming"])
+    _write("simhash_pairs", df, pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32()),
+    ]))
+
+
+def g_fingerprint():
+    """True rolling-hash twin (the engine computes every window hash
+    directly via a power-vector dot; this one rolls — same math mod
+    2^64, different algorithm)."""
+    B = 1000003
+    W = 16
+    MASK = 0xFFFFFFFFFFFFFFFF
+    BW = pow(B, W - 1, 1 << 64)
+    rows = []
+    docs = _docs()
+    for doc_id, txt in zip(docs.doc_id, docs.text):
+        data = txt.encode("utf-8")
+        n = len(data)
+        if n < W:
+            h = 0
+            for c in data:
+                h = (h * B + c) & MASK
+            rows.append((doc_id, int(np.uint64(h).astype(np.int64))))
+            continue
+        h = 0
+        for c in data[:W]:
+            h = (h * B + c) & MASK
+        best = h
+        for i in range(W, n):
+            h = ((h - data[i - W] * BW) * B + data[i]) & MASK
+            if h < best:
+                best = h
+        rows.append((doc_id, int(np.uint64(best).astype(np.int64))))
+    df = pd.DataFrame(rows, columns=["doc_id", "fingerprint"])
+    _write("fingerprint", df, pa.schema([
+        ("doc_id", pa.int64()), ("fingerprint", pa.int64()),
+    ]))
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Left-to-right accumulation — matches F.aggregate exactly."""
+    prods = a.astype(np.float64) * b.astype(np.float64)
+    acc = 0.0
+    for p in prods:
+        acc += p
+    return acc
+
+
+def _seq_cos(a: np.ndarray, b: np.ndarray) -> float:
+    na = math.sqrt(_seq_dot(a, a))
+    nb = math.sqrt(_seq_dot(b, b))
+    return _seq_dot(a, b) / (na * nb)
+
+
+def _bucket(vec: np.ndarray, planes: np.ndarray) -> int:
+    acc = 0
+    for p in planes:
+        acc = (acc << 1) | (1 if _seq_dot(vec, p) >= 0 else 0)
+    return acc
+
+
+def g_embedding_near_dup():
+    from hgt2osm2_spark.ops.similarity import _hyperplanes
+
+    embs = _embs()
+    ids = embs.vec_id.tolist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in embs.embedding]
+    cand = set()
+    for t in range(3):
+        planes = np.array(_hyperplanes(64, 10, 42 + 977 * t))
+        buckets: dict[int, list[int]] = {}
+        for i, v in enumerate(vecs):
+            buckets.setdefault(_bucket(v, planes), []).append(i)
+        for members in buckets.values():
+            for ii in range(len(members)):
+                for jj in range(ii + 1, len(members)):
+                    a, b = members[ii], members[jj]
+                    if ids[a] > ids[b]:
+                        a, b = b, a
+                    cand.add((a, b))
+    rows = []
+    for a, b in cand:
+        sim = _seq_cos(vecs[a], vecs[b])
+        if sim >= 0.35:
+            rows.append((ids[a], ids[b], _round_half_up(sim, 6)))
+    df = pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "sim"])
+    _write("embedding_near_dup", df, pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64()),
+    ]))
+
+
+def g_ann_lsh():
+    from hgt2osm2_spark.ops.similarity import _hyperplanes
+
+    embs = _embs()
+    ids = embs.vec_id.tolist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in embs.embedding]
+    qidx = [i for i, vid in enumerate(ids) if vid < 20]
+    # per-table buckets computed once for all vectors
+    table_buckets = []
+    for t in range(2):
+        planes = np.array(_hyperplanes(64, 8, 42 + 101 * t))
+        table_buckets.append([_bucket(v, planes) for v in vecs])
+    rows = []
+    for qi in qidx:
+        cands = set()
+        for buckets in table_buckets:
+            qb = buckets[qi]
+            cands.update(i for i, bkt in enumerate(buckets) if bkt == qb)
+        scored = sorted(
+            ((-_seq_cos(vecs[qi], vecs[i]), ids[i]) for i in cands)
+        )[:5]
+        for rnk, (_negsim, pid) in enumerate(scored, 1):
+            rows.append((ids[qi], pid, rnk))
+    df = pd.DataFrame(rows, columns=["q_id", "p_id", "rnk"])
+    _write("ann_lsh", df, pa.schema([
+        ("q_id", pa.int64()), ("p_id", pa.int64()), ("rnk", pa.int32()),
+    ]))
+
+
+def g_ann_ivf():
+    from hgt2osm2_spark.ops.similarity import _kmeans
+
+    embs = _embs().sort_values("vec_id")
+    ids = embs.vec_id.tolist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in embs.embedding]
+    sample = np.array([v.astype(np.float64) for v in vecs[:2048]])
+    cent = _kmeans(sample, 16, 10, 42)
+
+    def assign(v):
+        best_s, best_c = None, None
+        for c in range(len(cent)):
+            s = _seq_dot(v, cent[c])
+            if best_s is None or s > best_s:  # ties keep smaller c (argmax)
+                best_s, best_c = s, c
+        return best_c
+
+    clusters: dict[int, list[int]] = {}
+    for i, v in enumerate(vecs):
+        clusters.setdefault(assign(v), []).append(i)
+
+    rows = []
+    for qi, vid in enumerate(ids):
+        if vid >= 20:
+            continue
+        scores = [( _seq_dot(vecs[qi], cent[c]), c) for c in range(len(cent))]
+        # reverse(array_sort): descending (s, c) — ties pick larger c first
+        probes = [c for _s, c in sorted(scores, reverse=True)[:4]]
+        cands = {i for c in probes for i in clusters.get(c, [])}
+        scored = sorted(
+            ((-_seq_cos(vecs[qi], vecs[i]), ids[i]) for i in cands)
+        )[:5]
+        for rnk, (_negsim, pid) in enumerate(scored, 1):
+            rows.append((vid, pid, rnk))
+    df = pd.DataFrame(rows, columns=["q_id", "p_id", "rnk"])
+    _write("ann_ivf", df, pa.schema([
+        ("q_id", pa.int64()), ("p_id", pa.int64()), ("rnk", pa.int32()),
+    ]))
+
+
+# ======================================================================
+
+GENERATORS = {
+    "contour_nodes": g_contour_nodes,
+    "contour_ways": g_contour_ways,
+    "contour_metrics": g_contour_metrics,
+    "checkpoint_lineage": g_checkpoint_lineage,
+    "osm_xml_tiles": g_osm_xml_tiles,
+    "tile_pip_flagship": g_tile_pip_flagship,
+    "decode_stats": g_decode_stats,
+    "hgt_zip_scan": g_hgt_zip_scan,
+    "crop_stats": g_crop_stats,
+    "arcinfo_sink": g_arcinfo_sink,
+    "geopng_sink": g_geopng_sink,
+    "tsv_sink": g_tsv_sink,
+    "multimodal_features": g_multimodal_features,
+    "multimodal_resize": g_multimodal_resize,
+    "frame_sample": g_frame_sample,
+    "show_points": g_show_points,
+    "show_areas": g_show_areas,
+    "cross_tile_stitch": g_cross_tile_stitch,
+    "minhash_lsh": g_minhash_lsh,
+    "simhash_pairs": g_simhash_pairs,
+    "fingerprint": g_fingerprint,
+    "embedding_near_dup": g_embedding_near_dup,
+    "ann_lsh": g_ann_lsh,
+    "ann_ivf": g_ann_ivf,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(GENERATORS)
+    for name in names:
+        GENERATORS[name]()
+    print(f"done: {len(names)} goldens in {GOLDEN_DIR}")
+
+
+if __name__ == "__main__":
+    main()
