@@ -139,6 +139,100 @@ def decode_png16(data: bytes) -> np.ndarray:
     return (vals - 32768).astype(np.int16)
 
 
+# ---------------------------------------------------------------- png rgb8
+
+def encode_png_rgb8(img: np.ndarray) -> bytes:
+    """Minimal RGB8 PNG (public spec), filter 0 per scanline.
+    img: (h, w, 3) uint8."""
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + 3 * w), dtype=np.uint8)
+    raw[:, 1:] = img.reshape(h, 3 * w)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """PNG scanline unfiltering, all five standard filter types
+    (None/Sub/Up/Average/Paeth — RFC 2083 §6). The filter-0/2 paths are
+    vectorized; Sub/Average/Paeth carry a per-byte dependency and run
+    scalar (they only appear in foreign-encoded files)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = int(arr[pos])
+        line = arr[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png_rgb8(data: bytes) -> np.ndarray:
+    """Real RGB8 PNG decoder (stdlib zlib + NumPy): 8-bit truecolor,
+    non-interlaced, any scanline filter. Returns (h, w, 3) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, w, h, bitdepth, colortype, interlace = 8, b"", 0, 0, 0, 0, 0
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", payload
+            )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if (bitdepth, colortype) != (8, 2):
+        raise NotImplementedError("decode_png_rgb8 handles 8-bit RGB only")
+    if interlace:
+        raise NotImplementedError("Adam7 interlace not supported")
+    raw = zlib.decompress(idat)
+    return _unfilter_scanlines(raw, h, 3 * w, 3).reshape(h, w, 3)
+
+
+def rgb_to_gray_i16(img: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma, rounded to int16 — the grayscale view that
+    lets RGB images flow through the elevation-grid operators."""
+    g = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    return np.rint(g).astype(np.int16)
+
+
 # ---------------------------------------------------------------- "jpg" (DJPG stand-in)
 
 def _dct_matrix(n: int = 8) -> np.ndarray:
@@ -218,6 +312,9 @@ def decode(data: bytes, fmt: str, w: int, h: int, name: str | None = None) -> np
         return decode_hgt_zip(data, w, h, name)
     if fmt == "png":
         return decode_png16(data)
+    if fmt == "png-rgb":
+        # real RGB8 PNG -> grayscale luma grid (grid contract is 2-D i16)
+        return rgb_to_gray_i16(decode_png_rgb8(data))
     if fmt == "jpg":
         return decode_djpg(data)
     raise NotImplementedError(f"unknown tile format {fmt!r}")

@@ -25,8 +25,6 @@ Reference semantics reproduced:
 
 from __future__ import annotations
 
-import struct
-import zlib
 from typing import Iterator
 
 import numpy as np
@@ -111,27 +109,8 @@ def build_coltab(
 
 
 def _encode_png_rgb8(img: np.ndarray) -> bytes:
-    """Minimal RGB8 PNG (public spec), filter 0 per scanline."""
-    h, w, _ = img.shape
-    sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(payload))
-            + tag
-            + payload
-            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
-        )
-
-    raw = np.zeros((h, 1 + 3 * w), dtype=np.uint8)
-    raw[:, 1:] = img.reshape(h, 3 * w)
-    return (
-        sig
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
-        + chunk(b"IEND", b"")
-    )
+    """RGB8 PNG via the shared codec kernel (codecs.encode_png_rgb8)."""
+    return codecs.encode_png_rgb8(img)
 
 
 def geo_png_payloads(

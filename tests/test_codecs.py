@@ -123,3 +123,99 @@ def test_scan_hgt_dir_binaryfile(spark, tmp_path):
         got = codecs.decode(bytes(r["bytes"]), r["fmt"], r["w"], r["h"], name=r["image_id"])
         assert np.array_equal(got, grids[r["image_id"]])
         assert codecs.phash64(got) == r["phash"]
+
+
+def test_png_rgb8_roundtrip_and_foreign_filters():
+    """Real RGB8 PNG codec: lossless roundtrip (PSNR = inf >= 40 dB) and
+    correct decoding of FOREIGN-encoded files using every scanline
+    filter type (Sub/Up/Average/Paeth), which our own encoder never
+    emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hgt2osm2_spark.kernels import codecs
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (23, 17, 3)).astype(np.uint8)
+
+    # own-encoder roundtrip: bit-exact
+    out = codecs.decode_png_rgb8(codecs.encode_png_rgb8(img))
+    assert np.array_equal(out, img)
+
+    # foreign encoder applying filter type (y % 5) per scanline
+    h, w, _ = img.shape
+    stride = 3 * w
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        line = cur.copy()
+        for x in range(stride):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if f == 1:
+                line[x] = (cur[x] - a) & 0xFF
+            elif f == 2:
+                line[x] = (cur[x] - b) & 0xFF
+            elif f == 3:
+                line[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (cur[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    foreign = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png_rgb8(foreign), img)
+
+    # luma view is deterministic and in range
+    gray = codecs.rgb_to_gray_i16(img)
+    assert gray.shape == (h, w) and gray.min() >= 0 and gray.max() <= 255
+
+
+def test_multimodal_png_rgb_end_to_end(spark):
+    """'png-rgb' is no longer stubbed: features + resize run the real
+    decoder through the Spark plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.kernels import codecs
+    from hgt2osm2_spark.ops import multimodal
+
+    assert "png-rgb" not in multimodal.UNSUPPORTED_REAL_FORMATS
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    pdf = pd.DataFrame([{
+        "image_id": "rgb0", "bytes": codecs.encode_png_rgb8(img),
+        "w": 16, "h": 16, "fmt": "png-rgb",
+    }])
+    tiles = spark.createDataFrame(pdf)
+
+    feats = multimodal.decode_features(tiles).collect()
+    assert len(feats) == 1 and abs(sum(feats[0]["features"]) - 1.0) < 1e-9
+
+    small = multimodal.resize_tiles(tiles, factor=2).collect()[0]
+    assert (small["w"], small["h"], small["fmt"]) == (8, 8, "png-rgb")
+    dec = codecs.decode_png_rgb8(bytes(small["bytes"]))
+    want = np.rint(
+        img.reshape(8, 2, 8, 2, 3).astype(np.float64).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    assert np.array_equal(dec, want)
