@@ -223,3 +223,49 @@ def test_simhash_vectorized_matches_scalar_twin(spark):
         dedup._fnv1a_varlen(toks),
         np.array([dedup._fnv1a(t) for t in toks], dtype=np.uint64),
     )
+
+
+def test_auto_salting_planner(spark):
+    """§4.2 metric-driven salting: a deliberately skewed key
+    distribution is re-planned with salt (output unchanged vs a plain
+    groupBy); balanced data keeps the plain single-exchange plan."""
+    from pyspark.sql import functions as F
+
+    from hgt2osm2_spark.ops import skew
+
+    # ~60% of rows share one hot key
+    e = (
+        spark.range(20000)
+        .withColumn("key", F.when(F.col("id") % 5 < 3, F.lit("hot"))
+                    .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string"))))
+        .withColumn("v", (F.col("id") * 7 % 1000).cast("long"))
+    )
+    partial = [F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx")]
+    final = [F.sum("n").alias("n"), F.sum("s").alias("s"), F.max("mx").alias("mx")]
+    out, n_salt = skew.auto_salted_agg(e, ["key"], partial, final)
+    assert n_salt > 1  # the skew MUST be detected
+    got = {r["key"]: (r["n"], r["s"], r["mx"]) for r in out.collect()}
+    want = {
+        r["key"]: (r["n"], r["s"], r["mx"])
+        for r in e.groupBy("key").agg(*[c for c in
+            (F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))]).collect()
+    }
+    assert got == want
+
+    # balanced data -> plain plan (salt 1), same result
+    b = spark.range(5000).withColumn("key", (F.col("id") % 50).cast("string")) \
+        .withColumn("v", F.col("id") % 11)
+    out2, n2 = skew.auto_salted_agg(
+        b, ["key"], partial, final,
+        plain_aggs=[F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx")],
+    )
+    assert n2 == 1
+    assert "_salt" not in out2.columns
+    assert out2.count() == 50
+
+    # planning from PREVIOUS-run lineage metrics instead of the data
+    counts = e.groupBy("key").agg(F.count("*").alias("n_rows"))
+    stats = skew.skew_stats(counts)
+    assert skew.plan_salt_count(stats) == n_salt  # same decision
+    out3, n3 = skew.auto_salted_repartition(e, 8, "key", counts=counts)
+    assert n3 == n_salt and out3.count() == 20000
