@@ -30,6 +30,35 @@ TILE_SIZE = int(os.environ.get("SCALE_TILE_SIZE", "201"))
 REPEATS = int(os.environ.get("SCALE_REPEATS", "2"))
 
 
+def _proc_tree_cpu() -> float:
+    """Total utime+stime (sec) of this process and all live descendants
+    (the local-mode JVM + reused Python workers) via /proc. Sampled as a
+    delta around the timed window, it approximates executor-seconds —
+    the denominator that separates 'cores idle' (scheduling loss) from
+    'cores busy but slower' (shared-bus contention)."""
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            procs[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        except Exception:
+            continue
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _t) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+        stack.extend(children.get(p, []))
+    return total / os.sysconf("SC_CLK_TCK")
+
+
 def run_child(cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -40,7 +69,12 @@ def run_child(cores: int) -> dict:
     from hgt2osm2_spark.session import get_spark
     from hgt2osm2_spark.sources import synthetic
 
-    spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=cores)
+    arrow_batch = os.environ.get("SCALE_ARROW_BATCH")
+    extra = (
+        {"spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch}
+        if arrow_batch else None
+    )
+    spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=cores, extra=extra)
     polys = entrymod._pip_polygons_df(spark)
 
     def make_tiles(n_tiles: int, size: int):
@@ -67,22 +101,79 @@ def run_child(cores: int) -> dict:
     tiles.count()
 
     best = None
+    cpu0 = _proc_tree_cpu()
     for _ in range(REPEATS):
         t0 = time.time()
         rows = job(tiles)
         dt = time.time() - t0
         if best is None or dt < best[0]:
             best = (dt, rows)
+    cpu_avg = (_proc_tree_cpu() - cpu0) / REPEATS
     spark.stop()
     dt, rows = best
     return {
         "cores": cores,
         "sec": round(dt, 3),
         "images_per_sec": round(N_TILES / dt, 3),
+        "cpu_sec": round(cpu_avg, 1),
+        "arrow_batch": int(arrow_batch) if arrow_batch else 8192,
         "pip_rows": rows,
         "tiles": N_TILES,
         "tile_size": TILE_SIZE,
     }
+
+
+def _spawn_child(cores: int, arrow_batch: int | None = None) -> dict:
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_CPUS", None)
+    if arrow_batch:
+        env["SCALE_ARROW_BATCH"] = str(arrow_batch)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_JSON:")]
+    if not line:
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+        raise SystemExit(f"child at {cores} cores failed")
+    return json.loads(line[-1][len("CHILD_JSON:"):])
+
+
+def arrow_sweep(levels: tuple[int, ...], batches: tuple[int, ...]) -> None:
+    """The Arrow-batch lever on the N->4N pair: sweep
+    maxRecordsPerBatch at each level, reporting wall AND cpu-seconds so
+    bus contention is separable from batching overhead."""
+    results = []
+    for batch in batches:
+        for cores in levels:
+            r = _spawn_child(cores, arrow_batch=batch)
+            print(json.dumps(r))
+            results.append(r)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/arrow_sweep.json", "w") as f:
+        json.dump({"metric": "arrow_batch_sweep", "levels": list(levels),
+                   "batches": list(batches), "results": results}, f, indent=2)
+    rows = "\n".join(
+        f"| {r['arrow_batch']} | local[{r['cores']}] | {r['sec']} | "
+        f"{r['images_per_sec']} | {r['cpu_sec']} |"
+        for r in results
+    )
+    with open("BENCH/ARROW_SWEEP.md", "w") as f:
+        f.write(
+            "# Arrow maxRecordsPerBatch sweep (tile-encode + PIP headline)\n\n"
+            f"{N_TILES} tiles x {TILE_SIZE}^2, best of {REPEATS} per cell.\n"
+            "cpu_sec = process-tree CPU delta per timed run (executor-seconds"
+            " analogue): flat cpu_sec with rising wall = scheduling loss;"
+            " rising cpu_sec at higher core counts = per-core stall"
+            " (shared-bus contention).\n\n"
+            "| maxRecordsPerBatch | parallelism | wall (s) | img/s | cpu_sec |\n"
+            "|---|---|---|---|---|\n"
+            f"{rows}\n"
+        )
+    print("wrote BENCH/arrow_sweep.json, BENCH/ARROW_SWEEP.md")
 
 
 def main() -> None:
@@ -93,29 +184,23 @@ def main() -> None:
                     help="full sweeps over the levels; best per level wins "
                          "(the shared VM host drifts minute-to-minute, so "
                          "time-adjacent children would bias a single sweep)")
+    ap.add_argument("--arrow-sweep", action="store_true",
+                    help="sweep Arrow maxRecordsPerBatch at local[8]/local[32]")
+    ap.add_argument("--batches", type=int, nargs="+", default=(1024, 8192, 65536))
     args = ap.parse_args()
 
     if args.child is not None:
         print("CHILD_JSON:" + json.dumps(run_child(args.child)))
         return
 
+    if args.arrow_sweep:
+        arrow_sweep((8, 32), tuple(args.batches))
+        return
+
     by_cores: dict[int, dict] = {}
     for rnd in range(args.rounds):
         for cores in args.levels:
-            env = dict(os.environ)
-            env.pop("SPARK_GRAFT_CPUS", None)
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
-                capture_output=True,
-                text=True,
-                env=env,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_JSON:")]
-            if not line:
-                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-                raise SystemExit(f"child at {cores} cores failed")
-            r = json.loads(line[-1][len("CHILD_JSON:"):])
+            r = _spawn_child(cores)
             print(json.dumps({"round": rnd, **r}))
             if cores not in by_cores or r["sec"] < by_cores[cores]["sec"]:
                 by_cores[cores] = r
@@ -131,6 +216,13 @@ def main() -> None:
                 "4n_cores": hi_c,
                 "speedup": round(hi["images_per_sec"] / lo["images_per_sec"], 3),
                 "efficiency": round(eff, 3),
+                # same work at both levels: cpu_ratio ~1 means the cores
+                # were busy and equally productive (any wall gap is
+                # scheduling); cpu_ratio >> 1 at 4N means per-core stalls
+                # (shared memory bus) — a real cluster doesn't share one
+                "cpu_ratio": round(
+                    hi.get("cpu_sec", 0.0) / max(lo.get("cpu_sec", 0.0), 1e-9), 3
+                ),
                 "pass": eff >= 0.8,
             }
         )
@@ -158,11 +250,12 @@ def main() -> None:
         json.dump(summary, f, indent=2)
 
     level_rows = "\n".join(
-        f"| local[{r['cores']}] | {r['sec']} | {r['images_per_sec']} |" for r in results
+        f"| local[{r['cores']}] | {r['sec']} | {r['images_per_sec']} | {r.get('cpu_sec', '-')} |"
+        for r in results
     )
     pair_rows = "\n".join(
         f"| {p['n_cores']} -> {p['4n_cores']} | {p['speedup']}x | {p['efficiency']}"
-        f" | {'PASS' if p['pass'] else 'FAIL'} |"
+        f" | {p['cpu_ratio']} | {'PASS' if p['pass'] else 'FAIL'} |"
         for p in pairs
     )
     with open("BENCH/BASELINE.md", "w") as f:
@@ -182,13 +275,19 @@ parallelism levels (one JVM each, fresh subprocess per level, best of
 {REPEATS} timed runs after a warm-up pass, one BLAS thread per task
 slot so a small "cluster" cannot borrow idle cores).
 
-| parallelism | wall (s) | throughput (images/sec) |
-|---|---|---|
+| parallelism | wall (s) | throughput (images/sec) | cpu_sec/run |
+|---|---|---|---|
 {level_rows}
 
-| N -> 4N pair | speedup | efficiency | target >= 0.8 |
-|---|---|---|---|
+| N -> 4N pair | speedup | efficiency | cpu ratio | target >= 0.8 |
+|---|---|---|---|---|
 {pair_rows}
+
+cpu_sec = process-tree CPU delta per timed run (executor-seconds
+analogue). Same work at every level, so cpu ratio ~1 with a wall gap
+means idle cores (scheduling loss); cpu ratio >> 1 at 4N means cores
+busy but stalled — the single shared memory bus, which separate
+executors on a real cluster do not share.
 
 Caveat stated plainly: all levels share ONE machine's memory bus. The
 8 -> 32 pair saturates local DRAM bandwidth (the kernel is
