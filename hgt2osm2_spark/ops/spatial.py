@@ -260,13 +260,21 @@ def knn_join(
     _LIVE_CACHES.extend([pts, topk1])
     settled = topk1.filter("_settled").select(out_cols)
 
-    # telemetry — one small agg on the cached ranking output + one count
-    # of the (small) query side; also gates the fallback (replaces the
-    # old remaining.isEmpty() job, so the job count is unchanged)
-    n_total = queries.select("q_id").distinct().count()
-    n_settled = (
-        topk1.filter("_settled").agg(F.count_distinct("q_id").alias("n")).collect()[0]["n"]
+    # telemetry — ONE job: left-join the (small) query side against the
+    # cached settled ids and count both sides; also gates the fallback
+    # (replaces the old remaining.isEmpty() job)
+    trow = (
+        queries.select("q_id").distinct()
+        .join(
+            topk1.filter("_settled").select("q_id").distinct()
+            .withColumn("_s", F.lit(1)),
+            "q_id", "left",
+        )
+        .agg(F.count("*").alias("n_total"), F.sum("_s").alias("n_settled"))
+        .collect()[0]
     )
+    n_total = int(trow["n_total"])
+    n_settled = int(trow["n_settled"] or 0)
     n_fallback = n_total - n_settled
     LAST_KNN_METRICS.clear()
     LAST_KNN_METRICS.update(
