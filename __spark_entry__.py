@@ -630,6 +630,47 @@ def q_osm_xml_tiles(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-batch exact dedup. Documents stream in three id-ordered
+    micro-batches; because chunks are range-partitioned by doc_id, the
+    first batch carrying a text also carries its minimal id, so the
+    stream's first-wins output equals the batch dedup winner set —
+    ANSI-SQL-expressible (MIN(doc_id) GROUP BY text)."""
+    import os
+    import tempfile
+
+    from hgt2osm2_spark.streaming import ingest
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    src, out, ckpt = (os.path.join(root, p) for p in ("in", "out", "ckpt"))
+    os.makedirs(src)
+    pdf = d.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n = len(pdf)
+    for i, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n))):
+        path = os.path.join(src, f"b{i}.parquet")
+        pdf.iloc[lo:hi].to_parquet(path)
+        os.utime(path, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ingest.stream_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("doc_id")
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     """S11/J7: run the checkpointed pipeline twice (second run resumes);
     returns the lineage metrics table — one row per (stage, tile), and
@@ -702,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsv_sink": q_tsv_sink,
         "osm_xml_tiles": q_osm_xml_tiles,
         "checkpoint_lineage": q_checkpoint_lineage,
+        # custom stateful streaming op (applyInPandasWithState)
+        "stream_dedup": q_stream_dedup,
         # contour pipeline (rows-only; golden-tested in tests/)
         "contour_nodes": q_contour_nodes,
         "contour_ways": q_contour_ways,
@@ -888,6 +931,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1
+        """,
+        "stream_dedup": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "token_count": """
             SELECT doc_id,

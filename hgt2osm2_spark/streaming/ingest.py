@@ -64,6 +64,49 @@ def write_nodes_stream(
     return w.start()
 
 
+DEDUP_OUT_SCHEMA = "doc_id long, key_hash long"
+DEDUP_STATE_SCHEMA = "winner long"
+
+
+def stream_exact_dedup(
+    docs_stream: DataFrame, key_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-batch exact dedup over a document stream — the custom
+    STATEFUL operator path (applyInPandasWithState): one tiny state row
+    per distinct key (the winning doc_id), so a document whose key was
+    seen in ANY earlier micro-batch is dropped, exactly once, across
+    restarts (state lives in the stream checkpoint).
+
+    First-wins semantics match the batch operator (ops/dedup.exact_dedup,
+    smallest id) within the batch that first carries the key; earlier
+    batches win over later ones (stream time order). Grouping key is
+    xxhash64(key) so the shuffled key is 8 bytes, not the document text
+    — at 100 TB the state store holds one long per distinct key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup(key, pdfs, state):
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf[id_col].min())
+                if best is None or m < best:
+                    best = m
+        # key already claimed in an earlier micro-batch -> drop all
+        if not state.exists and best is not None:
+            state.update((best,))
+            yield pd.DataFrame({"doc_id": [best], "key_hash": [key[0]]})
+
+    keyed = docs_stream.withColumn("_k", F.xxhash64(F.col(key_col)))
+    return keyed.groupBy("_k").applyInPandasWithState(
+        dedup,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_stats(
     events_stream: DataFrame,
     window: str = "10 minutes",

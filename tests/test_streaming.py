@@ -75,3 +75,53 @@ def test_windowed_event_stats_matches_batch(spark, tmp_path):
     assert got_map
     for k, n in got_map.items():
         assert want_map[k] == n
+
+
+def test_stream_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a key seen in any
+    earlier micro-batch is dropped; state survives a stream RESTART via
+    the checkpoint."""
+    import pandas as pd
+
+    from hgt2osm2_spark.streaming import ingest
+
+    src = tmp_path / "docs_in"
+    out = tmp_path / "docs_out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def drop(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src / name)
+
+    # batch 1: two distinct texts, one in-batch dup (id 3 loses to id 1)
+    drop("b1.parquet", [(1, "alpha"), (2, "bravo"), (3, "alpha")])
+    # batch 2: one new text + two cross-batch dups
+    drop("b2.parquet", [(4, "charlie"), (5, "alpha"), (6, "bravo")])
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            ingest.stream_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1, 2, 4}
+
+    # restart with a third batch: dup-of-charlie dropped by RECOVERED
+    # state, new text admitted
+    drop("b3.parquet", [(7, "charlie"), (8, "delta")])
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1, 2, 4, 8}
