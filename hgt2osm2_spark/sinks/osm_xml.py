@@ -92,10 +92,45 @@ def tile_xml(nodes: DataFrame, ways: DataFrame, bounds: bool = False) -> DataFra
     return both.groupBy("image_id").applyInPandas(fmt, schema=XML_SCHEMA)
 
 
+def tile_file_rows(xml_df: DataFrame, gz: bool = True) -> DataFrame:
+    """(image_id, xml) -> (filename, payload) artifact rows, gzip'd
+    per tile when requested (naming: ContourProcessor2.cs:1410-1414).
+    mtime=0 in the gzip header so payload bytes are deterministic."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_payload(xml: pd.Series) -> pd.Series:
+        import io
+
+        out = []
+        for x in xml:
+            data = x.encode()
+            if gz:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(data)
+                data = buf.getvalue()
+            out.append(data)
+        return pd.Series(out)
+
+    suffix = ".osm.gz" if gz else ".osm"
+    return xml_df.select(
+        F.concat(F.lit("cl"), F.col("image_id"), F.lit(suffix)).alias("filename"),
+        to_payload(F.col("xml")).alias("payload"),
+    )
+
+
+def write_tile_files_distributed(xml_df: DataFrame, out_dir: str, gz: bool = True) -> int:
+    """S5 scale path: per-tile OSM files written executor-side (see
+    rasters.write_artifacts_distributed); returns the file count."""
+    from .rasters import write_artifacts_distributed
+
+    return write_artifacts_distributed(tile_file_rows(xml_df, gz), out_dir)
+
+
 def write_tile_files(xml_df: DataFrame, out_dir: str, gz: bool = True) -> list[str]:
     """Materialize one `cl{N|S}{lat}{E|W}{lon}_{k}.osm[.gz]` per tile
     (naming: ContourProcessor2.cs:1410-1414). Small-result collect —
-    at scale this would be a distributed binary-file write."""
+    golden-test helper; the scale path is write_tile_files_distributed."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)

@@ -173,9 +173,10 @@ def tsv_dump(tiles: DataFrame) -> DataFrame:
 
 
 def write_artifacts(df: DataFrame, out_dir: str) -> int:
-    """Materialize sink rows as files; returns file count. Distributed
-    writers would use the binaryFile sink / Iceberg — this local helper
-    exists for golden tests."""
+    """Materialize sink rows as files; returns file count.
+
+    NOTE: driver-side collect — golden-test helper only. The scale path
+    is ``write_artifacts_distributed`` (same files, executor-side)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -185,3 +186,38 @@ def write_artifacts(df: DataFrame, out_dir: str) -> int:
             f.write(row["payload"])
         n += 1
     return n
+
+
+def write_artifacts_distributed(
+    df: DataFrame, out_dir: str,
+    filename_col: str = "filename", payload_col: str = "payload",
+) -> int:
+    """Executor-side artifact writer: every task writes its partition's
+    (filename, payload) rows straight to shared storage — nothing but a
+    scalar count reaches the driver. Files land via write-temp +
+    atomic rename, so a retried task simply overwrites with identical
+    bytes (artifact content is a deterministic function of its name
+    here, as in the reference's per-tile outputs). On a cluster
+    ``out_dir`` is the shared filesystem / object-store mount; at
+    10^12 tiles this is the only shape that works — the collect-based
+    helper is a driver OOM. Returns the number of files written."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in pdfs:
+            for name, payload in zip(pdf[filename_col], pdf[payload_col]):
+                final = os.path.join(out_dir, str(name))
+                tmp = f"{final}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(payload))
+                os.replace(tmp, final)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = df.select(filename_col, payload_col).mapInPandas(write_part, "n long")
+    return int(counts.agg(F.sum("n")).collect()[0][0] or 0)

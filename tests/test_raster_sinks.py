@@ -74,3 +74,36 @@ def test_sink_dataframes(spark):
     body = row["payload"].decode().splitlines()[6:]
     vals = np.array([[int(v) for v in line.split()] for line in body])
     assert vals.shape == (9, 9)
+
+
+def test_distributed_artifact_writer_matches_collect(spark, tmp_path):
+    """Executor-side artifact writer produces the same file set and
+    bytes as the collect-based golden helper (rasters + tile OSM.gz)."""
+    import gzip
+    import os
+
+    from hgt2osm2_spark.config import ContourOptions
+    from hgt2osm2_spark.plans.pipeline import run_contour_pipeline
+    from hgt2osm2_spark.sinks import osm_xml, rasters
+    from hgt2osm2_spark.sources.synthetic import tiles_df
+
+    tiles = tiles_df(spark, n_tiles=3, size=17, seed=4)
+
+    art = rasters.arcinfo_grid(tiles)
+    a_dir, b_dir = str(tmp_path / "collect"), str(tmp_path / "dist")
+    n_a = rasters.write_artifacts(art, a_dir)
+    n_b = rasters.write_artifacts_distributed(art, b_dir)
+    assert n_a == n_b == 3
+    assert sorted(os.listdir(a_dir)) == sorted(os.listdir(b_dir))
+    for name in os.listdir(a_dir):
+        assert open(f"{a_dir}/{name}", "rb").read() == open(f"{b_dir}/{name}", "rb").read()
+
+    # per-tile OSM .gz files, deterministic payload (mtime=0)
+    res = run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=4)
+    xml = osm_xml.tile_xml(res.nodes, res.ways)
+    t_dir = str(tmp_path / "tiles")
+    n = osm_xml.write_tile_files_distributed(xml, t_dir, gz=True)
+    assert n == len(os.listdir(t_dir)) > 0
+    want = {f"cl{r['image_id']}.osm.gz": r["xml"].encode() for r in xml.collect()}
+    for name, data in want.items():
+        assert gzip.open(f"{t_dir}/{name}", "rb").read() == data
