@@ -249,6 +249,17 @@ def q_small_order_revenue(spark, sf_dir):
     )
 
 
+def q_cube_events(spark, sf_dir):
+    """A8: full cube over two grouping dimensions (4 grouping sets)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "user_mod", (F.col("user_id") % 10).cast("int")
+    )
+    return (
+        e.cube("event_type", "user_mod")
+        .agg(F.count("*").alias("n"), _dsum("value", "sum_value"))
+    )
+
+
 def q_rollup_events(spark, sf_dir):
     """A8: rollup aggregation (metrics roll-up pattern)."""
     e = _t(spark, sf_dir, "events")
@@ -377,6 +388,21 @@ def _contour_result(spark):
 
 def q_contour_nodes(spark, sf_dir):
     return _contour_result(spark).nodes
+
+
+def q_contour_readme_profile(spark, sf_dir):
+    """The README invocation profile (config.README_PROFILE: DP eps
+    0.12, min bbox 0.00016, no elevation-type tags) — proves the option
+    surface actually drives kernel behavior, golden-checked against the
+    scalar twin run with the same options."""
+    from hgt2osm2_spark.config import README_PROFILE
+
+    tiles = _synth_tiles(spark, n_tiles=4, size=33)
+    r = run_contour_pipeline(tiles, README_PROFILE, shuffle_partitions=8)
+    return r.ways.select(
+        "image_id", "level", "poly_ord", "way_id",
+        F.size("node_refs").alias("n_refs"), "contour_ext",
+    )
 
 
 def q_contour_ways(spark, sf_dir):
@@ -707,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_band_rangejoin": q_value_band_rangejoin,
         "small_order_revenue": q_small_order_revenue,
         "rollup_events": q_rollup_events,
+        "cube_events": q_cube_events,
         "json_extract": q_json_extract,
         # spatial layer (K12, J3, J4)
         "cell_index": q_cell_index,
@@ -747,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         # contour pipeline (rows-only; golden-tested in tests/)
         "contour_nodes": q_contour_nodes,
+        "contour_readme_profile": q_contour_readme_profile,
         "contour_ways": q_contour_ways,
         "contour_metrics": q_contour_metrics,
         "decode_stats": q_decode_stats,
@@ -791,7 +819,8 @@ def _pip_inside_sql(px: str, py: str) -> str:
 #: scalar (no-Spark) twin — see tools/make_golden.py for provenance.
 #: Regenerate with `python tools/make_golden.py` after a semantic change.
 GOLDEN_ORACLES = [
-    "contour_nodes", "contour_ways", "contour_metrics", "checkpoint_lineage",
+    "contour_nodes", "contour_readme_profile", "contour_ways",
+    "contour_metrics", "checkpoint_lineage",
     "osm_xml_tiles", "tile_pip_flagship", "decode_stats", "hgt_zip_scan",
     "crop_stats", "arcinfo_sink", "geopng_sink", "tsv_sink",
     "multimodal_features", "multimodal_resize", "frame_sample",
@@ -894,6 +923,12 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": """
             SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
             FROM events GROUP BY ROLLUP (event_type)
+        """,
+        "cube_events": """
+            SELECT event_type, CAST(user_id % 10 AS INT) AS user_mod,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY CUBE (event_type, user_mod)
         """,
         "json_extract": """
             WITH k AS (SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val FROM events)

@@ -249,6 +249,20 @@ def g_contour_ways():
     ]))
 
 
+def g_contour_readme_profile():
+    from hgt2osm2_spark.config import README_PROFILE
+
+    res = scalar_contours(_synth_tile_rows(4, 33), README_PROFILE)
+    df = pd.DataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[7]) for r in res["ways"]],
+        columns=["image_id", "level", "poly_ord", "way_id", "n_refs", "contour_ext"],
+    )
+    _write("contour_readme_profile", df, pa.schema([
+        ("image_id", pa.string()), ("level", pa.int32()), ("poly_ord", pa.int32()),
+        ("way_id", pa.int64()), ("n_refs", pa.int32()), ("contour_ext", pa.string()),
+    ]))
+
+
 def g_contour_metrics():
     res = scalar_contours(_synth_tile_rows(6, 33))
     cols = ["removed_polylines", "short_polylines", "small_polylines",
@@ -914,6 +928,7 @@ def g_ann_ivf():
 
 GENERATORS = {
     "contour_nodes": g_contour_nodes,
+    "contour_readme_profile": g_contour_readme_profile,
     "contour_ways": g_contour_ways,
     "contour_metrics": g_contour_metrics,
     "checkpoint_lineage": g_checkpoint_lineage,
