@@ -296,6 +296,22 @@ def q_knn_join(spark, sf_dir):
     return out.select("q_id", "p_id", "rnk")
 
 
+#: rasterize window: 256x256 cells of exactly-representable 4/256 deg
+RASTER_N, RASTER_D = 256, 0.015625
+
+
+def q_rasterize(spark, sf_dir):
+    """Vector->raster: burn the PIP polygons into occupancy masks; the
+    per-polygon inside-cell count is reproduced relationally by the
+    DuckDB oracle (same center grid, half-plane interior test)."""
+    from hgt2osm2_spark.ops import rasterize
+
+    out = rasterize.rasterize_polygons(
+        _pip_polygons_df(spark), 40.0, 0.0, RASTER_N, RASTER_D
+    )
+    return out.select("poly_id", "n_inside")
+
+
 def q_pip_join(spark, sf_dir):
     """J3: point-in-polygon join (cell prefilter + exact ray cast)."""
     pts = _li_points(spark, sf_dir).withColumnRenamed("p_id", "q_id")
@@ -739,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index": q_cell_index,
         "knn_join": q_knn_join,
         "pip_join": q_pip_join,
+        "rasterize": q_rasterize,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -963,6 +980,14 @@ def oracle_sql() -> dict[str, str]:
             )
             {pip_union}
         """,
+        "rasterize": "\nUNION ALL\n".join(
+            f"""SELECT '{pid}' AS poly_id, CAST(COUNT(*) AS BIGINT) AS n_inside
+                FROM (SELECT 0.0 + (j + 0.5) * {RASTER_D!r} AS lon,
+                             40.0 + (i + 0.5) * {RASTER_D!r} AS lat
+                      FROM range({RASTER_N}) r1(i), range({RASTER_N}) r2(j)) g
+                WHERE {cond.replace("p.lon", "g.lon").replace("p.lat", "g.lat")}"""
+            for pid, cond in _pip_inside_sql("p.lon", "p.lat")
+        ),
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1

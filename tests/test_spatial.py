@@ -134,3 +134,41 @@ def test_knn_telemetry_clustered(spark):
         d2 = (pts.lat - qs.lat[qid]) ** 2 + (pts.lon - qs.lon[qid]) ** 2
         want = set(pts.p_id[np.argsort(d2.to_numpy(), kind="stable")[:3]])
         assert set(grp.p_id) == want
+
+
+def test_rasterize_polygons(spark):
+    """Vector->raster burn: mask popcount == n_inside, a point known
+    inside polyA is set, grid corners are clear, and the mask agrees
+    with a direct scalar ray-cast on a sample of cells."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from hgt2osm2_spark.ops import rasterize
+    from hgt2osm2_spark.ops.spatial import _ray_crossings
+
+    n, d = 64, 0.0625
+    out = {
+        r["poly_id"]: r
+        for r in rasterize.rasterize_polygons(
+            entrymod._pip_polygons_df(spark), 40.0, 0.0, n, d
+        ).collect()
+    }
+    assert set(out) == {p for p, _ in entrymod.PIP_POLYGONS}
+    for pid, verts in entrymod.PIP_POLYGONS:
+        r = out[pid]
+        mask = np.unpackbits(
+            np.frombuffer(bytes(r["mask"]), dtype=np.uint8), count=n * n
+        ).reshape(n, n).astype(bool)
+        assert int(mask.sum()) == r["n_inside"] > 0
+        xs = np.array([v[0] for v in verts] + [verts[0][0]])
+        ys = np.array([v[1] for v in verts] + [verts[0][1]])
+        # centroid cell must be inside for these convex rings
+        cx, cy = xs[:-1].mean(), ys[:-1].mean()
+        i, j = int((cy - 40.0) / d), int((cx - 0.0) / d)
+        assert mask[i, j]
+        # sampled cells agree with a direct ray cast
+        ii, jj = np.meshgrid(np.arange(0, n, 7), np.arange(0, n, 7), indexing="ij")
+        lats = 40.0 + (ii.ravel() + 0.5) * d
+        lons = 0.0 + (jj.ravel() + 0.5) * d
+        want = _ray_crossings(lons, lats, xs, ys)
+        assert np.array_equal(mask[ii.ravel(), jj.ravel()], want)
