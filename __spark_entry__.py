@@ -280,6 +280,31 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_time_functions(spark, sf_dir):
+    """K13 date/time functions: trunc, extract, dayofweek, datediff —
+    monthly order rollup with integer-exact derived columns."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            # to_date: DuckDB's date_trunc('month') yields DATE, Spark's
+            # yields timestamp — align the representation
+            F.to_date(F.date_trunc("month", d)).alias("month_start"),
+            F.year(d).alias("yr"),
+            F.month(d).alias("mon"),
+            F.dayofweek(d).alias("dow"),  # 1 = Sunday
+            F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias("age_days"),
+        )
+        .groupBy("month_start", "yr", "mon")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dow").alias("sum_dow"),
+            F.min("age_days").alias("min_age_days"),
+            F.max("age_days").alias("max_age_days"),
+        )
+    )
+
+
 def q_cell_index(spark, sf_dir):
     """K12: JVM-side cell encoding of derived points."""
     pts = _li_points(spark, sf_dir)
@@ -751,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": q_rollup_events,
         "cube_events": q_cube_events,
         "json_extract": q_json_extract,
+        "time_functions": q_time_functions,
         # spatial layer (K12, J3, J4)
         "cell_index": q_cell_index,
         "knn_join": q_knn_join,
@@ -951,6 +977,20 @@ def oracle_sql() -> dict[str, str]:
             WITH k AS (SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val FROM events)
             SELECT k_val % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k_val) AS BIGINT) AS sum_k
             FROM k GROUP BY k_val % 10
+        """,
+        "time_functions": """
+            SELECT date_trunc('month', o_orderdate) AS month_start,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                   CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(EXTRACT(dow FROM o_orderdate) AS INT) + 1) AS BIGINT)
+                       AS sum_dow,  -- DuckDB dow: 0=Sunday; Spark dayofweek: 1=Sunday
+                   CAST(MIN(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS INT)
+                       AS min_age_days,
+                   CAST(MAX(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS INT)
+                       AS max_age_days
+            FROM orders
+            GROUP BY 1, 2, 3
         """,
         "cell_index": f"""
             WITH pts AS ({_LI_POINTS_SQL})

@@ -45,6 +45,18 @@ AUDITED = {
         ("two-level aggregate (salt then merge)", r"HashAggregate"),
         ("exchange on salted key", r"Exchange hashpartitioning.*_salt|_salt"),
     ],
+    "minhash_lsh": [
+        ("banded candidates are an equi-join, never all-pairs", r"CartesianProduct", "absent"),
+        ("band/bucket hash join present", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    ],
+    "ngram_jaccard": [
+        ("gram equi-join, never all-pairs", r"CartesianProduct", "absent"),
+        ("partial aggregation before shuffle", r"HashAggregate"),
+    ],
+    "time_functions": [
+        ("column-pruned scan (only o_orderdate read)", r"ReadSchema: [^\n]*o_orderdate"),
+        ("whole-stage codegen", r"WholeStageCodegen|codegen id|\*\(\d+\)"),
+    ],
 }
 
 
