@@ -88,6 +88,30 @@ def point_store_ids(points: DataFrame, x: str = "x", y: str = "y",
     return points.join(ids_df, [x, y])
 
 
+def point_store_ids_per_tile(
+    points: DataFrame, tile_col: str = "image_id", x: str = "x", y: str = "y",
+    ord_col: str | None = None,
+) -> DataFrame:
+    """K11 PointStore, SCALE PATH: dense negative first-wins pseudo-IDs
+    assigned WITHIN each tile (window partitioned by tile — no global
+    sort, no single-task cap). This matches the reference exactly: its
+    PointStore lives inside one ContourProcessor2 instance, i.e. one
+    tile (ContourProcessor2.cs:2425-2494). IDs from different tiles may
+    repeat; callers offset by the tile base (as the decorations do), so
+    the rendered IDs stay globally unique."""
+    keys = [tile_col, x, y]
+    firsts = points.groupBy(*keys).agg(
+        F.min(ord_col).alias("_first") if ord_col else F.min(F.lit(0)).alias("_first")
+    )
+    w = W.partitionBy(tile_col).orderBy(
+        F.col("_first").asc(), F.col(x).asc(), F.col(y).asc()
+    )
+    ids_df = firsts.withColumn(
+        "pseudo_id", -F.row_number().over(w).cast("long")
+    ).drop("_first")
+    return points.join(ids_df, keys)
+
+
 def nodes_df(assigned: DataFrame) -> DataFrame:
     """Explode points -> OSM nodes. Grid->degree transform is K6
     (lat = bottom + y/(H-1), lon = left + x/(W-1),

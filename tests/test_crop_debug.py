@@ -78,3 +78,32 @@ def test_debug_render(spark):
     out = debug_png.render_polylines(post, width=64).collect()
     assert len(out) == 2
     assert all(bytes(r["payload"])[:8] == b"\x89PNG\r\n\x1a\n" for r in out)
+
+
+def test_point_store_per_tile_scale_path(spark):
+    """Partitioned PointStore: same first-wins dense-negative semantics
+    as the global variant, but windowed per tile (no single-task global
+    sort). Per tile, the id sequence must equal the global variant run
+    on that tile alone."""
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import ids as ids_ops
+
+    rows = []
+    for t, n in (("n40e000_0", 7), ("n41e002_0", 5)):
+        for i in range(n):
+            # duplicates: every other point repeats the previous one
+            xi = (i // 2) * 1.5
+            rows.append({"image_id": t, "x": xi, "y": xi * 2, "p_id": i})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    out = ids_ops.point_store_ids_per_tile(df, ord_col="p_id").toPandas()
+    for t, grp in out.groupby("image_id"):
+        solo = ids_ops.point_store_ids(
+            df.filter(df.image_id == t).select("x", "y", "p_id"), ord_col="p_id"
+        ).toPandas()
+        got = grp.sort_values("p_id").pseudo_id.tolist()
+        want = solo.sort_values("p_id").pseudo_id.tolist()
+        assert got == want
+        # dense negative ids starting at -1 per tile
+        assert set(grp.pseudo_id) == set(range(-1, -1 - grp.pseudo_id.nunique(), -1))

@@ -139,3 +139,37 @@ def test_xml_sink(small_result, spark, tmp_path):
         text = f.read().decode()
     assert text.startswith("<?xml") and text.rstrip().endswith("</osm>")
     assert "<node id='" in text and "<tag k='contour' v='elevation'/>" in text
+
+
+def test_srtm3_size_tile_end_to_end(spark):
+    """A real SRTM-3-sized tile (1201x1201 = 1.44M samples, ~5.76M
+    triangles — HGTReader.cs:49, ContourProcessor2.cs:1464) flows
+    through decode -> marching -> stitch -> post -> nodes without
+    blowing batch or task memory, and its node stream obeys the
+    tile-keyed ID contract."""
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.config import ContourOptions, tile_first_id
+    from hgt2osm2_spark.kernels import codecs
+    from hgt2osm2_spark.plans.pipeline import run_contour_pipeline
+    from hgt2osm2_spark.sources.synthetic import TILES_SCHEMA, heightfield
+
+    n = 1201
+    grid = heightfield(3, n, seed=13)
+    tiles = spark.createDataFrame(
+        pd.DataFrame([{
+            "image_id": "n43e000_0", "bytes": codecs.encode_hgt(grid),
+            "w": n, "h": n, "fmt": "hgt",
+            "caption": "srtm3-size", "phash": codecs.phash64(grid),
+        }]),
+        schema=TILES_SCHEMA,
+    )
+    res = run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=4)
+    stats = res.nodes.agg(
+        {"node_id": "min", "lat": "min", "lon": "max", "*": "count"}
+    ).collect()[0]
+    assert stats["count(1)"] > 10_000
+    base = tile_first_id(43, 0)
+    assert stats["min(node_id)"] == base
+    assert 43.0 <= stats["min(lat)"] and stats["max(lon)"] <= 1.0
