@@ -227,6 +227,27 @@ def q_value_band_rangejoin(spark, sf_dir):
     return j.select("event_id", "band")
 
 
+def q_asof_join(spark, sf_dir):
+    """J6 as-of join (backward, inclusive): for every event, the latest
+    HIGH-VALUE (value >= 100) event of the same user at or before it.
+    One shuffle via the union-marker window — no range explosion;
+    oracled by DuckDB's native ASOF LEFT JOIN."""
+    from hgt2osm2_spark.ops import temporal
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("value") >= 100.0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("last_hi_event"))
+    )
+    out = temporal.as_of_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["last_hi_event"],
+    )
+    return out.select("event_id", "user_id", "last_hi_event")
+
+
 def q_small_order_revenue(spark, sf_dir):
     """Correlated scalar subquery (TPC-H Q17 shape) — Catalyst
     decorrelates it into an aggregate + join; expressed via spark.sql
@@ -772,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_intersect": q_nation_intersect,
         "running_window": q_running_window,
         "value_band_rangejoin": q_value_band_rangejoin,
+        "asof_join": q_asof_join,
         "small_order_revenue": q_small_order_revenue,
         "rollup_events": q_rollup_events,
         "cube_events": q_cube_events,
@@ -950,6 +972,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN (VALUES {bands_values}) AS b(lo, hi, band)
               ON e.value >= b.lo AND e.value < b.hi
+        """,
+        "asof_join": """
+            WITH r AS (
+                SELECT user_id, ts, MAX(event_id) AS last_hi_event
+                FROM events WHERE value >= 100.0 GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, r.last_hi_event
+            FROM events l
+            ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "small_order_revenue": """
             SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0

@@ -172,3 +172,30 @@ def test_rasterize_polygons(spark):
         lons = 0.0 + (jj.ravel() + 0.5) * d
         want = _ray_crossings(lons, lats, xs, ys)
         assert np.array_equal(mask[ii.ravel(), jj.ravel()], want)
+
+
+def test_as_of_join_semantics(spark):
+    """Backward-inclusive as-of join: matches the latest right row at or
+    before each left ts per key; nulls when nothing precedes; a right
+    row at the exact same ts matches (inclusive)."""
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import temporal
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "lid": [1, 2, 3, 4, 5],
+        "k":   [1, 1, 1, 2, 2],
+        "ts":  pd.to_datetime(["2024-01-01", "2024-01-05", "2024-01-10",
+                               "2024-01-02", "2024-01-03"]),
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k":   [1, 1, 2],
+        "ts":  pd.to_datetime(["2024-01-05", "2024-01-07", "2024-01-09"]),
+        "v":   [50, 70, 90],
+    }))
+    out = temporal.as_of_join(left, right, "k", "ts", "ts", ["v"]).toPandas()
+    got = dict(zip(out.lid, out.v.where(out.v.notna(), None)))
+    assert got == {1: None,   # nothing precedes
+                   2: 50,     # inclusive: same-ts right row matches
+                   3: 70,     # latest of the two
+                   4: None, 5: None}  # k=2's right row is later
