@@ -194,7 +194,7 @@ def test_as_of_join_semantics(spark):
         "v":   [50, 70, 90],
     }))
     out = temporal.as_of_join(left, right, "k", "ts", "ts", ["v"]).toPandas()
-    got = dict(zip(out.lid, out.v.where(out.v.notna(), None)))
+    got = {int(l): (None if pd.isna(v) else int(v)) for l, v in zip(out.lid, out.v)}
     assert got == {1: None,   # nothing precedes
                    2: 50,     # inclusive: same-ts right row matches
                    3: 70,     # latest of the two
