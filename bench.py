@@ -92,6 +92,11 @@ def main():
         "ann_bruteforce",
         "ann_lsh",
         "contour_nodes",
+        "dedup_exact",
+        "fingerprint",
+        "asof_join",
+        "time_functions",
+        "rasterize",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the
