@@ -292,15 +292,9 @@ def _add_segment(k: Point, p2: Point, polylines: list[Polyline], index: _Index) 
         polylines.append(pl)
 
 
-def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
-    """Full per-tile stage 3+4: per-(row, level) bags -> per-level gather
-    -> per-level stitching (ContourProcessor2.cs:1461-1525).
-
-    seg_array: marching.SEG_DTYPE records in emission order.
-    Returns {level: [polyline, ...]} with levels ascending.
-    """
-    # stage 1 analogue: per-(row, level) bags in emission order
-    # (.tolist() once — native Python scalars are much faster to hash)
+def stitch_tile_reference(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
+    """Readable twin of stitch_tile built from the LineBag/add_bag
+    primitives — kept for tests (the fast path below must equal it)."""
     row_bags: dict[tuple[int, int], LineBag] = {}
     it = zip(
         seg_array["y"].tolist(),
@@ -317,7 +311,6 @@ def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
             b = row_bags[key] = LineBag()
         b.add((ax, ay), (bx, by))
 
-    # stage 3: gather rows (ascending) into one bag per level (:1488-1507)
     levels = sorted({lv for (_, lv) in row_bags})
     rows = sorted({r for (r, _) in row_bags})
     out: dict[int, list[list[Point]]] = {}
@@ -329,9 +322,142 @@ def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
                 master.add_bag(b)
         if master.count() == 0:
             continue
-        # stage 4: stitch (one task per level in the reference)
         out[lv] = _stitch_master(master)
     return out
+
+
+def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
+    """Full per-tile stage 3+4: per-(row, level) bags -> per-level gather
+    -> per-level stitching (ContourProcessor2.cs:1461-1525).
+
+    seg_array: marching.SEG_DTYPE records in emission order.
+    Returns {level: [polyline, ...]} with levels ascending.
+
+    This is the hot path of ``stitch_tile_reference`` (same semantics
+    bit-for-bit, property-tested). Two speed levers over the readable
+    twin, neither changing behavior:
+     - endpoints are interned ONCE into integer ids whose order is the
+       (x, y)-lexicographic point order (one vectorized np.unique on a
+       structured view — structured comparison is exactly the reference
+       comparator, :231-243), so every dict/list/sort in the sequential
+       assembly runs on small ints instead of float tuples;
+     - the LineBag add logic is inlined as local dict ops.
+    -0.0/0.0 cannot collide here: grid-unit coordinates are
+    non-negative and the lerp never yields -0.0 (p1 + f*(p2-p1) with
+    p1 >= 0)."""
+    n = len(seg_array)
+    if n == 0:
+        return {}
+    x = np.concatenate([seg_array["x1"], seg_array["x2"]])
+    y = np.concatenate([seg_array["y1"], seg_array["y2"]])
+    # lexsort-based interning (a structured np.unique gives identical
+    # ids but sorts with generic compares — ~6x slower)
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    first = np.empty(xs.size, dtype=bool)
+    first[0] = True
+    first[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+    inverse = np.empty(xs.size, dtype=np.int64)
+    inverse[order] = np.cumsum(first) - 1
+    ux = xs[first]
+    uy = ys[first]
+    p1s = inverse[:n].tolist()
+    p2s = inverse[n:].tolist()
+
+    # stage 1: per-(row, level) adjacency dicts in emission order
+    row_bags: dict[tuple[int, int], dict[int, list[int]]] = {}
+    rb_get = row_bags.get
+    for y, lv, p1, p2 in zip(
+        seg_array["y"].tolist(), seg_array["level"].tolist(), p1s, p2s
+    ):
+        key = (y, lv)
+        adj = rb_get(key)
+        if adj is None:
+            adj = row_bags[key] = {}
+        lst = adj.get(p1)
+        if lst is not None:
+            if p2 not in lst:
+                lst.append(p2)
+        else:
+            lst = adj.get(p2)
+            if lst is not None:  # "umdrehen" — key by the existing endpoint
+                if p1 not in lst:
+                    lst.append(p1)
+            else:
+                adj[p1] = [p2]
+
+    # stage 3: gather rows (ascending) into one adjacency per level,
+    # row keys visited sorted (SortedDictionary iteration, :673-680)
+    levels = sorted({lv for (_, lv) in row_bags})
+    rows = sorted({r for (r, _) in row_bags})
+    out: dict[int, list[list[Point]]] = {}
+    for lv in levels:
+        madj: dict[int, list[int]] = {}
+        m_get = madj.get
+        for r in rows:
+            adj = rb_get((r, lv))
+            if adj is None:
+                continue
+            for p1 in sorted(adj):
+                for p2 in adj[p1]:
+                    lst = m_get(p1)
+                    if lst is not None:
+                        if p2 not in lst:
+                            lst.append(p2)
+                        continue
+                    lst = m_get(p2)
+                    if lst is not None:
+                        if p1 not in lst:
+                            lst.append(p1)
+                        continue
+                    madj[p1] = [p2]
+        if madj:
+            # assemble on ids, then map ids -> exact (x, y) tuples
+            pls = _stitch_adj(madj)
+            mapped = []
+            for ids in pls:
+                arr = np.fromiter(ids, dtype=np.int64, count=len(ids))
+                mapped.append(list(zip(ux[arr].tolist(), uy[arr].tolist())))
+            out[lv] = mapped
+    return out
+
+
+def _stitch_adj(adj: dict[Point, list[Point]]) -> list[list[Point]]:
+    """_stitch_master over a plain adjacency dict, with the
+    _add_segment candidate collection inlined (no list copies)."""
+    polylines: list[Polyline] = []
+    index = _Index()
+    m = index.m
+    for key in sorted(adj):
+        lst0 = adj[key]
+        while lst0:
+            p2 = lst0.pop(0)
+            l1 = m.get(key)
+            l2 = m.get(p2)
+            n1 = len(l1) if l1 is not None else 0
+            n2 = len(l2) if l2 is not None else 0
+            total = n1 + n2
+            if total == 0:
+                pl = Polyline((key, p2))
+                index.add(pl)
+                polylines.append(pl)
+                continue
+            first = l1[0] if n1 else l2[0]
+            if total == 1:
+                _attach_seg(first, key, p2, index)
+                continue
+            second = l1[1] if n1 > 1 else (l2[0] if n1 == 1 else l2[1])
+            if total == 2 and first is second:
+                # segment closes `first` into a ring — retire from index
+                index.remove(first)
+                _attach_seg(first, key, p2, None)
+            else:
+                _attach_seg(first, key, p2, index)
+                index.remove(second)
+                _concat(first, second, index)
+                # dropped from the output list even if Concat failed (:979)
+                second.alive = False
+    return [list(pl.pts) for pl in polylines if pl.alive]
 
 
 def _stitch_master(master: LineBag) -> list[list[Point]]:
