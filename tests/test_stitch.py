@@ -139,3 +139,30 @@ def test_run_polyline_filters_and_counters():
     out = run_polyline([(0.5, 5.0), (0.6, 6.0)], 3, 0.0005, 0.001, 0.04, c)
     assert out is not None
     assert c.polylines == 1
+
+
+def test_stitch_fast_path_equals_reference_twin():
+    """The interned/inlined stitch_tile must reproduce the readable
+    LineBag-based twin exactly — polyline order, point order,
+    orientation, ring starts — on random, holed, flat-case and empty
+    tiles (these feed the deterministic ID streams)."""
+    import numpy as np
+
+    from hgt2osm2_spark.kernels import marching, stitch
+    from hgt2osm2_spark.kernels.fixtures import TEST1, TEST2, TEST3
+    from hgt2osm2_spark.sources.synthetic import heightfield
+
+    cases = []
+    for idx in range(6):
+        cases.append((heightfield(idx, 101, seed=idx + 2), 20, -0.5))
+    holed = heightfield(3, 81)
+    holed[10:40, 15:45] = -32768
+    cases.append((holed, 20, 0.0))
+    cases.append((TEST1, 20, -0.5))
+    cases.append((TEST2, 20, -0.5))
+    cases.append((TEST3, 2, 0.0))  # flat case-e path
+    cases.append((np.full((9, 9), 105, dtype=np.int16), 20, -0.5))  # empty
+
+    for grid, d, fake in cases:
+        seg = marching.extract_segments(grid, d, fake)
+        assert stitch.stitch_tile(seg) == stitch.stitch_tile_reference(seg)
