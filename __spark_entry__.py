@@ -301,6 +301,19 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact percentile aggregates (sort-based, order-insensitive —
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition bit-for-bit)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+    )
+
+
 def q_time_functions(spark, sf_dir):
     """K13 date/time functions: trunc, extract, dayofweek, datediff —
     monthly order rollup with integer-exact derived columns."""
@@ -560,6 +573,21 @@ def q_hgt_zip_scan(spark, sf_dir):
     )
 
 
+def q_decode_quarantine(spark, sf_dir):
+    """Corrupt-input quarantine: two deliberately corrupted payloads
+    (truncated hgt, broken PNG magic) are flagged per row instead of
+    failing the job; healthy tiles keep their stats."""
+    from hgt2osm2_spark.sources.decode import decode_stats_quarantined
+
+    tiles = _synth_tiles(spark, n_tiles=6, size=33).toPandas()
+    t0 = bytes(tiles.loc[0, "bytes"])
+    tiles.loc[0, "bytes"] = t0[: len(t0) // 2 - 1]  # truncated hgt
+    t1 = bytearray(bytes(tiles.loc[1, "bytes"]))
+    t1[0] ^= 0xFF  # broken PNG signature
+    tiles.loc[1, "bytes"] = bytes(t1)
+    return decode_stats_quarantined(spark.createDataFrame(tiles))
+
+
 def q_show_points(spark, sf_dir):
     """ShowPoints decoration: raw heights as tagged nodes in a box."""
     from hgt2osm2_spark.ops import decorations
@@ -673,6 +701,28 @@ def q_windowed_stats(spark, sf_dir):
             _dsum("value", "sum_value"),
         )
         .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_session_windows(spark, sf_dir):
+    """Session windows (30-min inactivity gap) per user over the events
+    stream schema — F.session_window on the batch table (the streaming
+    variant shares the operator); oracled by a gaps-and-islands
+    formulation in ANSI SQL."""
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 
@@ -799,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": q_cube_events,
         "json_extract": q_json_extract,
         "time_functions": q_time_functions,
+        "percentiles": q_percentiles,
         # spatial layer (K12, J3, J4)
         "cell_index": q_cell_index,
         "knn_join": q_knn_join,
@@ -818,8 +869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        # real-file ingestion (S2/S4)
+        # real-file ingestion (S2/S4) + robustness
         "hgt_zip_scan": q_hgt_zip_scan,
+        "decode_quarantine": q_decode_quarantine,
         # decorations + cross-tile stitch + point store + crop
         "show_points": q_show_points,
         "show_areas": q_show_areas,
@@ -829,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew + windows over event time (streaming semantics, batch-checked)
         "salted_skew_agg": q_salted_skew_agg,
         "windowed_stats": q_windowed_stats,
+        "session_windows": q_session_windows,
         # sinks + checkpoint/lineage (rows-only; golden-tested in tests/)
         "arcinfo_sink": q_arcinfo_sink,
         "geopng_sink": q_geopng_sink,
@@ -887,6 +940,7 @@ GOLDEN_ORACLES = [
     "contour_nodes", "contour_readme_profile", "contour_ways",
     "contour_metrics", "checkpoint_lineage",
     "osm_xml_tiles", "tile_pip_flagship", "decode_stats", "hgt_zip_scan",
+    "decode_quarantine",
     "crop_stats", "arcinfo_sink", "geopng_sink", "tsv_sink",
     "multimodal_features", "multimodal_resize", "frame_sample",
     "show_points", "show_areas", "cross_tile_stitch",
@@ -1008,6 +1062,13 @@ def oracle_sql() -> dict[str, str]:
             WITH k AS (SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val FROM events)
             SELECT k_val % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k_val) AS BIGINT) AS sum_k
             FROM k GROUP BY k_val % 10
+        """,
+        "percentiles": """
+            SELECT event_type, COUNT(*) AS n,
+                   quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
         """,
         "time_functions": """
             SELECT date_trunc('month', o_orderdate) AS month_start,
@@ -1168,6 +1229,30 @@ def oracle_sql() -> dict[str, str]:
                    MAX(value) AS max_value
             FROM events
             GROUP BY 1
+        """,
+        "session_windows": """
+            -- gaps-and-islands: a new session starts when the gap from
+            -- the previous event of the same user is >= 30 min (Spark's
+            -- session_window end = last_ts + gap, exclusive semantics:
+            -- an event exactly at the previous end starts a NEW session)
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), grp AS (
+                SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM grp GROUP BY user_id, sid
         """,
         "windowed_stats": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,

@@ -87,6 +87,48 @@ def decode_grid(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     return codecs.decode(data, fmt, w, h)
 
 
+QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err_class", T.StringType(), True),
+        T.StructField("minimum", T.IntegerType(), True),
+        T.StructField("maximum", T.IntegerType(), True),
+        T.StructField("not_valid", T.LongType(), True),
+    ]
+)
+
+
+def decode_stats_quarantined(tiles: DataFrame) -> DataFrame:
+    """decode_stats with per-row error quarantine: a corrupt payload
+    yields (ok=false, err_class) instead of failing the task — at
+    10^12 rows a handful of bad files must never kill the job; the
+    quarantined ids feed a retry/repair table (same pattern as the
+    checkpoint lineage)."""
+    import pandas as pd
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for img, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                try:
+                    grid = codecs.decode(bytes(data), fmt, int(w), int(h))
+                    valid = grid != codecs.NOVALUE
+                    rows.append(
+                        (img, True, None,
+                         int(grid[valid].min()) if valid.any() else None,
+                         int(grid[valid].max()) if valid.any() else None,
+                         int((~valid).sum()))
+                    )
+                except Exception as ex:  # noqa: BLE001 — quarantine, don't die
+                    rows.append((img, False, type(ex).__name__, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in QUARANTINE_SCHEMA.fields])
+
+    return tiles.mapInPandas(scan, schema=QUARANTINE_SCHEMA)
+
+
 # ----------------------------------------------------------- S2/S4 dir scan
 
 #: [ns]DD[ew]DDD tile-key filenames (Program.cs:132-167). The reference

@@ -404,6 +404,28 @@ def g_hgt_zip_scan():
     ]))
 
 
+def g_decode_quarantine():
+    rows = []
+    for idx in range(6):
+        row, grid = scalar_tile_grid(idx, 33)
+        if idx == 0:
+            rows.append((row["image_id"], False, "ValueError", None, None, None))
+            continue
+        if idx == 1:
+            rows.append((row["image_id"], False, "ValueError", None, None, None))
+            continue
+        valid = grid != codecs.NOVALUE
+        rows.append((row["image_id"], True, None,
+                     int(grid[valid].min()), int(grid[valid].max()),
+                     int((~valid).sum())))
+    df = pd.DataFrame(rows, columns=["image_id", "ok", "err_class",
+                                     "minimum", "maximum", "not_valid"])
+    _write("decode_quarantine", df, pa.schema([
+        ("image_id", pa.string()), ("ok", pa.bool_()), ("err_class", pa.string()),
+        ("minimum", pa.int32()), ("maximum", pa.int32()), ("not_valid", pa.int64()),
+    ]))
+
+
 def g_crop_stats():
     from hgt2osm2_spark.ops import crop
 
@@ -936,6 +958,7 @@ GENERATORS = {
     "tile_pip_flagship": g_tile_pip_flagship,
     "decode_stats": g_decode_stats,
     "hgt_zip_scan": g_hgt_zip_scan,
+    "decode_quarantine": g_decode_quarantine,
     "crop_stats": g_crop_stats,
     "arcinfo_sink": g_arcinfo_sink,
     "geopng_sink": g_geopng_sink,
