@@ -301,6 +301,25 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_array_functions(spark, sf_dir):
+    """K13 array functions: collect_set -> sort_array -> size/element
+    ops per user (deterministic: set then sort)."""
+    e = _t(spark, sf_dir, "events")
+    types = F.sort_array(F.collect_set("event_type"))
+    return (
+        e.groupBy("user_id")
+        .agg(types.alias("types"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "types",
+            F.size("types").alias("n_types"),
+            F.element_at("types", 1).alias("first_type"),
+            F.array_contains("types", "click").alias("has_click"),
+            "n_events",
+        )
+    )
+
+
 def q_percentiles(spark, sf_dir):
     """Exact percentile aggregates (sort-based, order-insensitive —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -850,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "time_functions": q_time_functions,
         "percentiles": q_percentiles,
+        "array_functions": q_array_functions,
         # spatial layer (K12, J3, J4)
         "cell_index": q_cell_index,
         "knn_join": q_knn_join,
@@ -1062,6 +1082,20 @@ def oracle_sql() -> dict[str, str]:
             WITH k AS (SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val FROM events)
             SELECT k_val % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k_val) AS BIGINT) AS sum_k
             FROM k GROUP BY k_val % 10
+        """,
+        "array_functions": """
+            WITH t AS (
+                SELECT user_id,
+                       list_sort(list_distinct(list(event_type))) AS types,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, types,
+                   CAST(len(types) AS INT) AS n_types,
+                   types[1] AS first_type,
+                   list_contains(types, 'click') AS has_click,
+                   n_events
+            FROM t
         """,
         "percentiles": """
             SELECT event_type, COUNT(*) AS n,
