@@ -575,8 +575,12 @@ def _write_hgt_dir() -> str:
                 payload = codecs.encode_hgt_zip(grid, name)
         else:
             payload = codecs.encode_hgt(grid)
-        with open(path, "wb") as f:
+        # temp + rename: a killed process must never leave a partial
+        # fixture that later runs would trust (exists -> skip)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             f.write(payload)
+        os.replace(tmp, path)
     return root
 
 
