@@ -52,19 +52,53 @@ def word_ngrams(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str =
 def ngram_jaccard_pairs(
     df: DataFrame, n: int = 3, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 gram.
-    Pure relational plan: explode -> self-join -> agg -> filter."""
+    Pure relational plan: explode -> self-join -> agg -> filter.
+
+    ``max_doc_freq``: scale valve for the self-join — a gram appearing
+    in more than this many docs is dropped from CANDIDATE GENERATION
+    (stopword-grams make the join quadratic in their doc frequency);
+    intersection/union sizes still count every gram, so reported
+    jaccard values stay exact — only pairs that share NOTHING but
+    capped grams can be missed (documented approximation; None = off,
+    the exact verify path). MinHash LSH remains the primary scale path."""
     g = word_ngrams(df, n, text_col, id_col).cache()
     sizes = g.groupBy("id").agg(F.count("*").alias("n_grams"))
-    a = g.select(F.col("id").alias("id_a"), "gram")
-    b = g.select(F.col("id").alias("id_b"), "gram")
-    inter = (
+    gj = g
+    if max_doc_freq is not None:
+        rare = (
+            g.groupBy("gram").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("gram")
+        )
+        gj = g.join(rare, "gram")
+    a = gj.select(F.col("id").alias("id_a"), "gram")
+    b = gj.select(F.col("id").alias("id_b"), "gram")
+    pairs = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    if max_doc_freq is not None:
+        # exact intersection over ALL grams, candidates from the capped join
+        ga = g.select(F.col("id").alias("id_a"), "gram")
+        gb = g.select(F.col("id").alias("_idb"), F.col("gram").alias("_gramb"))
+        inter = (
+            pairs.join(ga, "id_a")
+            .join(gb, (F.col("id_b") == F.col("_idb")) & (F.col("gram") == F.col("_gramb")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")

@@ -269,3 +269,24 @@ def test_auto_salting_planner(spark):
     assert skew.plan_salt_count(stats) == n_salt  # same decision
     out3, n3 = skew.auto_salted_repartition(e, 8, "key", counts=counts)
     assert n3 == n_salt and out3.count() == 20000
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """The max_doc_freq scale valve: with a permissive cap the output
+    equals the exact path; with a tight cap, surviving pairs still
+    report EXACT jaccard values (a subset of the exact pairs)."""
+    from pyspark.sql import functions as F
+
+    from hgt2osm2_spark.ops import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    capped_loose = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_doc_freq=10**6)
+    key = lambda df: {(r["id_a"], r["id_b"]): r["jaccard"] for r in df.collect()}
+    e, cl = key(exact), key(capped_loose)
+    assert e and cl == e
+
+    ct = key(dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2, max_doc_freq=2))
+    assert set(ct) <= set(e)
+    for k, v in ct.items():
+        assert v == e[k]  # values exact even when candidates are capped
