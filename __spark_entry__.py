@@ -511,6 +511,15 @@ def q_contour_metrics(spark, sf_dir):
     return postprocess_metrics(_contour_result(spark).post)
 
 
+def q_contour_geometry(spark, sf_dir):
+    """Vector analytics over the extracted contours: degree-space
+    length per polyline + shoelace area for closed rings (the
+    raster -> vector -> analytics chain), golden-checked bit-exact."""
+    from hgt2osm2_spark.ops.contours import polyline_geometry
+
+    return polyline_geometry(_contour_result(spark).post.filter("kept"))
+
+
 def q_decode_stats(spark, sf_dir):
     return decode_stats(_synth_tiles(spark, n_tiles=6, size=33))
 
@@ -919,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_readme_profile": q_contour_readme_profile,
         "contour_ways": q_contour_ways,
         "contour_metrics": q_contour_metrics,
+        "contour_geometry": q_contour_geometry,
         "decode_stats": q_decode_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -962,7 +972,7 @@ def _pip_inside_sql(px: str, py: str) -> str:
 #: Regenerate with `python tools/make_golden.py` after a semantic change.
 GOLDEN_ORACLES = [
     "contour_nodes", "contour_readme_profile", "contour_ways",
-    "contour_metrics", "checkpoint_lineage",
+    "contour_metrics", "contour_geometry", "checkpoint_lineage",
     "osm_xml_tiles", "tile_pip_flagship", "decode_stats", "hgt_zip_scan",
     "decode_quarantine",
     "crop_stats", "arcinfo_sink", "geopng_sink", "tsv_sink",

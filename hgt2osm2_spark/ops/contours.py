@@ -326,6 +326,54 @@ def fused_tile_nodes(
     return tiles.mapInPandas(gen, schema=NODES_SCHEMA)
 
 
+GEOM_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("level", T.IntegerType(), False),
+        T.StructField("poly_ord", T.IntegerType(), False),
+        T.StructField("n_points", T.IntegerType(), False),
+        T.StructField("length_deg", T.DoubleType(), False),
+        T.StructField("area_deg2", T.DoubleType(), True),
+        T.StructField("closed", T.BooleanType(), False),
+    ]
+)
+
+
+def polyline_geometry(post_kept: DataFrame) -> DataFrame:
+    """Vector analytics over the kept polylines: degree-space length
+    (sum of segment euclidean norms) and, for closed rings, the
+    shoelace area. Degree conversion and the reductions run as one
+    Arrow pass with fixed numpy expressions, so results are
+    bit-reproducible (golden-checked against the scalar twin)."""
+    from .ids import with_tile_key
+
+    d = with_tile_key(post_kept).select(
+        "image_id", "level", "poly_ord", "xs", "ys", "closed",
+        "grid_w", "grid_h", "tile_lat", "tile_lon",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                lons = r.tile_lon + np.asarray(r.xs, dtype=np.float64) / (r.grid_w - 1)
+                lats = r.tile_lat + np.asarray(r.ys, dtype=np.float64) / (r.grid_h - 1)
+                length = float(np.sqrt(np.diff(lons) ** 2 + np.diff(lats) ** 2).sum())
+                if r.closed:
+                    area = float(
+                        0.5 * abs(np.sum(lons[:-1] * lats[1:] - lons[1:] * lats[:-1]))
+                    )
+                else:
+                    area = None
+                rows.append(
+                    (r.image_id, int(r.level), int(r.poly_ord), len(lons),
+                     length, area, bool(r.closed))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in GEOM_SCHEMA.fields])
+
+    return d.mapInPandas(gen, schema=GEOM_SCHEMA)
+
+
 def postprocess_metrics(post: DataFrame) -> DataFrame:
     """A5 counters as a native aggregation — lands in the lineage table."""
     return (

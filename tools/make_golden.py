@@ -102,7 +102,8 @@ def scalar_contours(tile_rows: list[tuple[str, np.ndarray, int, int]],
     Returns dict of row lists: nodes, ways, post, metrics, lineage."""
     opt = opt or ContourOptions()
     maxn = opt.max_nodes_per_way
-    out = {"nodes": [], "ways": [], "post": [], "metrics": [], "lineage": []}
+    out = {"nodes": [], "ways": [], "post": [], "metrics": [], "lineage": [],
+           "geometry": []}
 
     for img, grid, w, h in tile_rows:
         lat0, lon0 = _tile_geo(img)
@@ -165,6 +166,16 @@ def scalar_contours(tile_rows: list[tuple[str, np.ndarray, int, int]],
                     tile_metrics["points"] += len(kept)
                     if closed:
                         tile_metrics["closed_polylines"] += 1
+                    # geometry twin — same numpy expressions as
+                    # ops/contours.polyline_geometry
+                    lons = lon0 + np.asarray([p[0] for p in kept], dtype=np.float64) / (w - 1)
+                    lats = lat0 + np.asarray([p[1] for p in kept], dtype=np.float64) / (h - 1)
+                    length = float(np.sqrt(np.diff(lons) ** 2 + np.diff(lats) ** 2).sum())
+                    area = (float(0.5 * abs(np.sum(lons[:-1] * lats[1:] - lons[1:] * lats[:-1])))
+                            if closed else None)
+                    out["geometry"].append(
+                        (img, int(level), i, len(kept), length, area, closed)
+                    )
                     # W1 nodes
                     for x, y in kept:
                         out["nodes"].append(
@@ -274,6 +285,18 @@ def g_contour_metrics():
     )
     _write("contour_metrics", df, pa.schema(
         [("image_id", pa.string())] + [(c, pa.int64()) for c in cols]))
+
+
+def g_contour_geometry():
+    res = scalar_contours(_synth_tile_rows(6, 33))
+    df = pd.DataFrame(res["geometry"],
+                      columns=["image_id", "level", "poly_ord", "n_points",
+                               "length_deg", "area_deg2", "closed"])
+    _write("contour_geometry", df, pa.schema([
+        ("image_id", pa.string()), ("level", pa.int32()), ("poly_ord", pa.int32()),
+        ("n_points", pa.int32()), ("length_deg", pa.float64()),
+        ("area_deg2", pa.float64()), ("closed", pa.bool_()),
+    ]))
 
 
 def g_checkpoint_lineage():
@@ -953,6 +976,7 @@ GENERATORS = {
     "contour_readme_profile": g_contour_readme_profile,
     "contour_ways": g_contour_ways,
     "contour_metrics": g_contour_metrics,
+    "contour_geometry": g_contour_geometry,
     "checkpoint_lineage": g_checkpoint_lineage,
     "osm_xml_tiles": g_osm_xml_tiles,
     "tile_pip_flagship": g_tile_pip_flagship,
