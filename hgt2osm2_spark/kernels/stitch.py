@@ -413,7 +413,7 @@ def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
                     madj[p1] = [p2]
         if madj:
             # assemble on ids, then map ids -> exact (x, y) tuples
-            pls = _stitch_adj(madj)
+            pls = _stitch_adj(madj, ux.size)
             mapped = []
             for ids in pls:
                 arr = np.fromiter(ids, dtype=np.int64, count=len(ids))
@@ -422,39 +422,108 @@ def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
     return out
 
 
-def _stitch_adj(adj: dict[Point, list[Point]]) -> list[list[Point]]:
-    """_stitch_master over a plain adjacency dict, with the
-    _add_segment candidate collection inlined (no list copies)."""
+def _stitch_adj(adj: dict[int, list[int]], n_pts: int) -> list[list[int]]:
+    """_stitch_master over an interned-id adjacency, with the
+    _add_segment candidate collection inlined and the two-sided
+    endpoint index ARRAY-backed (ids are dense ints, so a flat list
+    replaces dict hashing on the hottest lookups). Semantics equal
+    _stitch_master/_Index exactly (property-pinned)."""
     polylines: list[Polyline] = []
-    index = _Index()
-    m = index.m
+    m: list[list[Polyline] | None] = [None] * n_pts
+
+    def insert(pl: Polyline, pt: int) -> None:
+        lst = m[pt]
+        if lst is None:
+            m[pt] = [pl]
+        elif pl not in lst:  # identity semantics (no __eq__ on Polyline)
+            lst.append(pl)
+
+    def remove_at(pl: Polyline, pt: int) -> None:
+        lst = m[pt]
+        if lst is None:
+            return
+        try:
+            lst.remove(pl)
+        except ValueError:
+            pass
+        if not lst:
+            m[pt] = None
+
+    def attach(dst: Polyline, k: int, p2: int, idx: bool) -> None:
+        # _attach_seg with the array index
+        a = dst.pts
+        if a[-1] == k:
+            if idx:
+                remove_at(dst, a[-1])
+                insert(dst, p2)
+            a.append(p2)
+        elif a[-1] == p2:
+            if idx:
+                remove_at(dst, a[-1])
+                insert(dst, k)
+            a.append(k)
+        elif a[0] == p2:
+            if idx:
+                remove_at(dst, a[0])
+                insert(dst, k)
+            a.appendleft(k)
+        elif a[0] == k:
+            if idx:
+                remove_at(dst, a[0])
+                insert(dst, p2)
+            a.appendleft(p2)
+
+    def concat(dst: Polyline, src: Polyline) -> None:
+        # _concat(dst, src, index) for non-empty deques, array index
+        if dst is src:
+            return
+        a, b = dst.pts, src.pts
+        if a[-1] == b[0]:
+            remove_at(src, b[0]); remove_at(src, b[-1])
+            remove_at(dst, a[-1]); insert(dst, b[-1])
+            a.pop(); a.extend(b)
+        elif a[-1] == b[-1]:
+            remove_at(src, b[0]); remove_at(src, b[-1])
+            remove_at(dst, a[-1]); insert(dst, b[0])
+            a.pop(); a.extend(reversed(b))
+        elif a[0] == b[-1]:
+            remove_at(src, b[0]); remove_at(src, b[-1])
+            remove_at(dst, a[0]); insert(dst, b[0])
+            a.popleft(); a.extendleft(reversed(b))
+        elif a[0] == b[0]:
+            remove_at(src, b[0]); remove_at(src, b[-1])
+            remove_at(dst, a[0]); insert(dst, b[-1])
+            a.popleft(); a.extendleft(b)
+
     for key in sorted(adj):
         lst0 = adj[key]
         while lst0:
             p2 = lst0.pop(0)
-            l1 = m.get(key)
-            l2 = m.get(p2)
+            l1 = m[key]
+            l2 = m[p2]
             n1 = len(l1) if l1 is not None else 0
-            n2 = len(l2) if l2 is not None else 0
-            total = n1 + n2
+            total = n1 + (len(l2) if l2 is not None else 0)
             if total == 0:
                 pl = Polyline((key, p2))
-                index.add(pl)
+                insert(pl, key)
+                insert(pl, p2)
                 polylines.append(pl)
                 continue
             first = l1[0] if n1 else l2[0]
             if total == 1:
-                _attach_seg(first, key, p2, index)
+                attach(first, key, p2, True)
                 continue
             second = l1[1] if n1 > 1 else (l2[0] if n1 == 1 else l2[1])
             if total == 2 and first is second:
                 # segment closes `first` into a ring — retire from index
-                index.remove(first)
-                _attach_seg(first, key, p2, None)
+                remove_at(first, first.pts[0])
+                remove_at(first, first.pts[-1])
+                attach(first, key, p2, False)
             else:
-                _attach_seg(first, key, p2, index)
-                index.remove(second)
-                _concat(first, second, index)
+                attach(first, key, p2, True)
+                remove_at(second, second.pts[0])
+                remove_at(second, second.pts[-1])
+                concat(first, second)
                 # dropped from the output list even if Concat failed (:979)
                 second.alive = False
     return [list(pl.pts) for pl in polylines if pl.alive]
