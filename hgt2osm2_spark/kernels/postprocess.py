@@ -80,6 +80,22 @@ def remove_collinear(pts: list[Point]) -> tuple[list[Point], int]:
     diagonal with equal cross-slopes, both vertical, or both horizontal."""
     if len(pts) < 3:
         return pts, 0
+    # vectorized bail-out: if no ORIGINAL triple is collinear, the
+    # remove-and-recheck loop can never fire (removals only cascade
+    # from an initial drop) — about half of real contour polylines
+    # skip the sequential pass entirely
+    a = np.asarray(pts, dtype=np.float64)
+    dx = np.diff(a[:, 0])
+    dy = np.diff(a[:, 1])
+    dx1, dx2, dy1, dy2 = dx[:-1], dx[1:], dy[:-1], dy[1:]
+    diag = (dx1 != 0) & (dx2 != 0) & (dy1 != 0) & (dy2 != 0)
+    drop = np.where(
+        diag,
+        dx1 * dy2 == dx2 * dy1,
+        ((dx1 == 0) & (dx2 == 0)) | ((dy1 == 0) & (dy2 == 0)),
+    )
+    if not drop.any():
+        return pts, 0
     out = [pts[0], pts[1]]
     removed = 0
     for p in pts[2:]:
@@ -132,7 +148,7 @@ def douglas_peucker(pts: list[Point], eps: float) -> tuple[list[Point], int]:
         # "dMinSquareWidth < dSquareWidth" running max (:566-569) keeps
         # the FIRST index of the maximum — np.argmax semantics exactly
         best = -1
-        if i1 - i0 <= 32:
+        if i1 - i0 <= 128:
             # small span: scalar Python beats per-op NumPy overhead;
             # identical IEEE-754 arithmetic either way
             x0, y0 = xl[i0], yl[i0]
