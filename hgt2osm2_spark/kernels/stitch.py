@@ -387,47 +387,55 @@ def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
                 adj[p1] = [p2]
 
     # stage 3: gather rows (ascending) into one adjacency per level,
-    # row keys visited sorted (SortedDictionary iteration, :673-680)
+    # row keys visited sorted (SortedDictionary iteration, :673-680).
+    # The master adjacency is a flat array indexed by point id (reused
+    # across levels, reset via the touched-keys list) — int-list
+    # indexing beats dict hashing in this second-hottest loop.
     levels = sorted({lv for (_, lv) in row_bags})
     rows = sorted({r for (r, _) in row_bags})
+    n_pts = ux.size
+    madj: list[list[int] | None] = [None] * n_pts
     out: dict[int, list[list[Point]]] = {}
     for lv in levels:
-        madj: dict[int, list[int]] = {}
-        m_get = madj.get
+        mkeys: list[int] = []
         for r in rows:
             adj = rb_get((r, lv))
             if adj is None:
                 continue
             for p1 in sorted(adj):
                 for p2 in adj[p1]:
-                    lst = m_get(p1)
+                    lst = madj[p1]
                     if lst is not None:
                         if p2 not in lst:
                             lst.append(p2)
                         continue
-                    lst = m_get(p2)
+                    lst = madj[p2]
                     if lst is not None:
                         if p1 not in lst:
                             lst.append(p1)
                         continue
                     madj[p1] = [p2]
-        if madj:
+                    mkeys.append(p1)
+        if mkeys:
             # assemble on ids, then map ids -> exact (x, y) tuples
-            pls = _stitch_adj(madj, ux.size)
+            pls = _stitch_arr(madj, mkeys, n_pts)
             mapped = []
             for ids in pls:
                 arr = np.fromiter(ids, dtype=np.int64, count=len(ids))
                 mapped.append(list(zip(ux[arr].tolist(), uy[arr].tolist())))
             out[lv] = mapped
+            for k in mkeys:  # reset for the next level
+                madj[k] = None
     return out
 
 
-def _stitch_adj(adj: dict[int, list[int]], n_pts: int) -> list[list[int]]:
-    """_stitch_master over an interned-id adjacency, with the
-    _add_segment candidate collection inlined and the two-sided
-    endpoint index ARRAY-backed (ids are dense ints, so a flat list
-    replaces dict hashing on the hottest lookups). Semantics equal
-    _stitch_master/_Index exactly (property-pinned)."""
+def _stitch_arr(adj: list[list[int] | None], keys: list[int], n_pts: int) -> list[list[int]]:
+    """_stitch_master over an interned-id array adjacency (``keys`` =
+    the occupied slots), with the _add_segment candidate collection
+    inlined and the two-sided endpoint index ARRAY-backed (ids are
+    dense ints, so flat lists replace dict hashing on the hottest
+    lookups). Semantics equal _stitch_master/_Index exactly
+    (property-pinned)."""
     polylines: list[Polyline] = []
     m: list[list[Polyline] | None] = [None] * n_pts
 
@@ -495,7 +503,7 @@ def _stitch_adj(adj: dict[int, list[int]], n_pts: int) -> list[list[int]]:
             remove_at(dst, a[0]); insert(dst, b[-1])
             a.popleft(); a.extendleft(b)
 
-    for key in sorted(adj):
+    for key in sorted(keys):
         lst0 = adj[key]
         while lst0:
             p2 = lst0.pop(0)
