@@ -736,6 +736,28 @@ def q_windowed_stats(spark, sf_dir):
     )
 
 
+def q_continuous_rollup(spark, sf_dir):
+    """Hypertable-rollup analogue: a continuous aggregate (daily buckets)
+    maintained INCREMENTALLY — two ingests (even/odd event ids) fold
+    into the materialized store touching only their buckets; the final
+    table must equal a from-scratch rollup (the SQL oracle)."""
+    import tempfile
+
+    from hgt2osm2_spark.ops.rollup import ContinuousAggregate
+
+    e = _t(spark, sf_dir, "events")
+    agg = ContinuousAggregate(spark, tempfile.mkdtemp(prefix="cagg_"), granularity="day")
+    agg.ingest(e.filter(F.col("event_id") % 2 == 0))
+    agg.ingest(e.filter(F.col("event_id") % 2 == 1))
+    return agg.table().select(
+        F.col("bucket").cast("timestamp").alias("win_start"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
 def q_session_windows(spark, sf_dir):
     """Session windows (30-min inactivity gap) per user over the events
     stream schema — F.session_window on the batch table (the streaming
@@ -915,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_agg": q_salted_skew_agg,
         "windowed_stats": q_windowed_stats,
         "session_windows": q_session_windows,
+        "continuous_rollup": q_continuous_rollup,
         # sinks + checkpoint/lineage (rows-only; golden-tested in tests/)
         "arcinfo_sink": q_arcinfo_sink,
         "geopng_sink": q_geopng_sink,
@@ -1277,6 +1300,15 @@ def oracle_sql() -> dict[str, str]:
                    MAX(value) AS max_value
             FROM events
             GROUP BY 1
+        """,
+        "continuous_rollup": """
+            SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   MAX(value) AS max_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "session_windows": """
             -- gaps-and-islands: a new session starts when the gap from
