@@ -270,6 +270,28 @@ def q_small_order_revenue(spark, sf_dir):
     )
 
 
+def q_pivot_events(spark, sf_dir):
+    """Pivot (explicit value list for a deterministic schema): per
+    user-decade sums of value by event type."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "user_mod", (F.col("user_id") % 10).cast("int")
+    )
+    return (
+        e.groupBy("user_mod")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+        .withColumnsRenamed({"click": "sum_click", "view": "sum_view",
+                             "purchase": "sum_purchase"})
+    )
+
+
+def q_orders_except(spark, sf_dir):
+    """U2 except: order keys with no lineitems (exceptAll on keys)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
+    return o.exceptAll(li.distinct())
+
+
 def q_cube_events(spark, sf_dir):
     """A8: full cube over two grouping dimensions (4 grouping sets)."""
     e = _t(spark, sf_dir, "events").withColumn(
@@ -901,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_order_revenue": q_small_order_revenue,
         "rollup_events": q_rollup_events,
         "cube_events": q_cube_events,
+        "pivot_events": q_pivot_events,
+        "orders_except": q_orders_except,
         "json_extract": q_json_extract,
         "time_functions": q_time_functions,
         "percentiles": q_percentiles,
@@ -1108,6 +1132,21 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": """
             SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
             FROM events GROUP BY ROLLUP (event_type)
+        """,
+        "pivot_events": """
+            SELECT CAST(user_id % 10 AS INT) AS user_mod,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_click,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_purchase
+            FROM events GROUP BY 1
+        """,
+        "orders_except": """
+            SELECT o_orderkey AS orderkey FROM orders
+            EXCEPT ALL
+            SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
         """,
         "cube_events": """
             SELECT event_type, CAST(user_id % 10 AS INT) AS user_mod,

@@ -57,6 +57,13 @@ AUDITED = {
         ("column-pruned scan (only o_orderdate read)", r"ReadSchema: [^\n]*o_orderdate"),
         ("whole-stage codegen", r"WholeStageCodegen|codegen id|\*\(\d+\)"),
     ],
+    "asof_join": [
+        ("one window over the union (no range-pair join)", r"Window"),
+        ("no cartesian / range explosion", r"CartesianProduct|BroadcastNestedLoop", "absent"),
+    ],
+    "session_windows": [
+        ("native session-window aggregation", r"session_window|SessionWindow"),
+    ],
 }
 
 
