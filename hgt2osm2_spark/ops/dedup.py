@@ -135,26 +135,95 @@ def minhash_signatures(
     )
 
     def gen(batches):
-        M = np.uint64(_MERSENNE)
         for pdf in batches:
-            ids, sigs = [], []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                s = txt.encode("utf-8")
-                if len(s) < shingle:
-                    hs = np.array([_fnv1a(s)], dtype=np.uint64)
-                else:
-                    win = np.lib.stride_tricks.sliding_window_view(
-                        np.frombuffer(s, dtype=np.uint8), shingle
-                    )
-                    hs = _fnv1a_rows(win)
-                hs = np.unique(hs)
-                vals = (np.outer(a, hs) + b[:, None]) % M  # (k, n_shingles)
-                sig = vals.min(axis=1).astype(np.int64)
-                ids.append(i)
-                sigs.append(sig.tolist())
-            yield pd.DataFrame({"id": ids, "sig": sigs})
+            sig = _minhash_batch(
+                [t.encode("utf-8") for t in pdf[text_col]], a, b, shingle
+            )
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(),
+                                "sig": list(sig)})
 
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(gen, schema=schema)
+
+
+def _minhash_batch(texts: list[bytes], a: np.ndarray, b: np.ndarray,
+                   shingle: int) -> np.ndarray:
+    """Minhash signatures for a whole Arrow batch, vectorized ACROSS
+    documents (VERDICT r2 item 4: no per-document Python loop).
+
+    All shingle windows of the batch are hashed in one `_fnv1a_rows`
+    column sweep over the concatenated byte buffer (window positions
+    that would straddle a document boundary are excluded by ragged
+    indexing), then each of the k permutations is reduced to per-doc
+    minima with one segmented ``np.minimum.reduceat``. The min over a
+    doc's multiset of shingle hashes equals the min over its set, so
+    the scalar twin's ``np.unique`` step is unnecessary. Arithmetic is
+    bit-identical to the scalar twin: uint64 wraparound multiply/add,
+    then mod 2^61-1. Returns an (n_docs, k) int64 matrix."""
+    n = len(texts)
+    if n == 0:
+        return np.empty((0, len(a)), dtype=np.int64)
+    M = np.uint64(_MERSENNE)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.cumsum(lens[:-1])
+    flat = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    # docs shorter than the shingle contribute ONE hash of the whole doc
+    nwin = np.where(lens >= shingle, lens - shingle + 1, 1)
+    out_offs = np.zeros(n, dtype=np.int64)
+    out_offs[1:] = np.cumsum(nwin[:-1])
+    hs_all = np.empty(int(nwin.sum()), dtype=np.uint64)
+
+    long_mask = lens >= shingle
+    n_long_win = int(nwin[long_mask].sum())
+    if n_long_win:
+        lw = np.where(long_mask, nwin, 0)
+        doc_of = np.repeat(np.arange(n), lw)
+        woffs = np.zeros(n, dtype=np.int64)
+        woffs[1:] = np.cumsum(lw[:-1])
+        local = np.arange(n_long_win, dtype=np.int64) - np.repeat(woffs, lw)
+        pos = starts[doc_of] + local          # window start inside flat
+        # FNV the windows without materializing an (n_windows, shingle)
+        # matrix: one gather + fused xor/multiply per byte position
+        h = np.full(n_long_win, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for j in range(shingle):
+            np.bitwise_xor(h, flat[pos + j], out=h)
+            h *= prime
+        hs_all[out_offs[doc_of] + local] = h
+    short_idx = np.nonzero(~long_mask)[0]
+    if short_idx.size:
+        hs_all[out_offs[short_idx]] = _fnv1a_varlen([texts[i] for i in short_idx])
+
+    sig = np.empty((len(a), n), dtype=np.int64)
+    buf = np.empty_like(hs_all)
+    for i in range(len(a)):
+        np.multiply(a[i], hs_all, out=buf)
+        buf += b[i]
+        buf %= M
+        sig[i] = np.minimum.reduceat(buf, out_offs)
+    return sig.T.copy()
+
+
+def minhash_signatures_scalar(
+    texts: list[bytes], k: int = 64, shingle: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Per-document scalar twin of `_minhash_batch` (the round-1/2
+    implementation) — kept as the equality oracle for tests."""
+    a, b = _minhash_params(k, seed)
+    M = np.uint64(_MERSENNE)
+    out = np.empty((len(texts), k), dtype=np.int64)
+    for d, s in enumerate(texts):
+        if len(s) < shingle:
+            hs = np.array([_fnv1a(s)], dtype=np.uint64)
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(
+                np.frombuffer(s, dtype=np.uint8), shingle
+            )
+            hs = _fnv1a_rows(win)
+        hs = np.unique(hs)
+        vals = (np.outer(a, hs) + b[:, None]) % M  # (k, n_shingles)
+        out[d] = vals.min(axis=1).astype(np.int64)
+    return out
 
 
 def _fnv1a(data: bytes) -> np.uint64:
@@ -220,30 +289,65 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------- simhash
 
+#: tokens longer than this take the scalar path — bounds the padded
+#: sweep matrix so one pathological unbroken token (megabyte base64
+#: blob in scraped text) cannot inflate the batch buffer (ADVICE r2)
+_VARLEN_SCALAR_CAP = 4096
+
+
+def _fnv1a_py(data: bytes) -> int:
+    """Plain-int FNV-1a (fast scalar path for rare oversized tokens)."""
+    h = 0xCBF29CE484222325
+    for c in data:
+        h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def _fnv1a_varlen(tokens: list[bytes]) -> np.ndarray:
     """FNV-1a over each variable-length token, vectorized ACROSS tokens:
     one masked column sweep per byte position (loop bound = longest
-    token, not token count) — identical results to the scalar _fnv1a."""
+    token in a length bucket, not token count) — identical results to
+    the scalar _fnv1a.
+
+    Memory bound: tokens are swept in geometric length buckets
+    ((0,16], (16,32], ... (2048,4096]), so each padded matrix is at
+    most ~2x the bucket's actual bytes; the old single dense
+    (n_tokens x longest_token) buffer let one megabyte token multiply
+    the allocation by orders of magnitude. Tokens past the cap go
+    through the scalar loop (rare by construction in natural text)."""
     n = len(tokens)
+    out = np.empty(n, dtype=np.uint64)
     if n == 0:
-        return np.empty(0, dtype=np.uint64)
+        return out
     lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
-    maxl = int(lens.max(initial=0))
-    buf = np.zeros((n, maxl), dtype=np.uint8)
     flat = np.frombuffer(b"".join(tokens), dtype=np.uint8)
-    # scatter the ragged bytes into the padded matrix without a per-token
-    # Python loop: row index repeated by length, column index = offset
-    rows = np.repeat(np.arange(n), lens)
     offs = np.zeros(n, dtype=np.int64)
     offs[1:] = np.cumsum(lens[:-1])
-    cols = np.arange(flat.size, dtype=np.int64) - np.repeat(offs, lens)
-    buf[rows, cols] = flat
-    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
     prime = np.uint64(0x100000001B3)
-    for j in range(maxl):
-        m = lens > j
-        h[m] = (h[m] ^ buf[m, j].astype(np.uint64)) * prime
-    return h
+
+    out[lens == 0] = np.uint64(0xCBF29CE484222325)
+
+    lo, hi = 0, 16
+    while lo < _VARLEN_SCALAR_CAP:
+        hi = min(hi, _VARLEN_SCALAR_CAP)
+        idx = np.nonzero((lens > max(lo, 0)) & (lens <= hi))[0]
+        if idx.size:
+            ls = lens[idx]
+            w = int(ls.max())
+            buf = np.zeros((idx.size, w), dtype=np.uint8)
+            rows = np.repeat(np.arange(idx.size), ls)
+            loffs = np.cumsum(ls) - ls
+            cols = np.arange(int(ls.sum()), dtype=np.int64) - np.repeat(loffs, ls)
+            buf[rows, cols] = flat[np.repeat(offs[idx], ls) + cols]
+            h = np.full(idx.size, 0xCBF29CE484222325, dtype=np.uint64)
+            for j in range(w):
+                m = ls > j
+                h[m] = (h[m] ^ buf[m, j].astype(np.uint64)) * prime
+            out[idx] = h
+        lo, hi = hi, hi * 2
+    for i in np.nonzero(lens > _VARLEN_SCALAR_CAP)[0]:
+        out[i] = np.uint64(_fnv1a_py(tokens[i]))
+    return out
 
 
 def simhash_sketch(

@@ -44,10 +44,20 @@ class ContinuousAggregate:
         self.granularity = granularity
 
     def table(self) -> DataFrame:
-        try:
-            return self.spark.read.schema(ROLLUP_SCHEMA).parquet(self.path)
-        except Exception:
+        """Read the rollup store; empty ONLY when the store path does not
+        exist yet (first ingest). Any other read failure propagates: a
+        transient listing/IO error mistaken for 'empty' would make the
+        next ingest's dynamic partition overwrite silently replace the
+        touched buckets with batch-only aggregates — permanent data loss
+        (ADVICE r2). Missing-path is detected with an explicit existence
+        check, not by classifying exceptions."""
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jvm_path.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(jvm_path):
             return self.spark.createDataFrame([], ROLLUP_SCHEMA)
+        return self.spark.read.schema(ROLLUP_SCHEMA).parquet(self.path)
 
     def _partial(self, batch: DataFrame) -> DataFrame:
         return (

@@ -65,7 +65,7 @@ def write_nodes_stream(
 
 
 DEDUP_OUT_SCHEMA = "doc_id long, key_hash long"
-DEDUP_STATE_SCHEMA = "winner long"
+DEDUP_STATE_SCHEMA = "winner long, fp long"
 
 
 def stream_exact_dedup(
@@ -73,31 +73,53 @@ def stream_exact_dedup(
 ) -> DataFrame:
     """Cross-batch exact dedup over a document stream — the custom
     STATEFUL operator path (applyInPandasWithState): one tiny state row
-    per distinct key (the winning doc_id), so a document whose key was
-    seen in ANY earlier micro-batch is dropped, exactly once, across
-    restarts (state lives in the stream checkpoint).
+    per distinct key (winning doc_id + a second fingerprint), so a
+    document whose key was seen in ANY earlier micro-batch is dropped,
+    exactly once, across restarts (state lives in the stream checkpoint).
 
     First-wins semantics match the batch operator (ops/dedup.exact_dedup,
     smallest id) within the batch that first carries the key; earlier
     batches win over later ones (stream time order). Grouping key is
-    xxhash64(key) so the shuffled key is 8 bytes, not the document text
-    — at 100 TB the state store holds one long per distinct key."""
+    xxhash64(key) so the shuffled key is 8 bytes, not the document text.
+
+    Collision safety at 100 TB (ADVICE r2): at billions of distinct keys
+    a single 64-bit hash WILL collide (E[collisions] ~ n^2/2^65), and a
+    collision under the old winner-only state silently dropped a
+    never-seen document. The state therefore also stores an independent
+    second fingerprint fp = xxhash64(length, key, seed=77); a doc is
+    dropped only on a full 128-bit match. A doc whose grouping hash
+    collides with a DIFFERENT stored document (fp mismatch, ~once per
+    few billion keys) is EMITTED — for training-data dedup a rare
+    surviving duplicate is harmless, a silently lost distinct document
+    is not. A 128-bit double collision (~2^-128 per pair) is the only
+    remaining drop path."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def dedup(key, pdfs, state):
-        best = None
+        best = None  # (doc_id, fp) with the smallest doc_id this batch
         for pdf in pdfs:
             if len(pdf):
-                m = int(pdf[id_col].min())
-                if best is None or m < best:
-                    best = m
-        # key already claimed in an earlier micro-batch -> drop all
-        if not state.exists and best is not None:
-            state.update((best,))
-            yield pd.DataFrame({"doc_id": [best], "key_hash": [key[0]]})
+                j = int(pdf[id_col].to_numpy().argmin())
+                cand = (int(pdf[id_col].iloc[j]), int(pdf["_fp"].iloc[j]))
+                if best is None or cand[0] < best[0]:
+                    best = cand
+        if best is None:
+            return
+        if not state.exists:
+            state.update(best)
+            yield pd.DataFrame({"doc_id": [best[0]], "key_hash": [key[0]]})
+        else:
+            _, fp0 = state.get
+            if int(fp0) != best[1]:
+                # grouping-hash collision with a distinct document:
+                # emit rather than silently drop (state slot stays with
+                # the first claimant)
+                yield pd.DataFrame({"doc_id": [best[0]], "key_hash": [key[0]]})
 
-    keyed = docs_stream.withColumn("_k", F.xxhash64(F.col(key_col)))
+    keyed = docs_stream.withColumn("_k", F.xxhash64(F.col(key_col))).withColumn(
+        "_fp", F.xxhash64(F.length(F.col(key_col)), F.col(key_col), F.lit(77))
+    )
     return keyed.groupBy("_k").applyInPandasWithState(
         dedup,
         outputStructType=DEDUP_OUT_SCHEMA,

@@ -225,6 +225,43 @@ def test_simhash_vectorized_matches_scalar_twin(spark):
     )
 
 
+def test_fnv1a_varlen_pathological_long_token():
+    """ADVICE r2: one megabyte unbroken token among many short siblings
+    must not inflate the padded sweep buffer — and every length-bucket
+    boundary plus the scalar-cap tail must still be bit-exact."""
+    import numpy as np
+
+    from hgt2osm2_spark.ops import dedup
+
+    cap = dedup._VARLEN_SCALAR_CAP
+    toks = [b"", b"a", b"ab" * 8, b"x" * 15, b"x" * 16, b"x" * 17,
+            b"y" * (cap - 1), b"y" * cap, b"y" * (cap + 1), b"Z" * 1_000_000]
+    toks += [b"w" * (i % 40 + 1) for i in range(2000)]
+    got = dedup._fnv1a_varlen(toks)
+    want = np.array([dedup._fnv1a_py(t) for t in toks], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
+def test_minhash_batch_matches_scalar_twin():
+    """VERDICT r2 item 4: the cross-document vectorized minhash batch
+    kernel equals the per-document scalar twin bit for bit, including
+    sub-shingle and empty documents."""
+    import numpy as np
+
+    from hgt2osm2_spark.ops import dedup
+
+    rng = np.random.default_rng(7)
+    texts = [b"", b"ab", b"abcd", b"abcde",
+             b"the quick brown fox jumps over the lazy dog" * 4]
+    texts += [bytes(rng.integers(97, 123, int(rng.integers(0, 200))).astype(np.uint8))
+              for _ in range(300)]
+    a, b = dedup._minhash_params(64, 42)
+    got = dedup._minhash_batch(texts, a, b, 5)
+    want = dedup.minhash_signatures_scalar(texts, 64, 5, 42)
+    assert got.shape == want.shape == (len(texts), 64)
+    assert np.array_equal(got, want)
+
+
 def test_auto_salting_planner(spark):
     """§4.2 metric-driven salting: a deliberately skewed key
     distribution is re-planned with salt (output unchanged vs a plain
