@@ -14,6 +14,7 @@ results are deterministic and comparable to an external oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
@@ -70,24 +71,79 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def _all_buckets_udf(all_planes: np.ndarray):
+    """Arrow kernel: every table's sign-bit bucket id for a batch of
+    vectors, vectorized across rows — replaces the per-plane
+    zip_with/aggregate column expression, which Catalyst evaluates
+    interpreted (higher-order functions are outside whole-stage
+    codegen) at ~100us+/row.
+
+    Bit-exactness with the sequential JVM fold (and the golden's
+    _seq_dot twin): the accumulation loops over the dim axis in order,
+    so each row's additions happen left-to-right exactly like
+    F.aggregate / the scalar oracle — a BLAS matmul would reorder the
+    sums and could flip a near-zero sign bit."""
+    from pyspark.sql import types as T
+
+    planes = np.asarray(all_planes, dtype=np.float64)  # (tables, planes, dim)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def all_buckets(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        if V.size == 0:
+            return pd.Series([], dtype=object)
+        n = V.shape[0]
+        out = np.zeros((n, len(planes)), dtype=np.int64)
+        for t, tbl in enumerate(planes):
+            bucket = np.zeros(n, dtype=np.int64)
+            for p in tbl:
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(V.shape[1]):
+                    acc += V[:, j] * p[j]
+                bucket = (bucket << 1) | (acc >= 0)
+            out[:, t] = bucket
+        return pd.Series(list(out.astype(np.int32)))
+
+    return all_buckets
+
+
 def lsh_ann_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
     n_tables: int = 2, dim: int = 64, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate NN: union of per-table bucket matches, exact cosine
-    re-rank. Recall grows with n_tables; candidates per query stay
-    ~N/2^n_planes * n_tables (the 10^12-scale path)."""
+    """Approximate NN: per-table bucket matches, exact cosine re-rank.
+    Recall grows with n_tables; candidates per query stay
+    ~N/2^n_planes * n_tables (the 10^12-scale path).
+
+    All n_tables bucket ids are computed in ONE projection and
+    posexploded to (table, bucket) rows, so the embedding table is
+    scanned once regardless of n_tables — r2's per-table union doubled
+    the scan per extra table (VERDICT r2 item 5). The candidate set is
+    identical (same buckets, same equi-join keys), so results and the
+    golden are unchanged."""
     e = embeddings.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("pvec"))
     q = queries.select("q_id", "qvec")
-    cands = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 101 * t)
-        eb = e.withColumn("bucket", lsh_bucket_expr(F.col("pvec"), planes))
-        qb = q.withColumn("bucket", lsh_bucket_expr(F.col("qvec"), planes))
-        c = F.broadcast(qb).join(eb, "bucket").select("q_id", "qvec", "p_id", "pvec")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["q_id", "p_id"])
+    all_planes = np.asarray(
+        [_hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)],
+        dtype=np.float64,
+    )  # (n_tables, n_planes, dim)
+    all_buckets = _all_buckets_udf(all_planes)
+
+    eb = e.select(
+        "p_id", "pvec",
+        F.posexplode(all_buckets(F.col("pvec"))).alias("table", "bucket"),
+    )
+    qb = q.select(
+        "q_id", "qvec",
+        F.posexplode(all_buckets(F.col("qvec"))).alias("table", "bucket"),
+    )
+    cands = (
+        F.broadcast(qb)
+        .join(eb, ["table", "bucket"])
+        .select("q_id", "qvec", "p_id", "pvec")
+        .dropDuplicates(["q_id", "p_id"])
+    )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("p_id").asc())
     return (
         cands.withColumn("sim", cosine_expr(F.col("qvec"), F.col("pvec")))
@@ -183,17 +239,26 @@ def embedding_near_dup(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold: LSH candidates +
-    exact verify (id_a < id_b)."""
+    exact verify (id_a < id_b). All n_tables bucket ids come from one
+    Arrow-kernel projection (single scan, same candidates/golden as the
+    r2 per-table union)."""
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cands = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 977 * t)
-        b = e.withColumn("bucket", lsh_bucket_expr(F.col("vec"), planes))
-        l = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-        r = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-        c = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+    all_planes = np.asarray(
+        [_hyperplanes(dim, n_planes, seed + 977 * t) for t in range(n_tables)],
+        dtype=np.float64,
+    )
+    all_buckets = _all_buckets_udf(all_planes)
+    b = e.select(
+        "id", "vec", F.posexplode(all_buckets(F.col("vec"))).alias("table", "bucket")
+    )
+    l = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "table", "bucket")
+    r = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "table", "bucket")
+    cands = (
+        l.join(r, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("table", "bucket")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
         cands.withColumn("sim", cosine_expr(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)

@@ -112,6 +112,32 @@ def test_brute_force_topk_vs_numpy(embs, spark):
         assert sorted(got[q["q_id"]]) == want
 
 
+def test_lsh_bucket_kernel_matches_jvm_expr(embs, spark):
+    """The Arrow bucket kernel (_all_buckets_udf) must produce the same
+    bucket ids as the JVM zip_with/aggregate expression twin
+    (lsh_bucket_expr) — both fold the dot product left-to-right, so the
+    sign bits are bit-identical."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hgt2osm2_spark.ops import similarity
+
+    planes = [similarity._hyperplanes(64, 8, 42 + 101 * t) for t in range(2)]
+    e = embs.select("vec_id", "embedding")
+    jvm = e.select(
+        "vec_id",
+        *[similarity.lsh_bucket_expr(F.col("embedding"), p).alias(f"b{t}")
+          for t, p in enumerate(planes)],
+    ).toPandas().set_index("vec_id").sort_index()
+    udf = similarity._all_buckets_udf(np.asarray(planes))
+    arrow = (
+        e.select("vec_id", udf(F.col("embedding")).alias("bb"))
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    for t in range(2):
+        assert jvm[f"b{t}"].tolist() == [int(b[t]) for b in arrow["bb"]]
+
+
 def test_lsh_ann_recall(embs, spark):
     queries = embs.limit(10).select(
         F.col("vec_id").cast("string").alias("q_id"), F.col("embedding").alias("qvec")
