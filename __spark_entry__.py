@@ -557,14 +557,21 @@ def q_decode_stats(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    t = _synth_tiles(spark, n_tiles=6, size=33)
+    """Feature extraction over BOTH payload families: elevation tiles
+    (hgt/png16/djpg) and real RGB images (pure-Python PNG + baseline
+    JPEG codecs) — the jpeg rows decode real JFIF bytes end-to-end."""
+    t = _synth_tiles(spark, n_tiles=6, size=33).unionByName(
+        synthetic.images_df(spark, n_images=4, size=33)
+    )
     return multimodal.decode_features(t).select(
         "image_id", F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6).alias("hist_mass")
     )
 
 
 def q_multimodal_resize(spark, sf_dir):
-    t = _synth_tiles(spark, n_tiles=6, size=33)
+    t = _synth_tiles(spark, n_tiles=6, size=33).unionByName(
+        synthetic.images_df(spark, n_images=4, size=33)
+    )
     return multimodal.resize_tiles(t, factor=2).select("image_id", "w", "h", "fmt")
 
 

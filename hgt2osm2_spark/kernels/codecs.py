@@ -317,6 +317,15 @@ def decode(data: bytes, fmt: str, w: int, h: int, name: str | None = None) -> np
         return rgb_to_gray_i16(decode_png_rgb8(data))
     if fmt == "jpg":
         return decode_djpg(data)
+    if fmt == "jpeg":
+        # real baseline JPEG (kernels.jpeg); color images collapse to
+        # the 2-D luma grid contract like png-rgb does
+        from . import jpeg as _jpeg
+
+        px = _jpeg.decode_jpeg(data)
+        if px.ndim == 3:
+            return rgb_to_gray_i16(px)
+        return px.astype(np.int16)
     raise NotImplementedError(f"unknown tile format {fmt!r}")
 
 
@@ -329,6 +338,13 @@ def encode(grid: np.ndarray, fmt: str, name: str = "tile") -> bytes:
         return encode_png16(grid)
     if fmt == "jpg":
         return encode_djpg(grid)
+    if fmt == "jpeg":
+        # real baseline JPEG is 8-bit: valid only for [0, 255] grids
+        from . import jpeg as _jpeg
+
+        if grid.min() < 0 or grid.max() > 255:
+            raise ValueError("fmt 'jpeg' requires an 8-bit [0,255] grid")
+        return _jpeg.encode_jpeg_gray8(grid.astype(np.uint8), quality=95)
     raise NotImplementedError(f"unknown tile format {fmt!r}")
 
 

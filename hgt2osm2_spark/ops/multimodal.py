@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real image/audio/video codec libraries are NOT in this container, so
-the decode step for standard formats is a clearly-marked stub
-(NotImplementedError), while the Spark-side plumbing — schema,
+Real image/audio/video codec libraries are NOT in this container. The
+image path is nonetheless REAL: pure-Python PNG (kernels.codecs) and
+baseline JPEG (kernels.jpeg) codecs decode standard bytes end-to-end.
+Audio/video container formats stay clearly-marked stubs
+(NotImplementedError), while their Spark-side plumbing — schema,
 partition strategy, Arrow UDF signatures, batch shapes — is real and
-tested with the engine's own deterministic formats (hgt/png/djpg from
-kernels.codecs, which double as the 'fake decoder' for plumbing tests).
+tested with the engine's own deterministic formats.
 
 Operators:
   decode_features    binary -> fixed-width feature vector (mapInPandas)
@@ -26,8 +27,12 @@ from ..kernels import codecs
 
 #: formats the stub decoder refuses (real libs unavailable here).
 #: 'png-rgb' graduated to a REAL pure-Python decoder in round 2
-#: (codecs.decode_png_rgb8: stdlib zlib + all five scanline filters).
-UNSUPPORTED_REAL_FORMATS = {"jpeg", "webp", "mp3", "wav", "mp4", "h264"}
+#: (codecs.decode_png_rgb8: stdlib zlib + all five scanline filters);
+#: 'jpeg' graduated in round 3 (kernels.jpeg: baseline-sequential
+#: huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart markers —
+#: validated against Java ImageIO as an independent decoder). The
+#: remaining entries are genuinely container/patent-bound formats.
+UNSUPPORTED_REAL_FORMATS = {"webp", "mp3", "wav", "mp4", "h264"}
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
@@ -97,11 +102,24 @@ def resize_tiles(tiles: DataFrame, factor: int = 2) -> DataFrame:
             ):
                 hh = (h // factor) * factor
                 ww = (w // factor) * factor
-                if fmt == "png-rgb":
-                    rgb = codecs.decode_png_rgb8(bytes(data))[:hh, :ww].astype(np.float64)
+                if fmt in ("png-rgb", "jpeg"):
+                    if fmt == "png-rgb":
+                        px = codecs.decode_png_rgb8(bytes(data))
+                    else:
+                        from ..kernels import jpeg as _jpeg
+
+                        px = _jpeg.decode_jpeg(bytes(data))
+                        if px.ndim == 2:  # grayscale jpeg -> 3-channel
+                            px = np.stack([px] * 3, axis=2)
+                    rgb = px[:hh, :ww].astype(np.float64)
                     blocks = rgb.reshape(hh // factor, factor, ww // factor, factor, 3)
                     small8 = np.rint(blocks.mean(axis=(1, 3))).astype(np.uint8)
-                    payload = codecs.encode_png_rgb8(small8)
+                    if fmt == "png-rgb":
+                        payload = codecs.encode_png_rgb8(small8)
+                    else:
+                        from ..kernels import jpeg as _jpeg
+
+                        payload = _jpeg.encode_jpeg_rgb8(small8, quality=92)
                     sw, sh = small8.shape[1], small8.shape[0]
                 else:
                     grid = _decode_any(data, fmt, int(w), int(h))

@@ -86,6 +86,67 @@ def make_tile_row(idx: int, n: int, seed: int = 42) -> dict:
     }
 
 
+def rgb_image(idx: int, n: int, seed: int = 42) -> np.ndarray:
+    """Seeded smooth RGB test image (h=w=n): per-channel sinusoid mix +
+    gradient, uint8. Smooth by construction so lossy round trips stay
+    well above the 40 dB PSNR contract."""
+    rng = np.random.default_rng(np.uint64(seed * 2_000_003 + idx))
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    chans = []
+    for _c in range(3):
+        fx, fy = rng.uniform(6, 20, 2)
+        amp = rng.uniform(40, 90)
+        base = rng.uniform(60, 180)
+        gx, gy = rng.uniform(-1.2, 1.2, 2)
+        chans.append(base + amp * np.sin(xx / fx) * np.cos(yy / fy) + gx * xx + gy * yy)
+    img = np.stack(chans, axis=2)
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
+IMAGE_FMTS = ("png-rgb", "jpeg")
+
+
+def make_image_row(idx: int, n: int, seed: int = 42) -> dict:
+    """One RGB image row in the input_hint schema; fmt alternates
+    between the two REAL pure-Python codecs (PNG / baseline JPEG)."""
+    fmt = IMAGE_FMTS[idx % len(IMAGE_FMTS)]
+    img = rgb_image(idx, n, seed)
+    if fmt == "png-rgb":
+        payload = codecs.encode_png_rgb8(img)
+    else:
+        from ..kernels import jpeg as _jpeg
+
+        payload = _jpeg.encode_jpeg_rgb8(img, quality=95, subsample=idx % 4 == 1)
+    image_id = f"img{idx:04d}"
+    return {
+        "image_id": image_id,
+        "bytes": payload,
+        "w": n,
+        "h": n,
+        "fmt": fmt,
+        "caption": f"image {image_id} seed{seed}",
+        "phash": codecs.phash64(codecs.rgb_to_gray_i16(img)),
+    }
+
+
+def images_df(spark: SparkSession, n_images: int = 6, size: int = 33, seed: int = 42,
+              partitions: int | None = None) -> DataFrame:
+    """Distributed RGB image table (png-rgb/jpeg payloads), same schema
+    as tiles_df — the color half of the multimodal surface."""
+    import pandas as pd
+
+    spec = spark.range(n_images).withColumnRenamed("id", "idx")
+    if partitions:
+        spec = spec.repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_image_row(int(i), size, seed) for i in pdf["idx"]]
+            yield pd.DataFrame(rows)
+
+    return spec.mapInPandas(gen, schema=TILES_SCHEMA)
+
+
 def polygons_df(spark: SparkSession, n_polys: int = 8, seed: int = 42) -> DataFrame:
     """Seeded convex + star-concave rings over the tile extents
     (FIXTURES.md §4): (poly_id, xs array<double>=lon, ys array<double>=lat)."""

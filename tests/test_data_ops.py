@@ -199,9 +199,10 @@ def test_multimodal_plumbing(spark):
 def test_multimodal_stub_refuses_real_formats(spark):
     import pandas as pd
 
+    # jpeg graduated to a real codec in round 3 — webp is still honest
     df = spark.createDataFrame(
         pd.DataFrame(
-            [{"image_id": "x", "bytes": b"\xff\xd8\xff", "w": 2, "h": 2, "fmt": "jpeg"}]
+            [{"image_id": "x", "bytes": b"RIFF\x00\x00WEBP", "w": 2, "h": 2, "fmt": "webp"}]
         )
     )
     with pytest.raises(Exception) as ei:

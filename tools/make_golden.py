@@ -508,10 +508,24 @@ def g_tsv_sink():
     _g_sink("tsv", "tsv_sink")
 
 
+def _scalar_image_rows(n_images: int = 4, size: int = 33):
+    """(row, decoded luma grid) for the RGB image rows. png-rgb decodes
+    losslessly; jpeg rows decode the actual JFIF bytes (the codec
+    itself is independently cross-validated against Java ImageIO in
+    tests/test_jpeg.py, so the twin may reuse it)."""
+    out = []
+    for idx in range(n_images):
+        row = synthetic.make_image_row(idx, size)
+        grid = codecs.decode(row["bytes"], row["fmt"], size, size)
+        out.append((row, grid))
+    return out
+
+
 def g_multimodal_features():
     rows = []
-    for idx in range(6):
-        row, grid = scalar_tile_grid(idx, 33)
+    sources = [scalar_tile_grid(idx, 33) for idx in range(6)]
+    sources += _scalar_image_rows(4, 33)
+    for row, grid in sources:
         g = grid.astype(np.float64)
         vals = g[grid != codecs.NOVALUE]
         if vals.size == 0:
@@ -528,8 +542,9 @@ def g_multimodal_features():
 
 def g_multimodal_resize():
     rows = []
-    for idx in range(6):
-        row, grid = scalar_tile_grid(idx, 33)
+    sources = [scalar_tile_grid(idx, 33)[0] for idx in range(6)]
+    sources += [r for r, _g in _scalar_image_rows(4, 33)]
+    for row in sources:
         f = 2
         hh, ww = (33 // f) * f, (33 // f) * f
         rows.append((row["image_id"], ww // f, hh // f, row["fmt"]))
