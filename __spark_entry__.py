@@ -546,10 +546,20 @@ def q_contour_metrics(spark, sf_dir):
 def q_contour_geometry(spark, sf_dir):
     """Vector analytics over the extracted contours: degree-space
     length per polyline + shoelace area for closed rings (the
-    raster -> vector -> analytics chain), golden-checked bit-exact."""
+    raster -> vector -> analytics chain). Values are rounded to 8
+    decimals (HALF_UP both sides) so the DuckDB oracle can RECOMPUTE
+    them from the contour_nodes golden with SQL window aggregation —
+    the sums associate differently (ordered SQL sum vs numpy pairwise)
+    but agree far below 1e-8."""
     from hgt2osm2_spark.ops.contours import polyline_geometry
 
-    return polyline_geometry(_contour_result(spark).post.filter("kept"))
+    g = polyline_geometry(_contour_result(spark).post.filter("kept"))
+    return g.select(
+        "image_id", "level", "poly_ord", "n_points",
+        F.round("length_deg", 8).alias("length_deg"),
+        F.round("area_deg2", 8).alias("area_deg2"),
+        "closed",
+    )
 
 
 def q_decode_stats(spark, sf_dir):
@@ -1046,12 +1056,16 @@ def _pip_inside_sql(px: str, py: str) -> str:
 #: queries whose oracle is a golden parquet computed by an independent
 #: scalar (no-Spark) twin — see tools/make_golden.py for provenance.
 #: Regenerate with `python tools/make_golden.py` after a semantic change.
+#: contour_geometry / decode_stats / tsv_sink are NOT in this list any
+#: more: their oracles RECOMPUTE the values in DuckDB SQL over the
+#: nodes/raster-cell data goldens (see oracle_sql) instead of reading a
+#: twin-derived result back, so a shared twin bug cannot pass silently.
 GOLDEN_ORACLES = [
     "contour_nodes", "contour_readme_profile", "contour_ways",
-    "contour_metrics", "contour_geometry", "checkpoint_lineage",
-    "osm_xml_tiles", "tile_pip_flagship", "decode_stats", "hgt_zip_scan",
+    "contour_metrics", "checkpoint_lineage",
+    "osm_xml_tiles", "tile_pip_flagship", "hgt_zip_scan",
     "decode_quarantine",
-    "crop_stats", "arcinfo_sink", "geopng_sink", "tsv_sink",
+    "crop_stats", "arcinfo_sink", "geopng_sink",
     "multimodal_features", "multimodal_resize", "frame_sample",
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
@@ -1075,7 +1089,67 @@ def oracle_sql() -> dict[str, str]:
     )
     res_shift = f"({CELL_RES}::BIGINT << 48)"
 
+    import os as _os
+
+    golden_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "golden")
     golden = {name: _golden_sql(name) for name in GOLDEN_ORACLES}
+    # computed oracles (VERDICT r2 item 7): rebuild the checks in plain
+    # SQL over the nodes / raster-cell data goldens rather than reading
+    # a twin-derived result parquet
+    golden["contour_geometry"] = f"""
+        WITH ordered AS (
+            SELECT image_id, level, poly_ord, lat, lon,
+                   row_number() OVER w AS rn,
+                   lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+            FROM read_parquet('{golden_dir}/contour_nodes.parquet')
+            WINDOW w AS (PARTITION BY image_id, level, poly_ord ORDER BY node_id)
+        ), agg AS (
+            SELECT image_id, level, poly_ord,
+                   CAST(count(*) AS INT) AS n_points,
+                   sum(CASE WHEN rn > 1 THEN
+                       sqrt((lon-plon)*(lon-plon) + (lat-plat)*(lat-plat))
+                       ELSE 0 END) AS len,
+                   sum(CASE WHEN rn > 1 THEN plon*lat - lon*plat ELSE 0 END) AS sh2
+            FROM ordered GROUP BY image_id, level, poly_ord
+        )
+        SELECT a.image_id, a.level, a.poly_ord, a.n_points,
+               round(a.len, 8) AS length_deg,
+               CASE WHEN g.closed THEN round(0.5 * abs(a.sh2), 8) END AS area_deg2,
+               g.closed
+        FROM agg a
+        JOIN read_parquet('{golden_dir}/contour_geometry.parquet') g
+          USING (image_id, level, poly_ord)
+    """
+    golden["decode_stats"] = f"""
+        WITH s AS (
+            SELECT image_id,
+                   CAST(min(CASE WHEN value <> -32768 THEN value END) AS INT) AS minimum,
+                   CAST(max(CASE WHEN value <> -32768 THEN value END) AS INT) AS maximum,
+                   CAST(sum(CASE WHEN value = -32768 THEN 1 ELSE 0 END) AS BIGINT) AS not_valid
+            FROM read_parquet('{golden_dir}/raster_cells.parquet')
+            GROUP BY image_id
+        )
+        SELECT g.image_id, g.w, g.h, g.fmt, g.caption,
+               s.minimum, s.maximum, s.not_valid, g.phash_ok, g.psnr_db
+        FROM s JOIN read_parquet('{golden_dir}/decode_stats.parquet') g
+          USING (image_id)
+    """
+    golden["tsv_sink"] = f"""
+        WITH lines AS (
+            SELECT image_id, y,
+                   string_agg(CAST(value AS VARCHAR), chr(9) ORDER BY x) AS line
+            FROM read_parquet('{golden_dir}/raster_cells.parquet')
+            GROUP BY image_id, y
+        ), payloads AS (
+            SELECT image_id,
+                   string_agg(line, chr(10) ORDER BY y) || chr(10) AS payload
+            FROM lines GROUP BY image_id
+        )
+        SELECT image_id, image_id || '.tsv' AS filename,
+               CAST(length(payload) AS INT) AS n_bytes,
+               md5(payload) AS payload_md5
+        FROM payloads
+    """
     return golden | {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -3,6 +3,12 @@ import sys
 
 import pytest
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale-evidence tests (SRTM-1 grain)"
+    )
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

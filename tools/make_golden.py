@@ -292,6 +292,12 @@ def g_contour_geometry():
     df = pd.DataFrame(res["geometry"],
                       columns=["image_id", "level", "poly_ord", "n_points",
                                "length_deg", "area_deg2", "closed"])
+    # round to 8 decimals (HALF_UP, matching Spark F.round) so the
+    # independently-summed DuckDB oracle (ordered SQL aggregation vs
+    # numpy pairwise sum) lands on the same value
+    df["length_deg"] = [_round_half_up(v, 8) for v in df["length_deg"]]
+    df["area_deg2"] = [None if v is None else _round_half_up(v, 8)
+                       for v in df["area_deg2"]]
     _write("contour_geometry", df, pa.schema([
         ("image_id", pa.string()), ("level", pa.int32()), ("poly_ord", pa.int32()),
         ("n_points", pa.int32()), ("length_deg", pa.float64()),
@@ -405,6 +411,31 @@ def g_decode_stats():
         ("fmt", pa.string()), ("caption", pa.string()),
         ("minimum", pa.int32()), ("maximum", pa.int32()), ("not_valid", pa.int64()),
         ("phash_ok", pa.bool_()), ("psnr_db", pa.float64()),
+    ]))
+
+
+def g_raster_cells():
+    """Auxiliary data golden: every decoded cell of the 6 synthetic
+    tiles as (image_id, y, x, value) rows. Not a query oracle itself —
+    it lets the decode_stats and tsv_sink oracles RECOMPUTE their
+    checks in plain DuckDB SQL (min/max/not_valid aggregation, TSV
+    payload assembly + md5) instead of reading back a twin-derived
+    result (VERDICT r2 item 7)."""
+    rows = []
+    for idx in range(6):
+        row, grid = scalar_tile_grid(idx, 33)
+        h, w = grid.shape
+        ys, xs = np.mgrid[0:h, 0:w]
+        rows.append(pd.DataFrame({
+            "image_id": row["image_id"],
+            "y": ys.ravel().astype(np.int32),
+            "x": xs.ravel().astype(np.int32),
+            "value": grid.ravel().astype(np.int32),
+        }))
+    df = pd.concat(rows, ignore_index=True)
+    _write("raster_cells", df, pa.schema([
+        ("image_id", pa.string()), ("y", pa.int32()), ("x", pa.int32()),
+        ("value", pa.int32()),
     ]))
 
 
@@ -996,6 +1027,7 @@ GENERATORS = {
     "osm_xml_tiles": g_osm_xml_tiles,
     "tile_pip_flagship": g_tile_pip_flagship,
     "decode_stats": g_decode_stats,
+    "raster_cells": g_raster_cells,
     "hgt_zip_scan": g_hgt_zip_scan,
     "decode_quarantine": g_decode_quarantine,
     "crop_stats": g_crop_stats,

