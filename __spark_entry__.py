@@ -55,6 +55,30 @@ VALUE_BANDS: list[tuple[float, float, str]] = [
 KNN_K = 5
 CELL_RES = 6
 
+#: word-3-gram Jaccard pairs at threshold 0.2 (shared by the
+#: ngram_jaccard oracle and the dedup_clusters recursive-CTE oracle)
+_NGRAM_PAIRS_SQL = """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS r(i)
+              WHERE len(w) >= 3
+            ), sizes AS (
+              SELECT id, COUNT(*) AS n_grams FROM grams GROUP BY id
+            ), inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
+"""
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -453,6 +477,28 @@ def q_language_id(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the n-gram
+    Jaccard pair graph via iterative min-label propagation; the DuckDB
+    oracle recomputes the closure with a recursive CTE — a fully
+    independent derivation."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    return dedup.near_dup_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Multimodal dedup: near-duplicate IMAGES by perceptual-hash
+    hamming distance over the input table's phash column (banded
+    candidates + exact popcount; golden = brute-force scalar twin)."""
+    t = _synth_tiles(spark, n_tiles=12, size=33).unionByName(
+        synthetic.images_df(spark, n_images=6, size=33)
+    )
+    return multimodal.phash_near_dup(t, max_hamming=16)
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -1020,6 +1066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "time_functions": q_time_functions,
         "percentiles": q_percentiles,
+        # r3 additions (tail: still check_entry-verified + tested; the
+        # driver window is already full of engine-core queries)
+        "dedup_clusters": q_dedup_clusters,
+        "phash_near_dup": q_phash_near_dup,
     }
 
 
@@ -1069,7 +1119,7 @@ GOLDEN_ORACLES = [
     "multimodal_features", "multimodal_resize", "frame_sample",
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
-    "ann_lsh", "ann_ivf",
+    "ann_lsh", "ann_ivf", "phash_near_dup",
 ]
 
 
@@ -1402,26 +1452,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_pred
             FROM h
         """,
-        "ngram_jaccard": """
-            WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
-            ), grams AS (
-              SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS gram
-              FROM toks, UNNEST(range(1, len(w) - 1)) AS r(i)
-              WHERE len(w) >= 3
-            ), sizes AS (
-              SELECT id, COUNT(*) AS n_grams FROM grams GROUP BY id
-            ), inter AS (
-              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-              FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
-              GROUP BY a.id, b.id
+        "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT s AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
             )
-            SELECT id_a, id_b,
-                   round(CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.id = id_a
-            JOIN sizes sb ON sb.id = id_b
-            WHERE CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) >= 0.2
+            SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+            FROM reach GROUP BY id
         """,
         "point_store": f"""
             WITH p AS (

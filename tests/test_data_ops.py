@@ -354,3 +354,86 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     assert set(ct) <= set(e)
     for k, v in ct.items():
         assert v == e[k]  # values exact even when candidates are capped
+
+
+def test_hamming_near_pairs_matches_bruteforce(spark):
+    """Banded hamming pairs over an arbitrary 64-bit sketch column must
+    equal the brute-force hamming ball exactly (pigeonhole recall +
+    popcount verify), including negative int64 sketches."""
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-(2**63), 2**63, 40, dtype=np.int64)
+    # plant near-dups: flip <= 5 bits of some sketches
+    vals = list(base)
+    for i in range(0, 20, 2):
+        v = int(base[i])
+        for b in rng.integers(0, 64, int(rng.integers(0, 6))):
+            v ^= 1 << int(b)
+        vals.append(int(np.uint64(v & (2**64 - 1)).astype(np.int64)))
+    pdf = pd.DataFrame({"id": [f"s{i:03d}" for i in range(len(vals))],
+                        "sketch": np.array(vals, dtype=np.int64)})
+    df = spark.createDataFrame(pdf)
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in dedup.hamming_near_pairs(df, max_hamming=5).collect()}
+    want = set()
+    for i in range(len(vals)):
+        for j in range(len(vals)):
+            if pdf["id"][i] < pdf["id"][j]:
+                d = bin((int(vals[i]) ^ int(vals[j])) & (2**64 - 1)).count("1")
+                if d <= 5:
+                    want.add((pdf["id"][i], pdf["id"][j], d))
+    assert got == want and want  # non-trivial and exact
+
+
+def test_near_dup_components_vs_union_find(spark):
+    """Label-propagation CC must equal a scalar union-find twin,
+    including a long path (diameter > 1 round) and isolated pairs."""
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import dedup
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # path
+             (10, 11), (11, 12), (10, 12),                     # triangle
+             (20, 21)]                                         # pair
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {r["id"]: r["component_id"]
+           for r in dedup.near_dup_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    # canonical label = min member id (first-wins representative)
+    comp_min: dict[int, int] = {}
+    for x, r in want.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[find(x)] for x in parent}
+    assert got == want
+
+
+def test_phash_near_dup_pairs(spark):
+    """Image-phash near-dup through Spark equals the golden brute-force
+    twin (the multimodal dedup surface)."""
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in entrymod.q_phash_near_dup(spark, SF_DIR).collect()}
+    want = {tuple(r) for r in
+            pq.read_table("golden/phash_near_dup.parquet").to_pandas().itertuples(index=False)}
+    assert got == want and len(want) == 16

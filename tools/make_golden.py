@@ -439,6 +439,28 @@ def g_raster_cells():
     ]))
 
 
+def g_phash_near_dup():
+    """Brute-force twin of ops/multimodal.phash_near_dup: all pairs,
+    unsigned-xor popcount, id_a < id_b lexicographic (matching Spark's
+    string comparison on ascii ids)."""
+    rows = [synthetic.make_tile_row(i, 33) for i in range(12)]
+    rows += [synthetic.make_image_row(i, 33) for i in range(6)]
+    ph = [(r["image_id"], r["phash"] & 0xFFFFFFFFFFFFFFFF) for r in rows]
+    out = []
+    for i in range(len(ph)):
+        for j in range(len(ph)):
+            ia, ha = ph[i]
+            ib, hb = ph[j]
+            if ia < ib:
+                d = bin(ha ^ hb).count("1")
+                if d <= 16:
+                    out.append((ia, ib, d))
+    df = pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+    _write("phash_near_dup", df, pa.schema([
+        ("id_a", pa.string()), ("id_b", pa.string()), ("hamming", pa.int32()),
+    ]))
+
+
 def g_hgt_zip_scan():
     import __spark_entry__ as entrymod
 
@@ -1028,6 +1050,7 @@ GENERATORS = {
     "tile_pip_flagship": g_tile_pip_flagship,
     "decode_stats": g_decode_stats,
     "raster_cells": g_raster_cells,
+    "phash_near_dup": g_phash_near_dup,
     "hgt_zip_scan": g_hgt_zip_scan,
     "decode_quarantine": g_decode_quarantine,
     "crop_stats": g_crop_stats,
