@@ -631,6 +631,20 @@ def q_multimodal_resize(spark, sf_dir):
     return multimodal.resize_tiles(t, factor=2).select("image_id", "w", "h", "fmt")
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio modality: REAL RIFF/PCM wav decode (kernels.audio) ->
+    per-clip features. Floats rounded to 9 so the independent
+    scalar-loop twin (different summation association) hashes equal."""
+    clips = synthetic.audio_df(spark, n_clips=6)
+    f = multimodal.audio_features(clips)
+    return f.select(
+        "image_id", "sample_rate", "n_channels", "duration_s",
+        F.round("rms", 9).alias("rms"),
+        F.round("peak", 9).alias("peak"),
+        F.round("zcr", 9).alias("zcr"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     # raw (hgt) tiles reinterpreted as stacks of 3-row frames — the
     # video-demux plumbing shape; compressed fmts have no fixed frame size
@@ -1070,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver window is already full of engine-core queries)
         "dedup_clusters": q_dedup_clusters,
         "phash_near_dup": q_phash_near_dup,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1119,7 +1134,7 @@ GOLDEN_ORACLES = [
     "multimodal_features", "multimodal_resize", "frame_sample",
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
-    "ann_lsh", "ann_ivf", "phash_near_dup",
+    "ann_lsh", "ann_ivf", "phash_near_dup", "audio_features",
 ]
 
 

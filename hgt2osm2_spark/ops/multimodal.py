@@ -28,11 +28,12 @@ from ..kernels import codecs
 #: formats the stub decoder refuses (real libs unavailable here).
 #: 'png-rgb' graduated to a REAL pure-Python decoder in round 2
 #: (codecs.decode_png_rgb8: stdlib zlib + all five scanline filters);
-#: 'jpeg' graduated in round 3 (kernels.jpeg: baseline-sequential
-#: huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart markers —
-#: validated against Java ImageIO as an independent decoder). The
-#: remaining entries are genuinely container/patent-bound formats.
-UNSUPPORTED_REAL_FORMATS = {"webp", "mp3", "wav", "mp4", "h264"}
+#: 'jpeg' AND 'wav' graduated in round 3 (kernels.jpeg:
+#: baseline-sequential huffman + dequant + IDCT, validated against
+#: Java ImageIO; kernels.audio: RIFF/PCM u8..s32 + float, validated
+#: against the stdlib wave module). The remaining entries are
+#: genuinely codec-bound (entropy-coded audio/video containers).
+UNSUPPORTED_REAL_FORMATS = {"webp", "mp3", "mp4", "h264"}
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
@@ -156,6 +157,49 @@ def resize_tiles(tiles: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+        T.StructField("zcr", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """wav binary -> per-clip features (duration, RMS, peak,
+    zero-crossing rate) via the REAL pure-Python RIFF/PCM decoder
+    (kernels.audio). Entropy-coded audio (mp3) still refuses through
+    _decode_any's honest stub."""
+    from ..kernels import audio as _audio
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for cid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt != "wav":
+                    raise NotImplementedError(
+                        f"audio_features: {fmt!r} needs a codec library not "
+                        "present here (only RIFF/PCM wav is real)"
+                    )
+                samples, rate = _audio.decode_wav(bytes(data))
+                f = _audio.clip_features(samples, rate)
+                rows.append(
+                    {"image_id": cid, "sample_rate": rate,
+                     "n_channels": samples.shape[1], **f}
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return clips.select("image_id", "bytes", "fmt").mapInPandas(
+        gen, schema=AUDIO_FEATURES_SCHEMA
+    )
 
 
 FRAMES_SCHEMA = T.StructType(

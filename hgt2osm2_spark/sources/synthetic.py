@@ -147,6 +147,62 @@ def images_df(spark: SparkSession, n_images: int = 6, size: int = 33, seed: int 
     return spec.mapInPandas(gen, schema=TILES_SCHEMA)
 
 
+def wav_clip(idx: int, n_frames: int = 8000, rate: int = 16000,
+             seed: int = 42) -> np.ndarray:
+    """Seeded sine-mix PCM clip: (n_frames, channels) int16; stereo on
+    odd idx (two dephased mixes)."""
+    rng = np.random.default_rng(np.uint64(seed * 3_000_017 + idx))
+    t = np.arange(n_frames, dtype=np.float64) / rate
+    chans = 2 if idx % 2 else 1
+    out = np.zeros((n_frames, chans))
+    for c in range(chans):
+        for _ in range(3):
+            f = rng.uniform(80, 3000)
+            amp = rng.uniform(1500, 8000)
+            ph = rng.uniform(0, 2 * np.pi)
+            out[:, c] += amp * np.sin(2 * np.pi * f * t + ph)
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
+def make_audio_row(idx: int, n_frames: int = 8000, rate: int = 16000,
+                   seed: int = 42) -> dict:
+    """One wav clip row in the input_hint schema (w=sample_rate,
+    h=n_channels carry the typed metadata; phash over a 2-D reshape of
+    the leading samples keeps the integrity-check contract)."""
+    from ..kernels import audio as _audio
+
+    pcm = wav_clip(idx, n_frames, rate, seed)
+    clip_id = f"clip{idx:04d}"
+    side = int(np.sqrt(min(n_frames, 6400)))
+    return {
+        "image_id": clip_id,
+        "bytes": _audio.encode_wav(pcm, rate),
+        "w": rate,
+        "h": pcm.shape[1],
+        "fmt": "wav",
+        "caption": f"audio {clip_id} seed{seed}",
+        "phash": codecs.phash64(pcm[: side * side, 0].reshape(side, side)),
+    }
+
+
+def audio_df(spark: SparkSession, n_clips: int = 6, n_frames: int = 8000,
+             rate: int = 16000, seed: int = 42,
+             partitions: int | None = None) -> DataFrame:
+    """Distributed synthetic wav table, same schema as tiles_df."""
+    import pandas as pd
+
+    spec = spark.range(n_clips).withColumnRenamed("id", "idx")
+    if partitions:
+        spec = spec.repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_audio_row(int(i), n_frames, rate, seed) for i in pdf["idx"]]
+            yield pd.DataFrame(rows)
+
+    return spec.mapInPandas(gen, schema=TILES_SCHEMA)
+
+
 def polygons_df(spark: SparkSession, n_polys: int = 8, seed: int = 42) -> DataFrame:
     """Seeded convex + star-concave rings over the tile extents
     (FIXTURES.md §4): (poly_id, xs array<double>=lon, ys array<double>=lat)."""

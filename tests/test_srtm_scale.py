@@ -18,6 +18,13 @@ def test_srtm1_tile_end_to_end(spark):
     from hgt2osm2_spark.sources import synthetic
 
     n = 3601
+    # VmHWM is process-lifetime peak; in a shared test session the JVM
+    # has already peaked on earlier suites. Reset the high-water mark
+    # (write "5" to clear_refs) so the assertion measures THIS tile.
+    pid = spark._jvm.java.lang.ProcessHandle.current().pid()
+    with open(f"/proc/{pid}/clear_refs", "w") as f:
+        f.write("5")
+
     tiles = synthetic.tiles_df(spark, n_tiles=1, size=n, partitions=1)
     res = run_contour_pipeline(
         tiles, ContourOptions(minor_distance=100), shuffle_partitions=8
@@ -34,7 +41,6 @@ def test_srtm1_tile_end_to_end(spark):
 
     # memory envelope: the single task that held the whole 13M-sample
     # tile must fit far under the driver cap (per-task sizing evidence)
-    pid = spark._jvm.java.lang.ProcessHandle.current().pid()
     with open(f"/proc/{pid}/status") as f:
         hwm_kib = next(int(line.split()[1]) for line in f if line.startswith("VmHWM"))
     assert hwm_kib < 6 * 1024 * 1024, f"peak RSS {hwm_kib/1048576:.1f} GiB exceeds 6 GiB"

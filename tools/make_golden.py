@@ -461,6 +461,54 @@ def g_phash_near_dup():
     ]))
 
 
+def g_audio_features():
+    """Independent scalar twin of ops/multimodal.audio_features: the
+    WAV bytes are re-parsed here with the stdlib wave module (NOT
+    kernels.audio) and the features recomputed with plain-Python
+    loops, so a shared decoder/feature bug cannot pass silently.
+    Floats rounded to 9 on both sides (summation association)."""
+    import math
+    import io as _io
+    import wave
+
+    rows = []
+    for idx in range(6):
+        row = synthetic.make_audio_row(idx)
+        with wave.open(_io.BytesIO(row["bytes"])) as wf:
+            n_ch = wf.getnchannels()
+            rate = wf.getframerate()
+            assert wf.getsampwidth() == 2
+            raw = wf.readframes(wf.getnframes())
+        ints = [int.from_bytes(raw[i:i + 2], "little", signed=True)
+                for i in range(0, len(raw), 2)]
+        frames = [ints[i:i + n_ch] for i in range(0, len(ints), n_ch)]
+        mono = []
+        for fr in frames:
+            acc = 0.0
+            for v in fr:
+                acc += v / 32768.0
+            mono.append(acc / n_ch)
+        n = len(mono)
+        sq = 0.0
+        for v in mono:
+            sq += v * v
+        # pairwise (numpy mean) vs sequential differ ~1e-17 rel; round 9
+        rms = math.sqrt(sq / n)
+        peak = max(abs(v) for v in mono)
+        zc = sum(1 for a, b in zip(mono, mono[1:])
+                 if (math.copysign(1.0, a) < 0) != (math.copysign(1.0, b) < 0))
+        rows.append((row["image_id"], rate, n_ch, n / rate,
+                     _round_half_up(rms, 9), _round_half_up(peak, 9),
+                     _round_half_up(zc / n, 9)))
+    df = pd.DataFrame(rows, columns=["image_id", "sample_rate", "n_channels",
+                                     "duration_s", "rms", "peak", "zcr"])
+    _write("audio_features", df, pa.schema([
+        ("image_id", pa.string()), ("sample_rate", pa.int32()),
+        ("n_channels", pa.int32()), ("duration_s", pa.float64()),
+        ("rms", pa.float64()), ("peak", pa.float64()), ("zcr", pa.float64()),
+    ]))
+
+
 def g_hgt_zip_scan():
     import __spark_entry__ as entrymod
 
@@ -1051,6 +1099,7 @@ GENERATORS = {
     "decode_stats": g_decode_stats,
     "raster_cells": g_raster_cells,
     "phash_near_dup": g_phash_near_dup,
+    "audio_features": g_audio_features,
     "hgt_zip_scan": g_hgt_zip_scan,
     "decode_quarantine": g_decode_quarantine,
     "crop_stats": g_crop_stats,
