@@ -183,25 +183,34 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_top_revenue_orders(spark, sf_dir):
-    """J5/O3: 3-way join + top-k with deterministic tiebreak."""
+    """J5/O3: 3-way join + top-k with deterministic tiebreak.
+
+    Join order matters at scale: the qualifying-order keys (customer
+    dimension filter applied first) SEMI-filter lineitem BEFORE the
+    revenue aggregation, so the groupBy shuffles ~1/5 of the fact rows
+    instead of aggregating everything and discarding 4/5 post-join.
+    Revenue per surviving key is unchanged (the filter is on the group
+    key). AQE picks broadcast for the key set while it fits; past the
+    threshold it degrades to a shuffled semi-join, never a recompute."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    okeys = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey")
+    )
     rev = (
-        li.groupBy("l_orderkey")
+        li.join(okeys, li.l_orderkey == okeys.o_orderkey, "left_semi")
+        .groupBy("l_orderkey")
         .agg(
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
             ).cast("double").alias("revenue")
         )
+        .select(F.col("l_orderkey").alias("orderkey"), "revenue")
     )
-    j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(rev, o.o_orderkey == rev.l_orderkey)
-        .select(F.col("o_orderkey").alias("orderkey"), "revenue")
-    )
-    return j.orderBy(F.col("revenue").desc(), F.col("orderkey").asc()).limit(10)
+    return rev.orderBy(F.col("revenue").desc(), F.col("orderkey").asc()).limit(10)
 
 
 def q_customers_without_orders(spark, sf_dir):
