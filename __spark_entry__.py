@@ -654,6 +654,36 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_compaction(spark, sf_dir):
+    """Small-file compaction (ops/maintenance.py — the Iceberg
+    `rewrite_data_files` maintenance action over plain parquet): write
+    `orders` fragmented into 64 tiny files, rewrite in place to ~target
+    size via the atomic two-rename swap, and fingerprint the compacted
+    copy per order status.  The oracle computes the same fingerprint
+    over the pristine source table, so any row lost or duplicated by
+    the rewrite/swap hash-mismatches.  The query itself asserts the
+    file count actually dropped — the compaction is load-bearing, not
+    decorative."""
+    import tempfile
+
+    from hgt2osm2_spark.ops import maintenance
+
+    src = _t(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="compact_") + "/orders"
+    compacted, stats = maintenance.compacted_copy(
+        spark, src, work, fragment_files=64, target_file_mb=128
+    )
+    if stats["after"]["n_files"] >= stats["before"]["n_files"]:
+        raise AssertionError(f"compaction did not reduce file count: {stats}")
+    return compacted.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.min("o_orderkey").alias("key_min"),
+        F.max("o_orderkey").alias("key_max"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents_sum"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     # raw (hgt) tiles reinterpreted as stacks of 3-row frames — the
     # video-demux plumbing shape; compressed fmts have no fixed frame size
@@ -1094,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "phash_near_dup": q_phash_near_dup,
         "audio_features": q_audio_features,
+        "compaction": q_compaction,
     }
 
 
@@ -1477,6 +1508,18 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # compaction: the oracle fingerprints the PRISTINE source table;
+        # the query returns the same fingerprint computed over the
+        # rewritten/compacted copy — any row lost or duplicated by the
+        # rewrite+swap mismatches.
+        "compaction": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   MIN(o_orderkey) AS key_min,
+                   MAX(o_orderkey) AS key_max,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+            FROM orders GROUP BY o_orderstatus
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
             edges AS (

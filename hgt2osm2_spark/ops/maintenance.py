@@ -1,0 +1,96 @@
+"""Table maintenance: small-file compaction + file-level stats.
+
+At 10^12 rows the write path continuously produces small files
+(per-trigger streaming commits, per-tile artifact batches, skewed
+dynamic partitions); scan throughput then dies on open/seek overhead
+long before bandwidth. This is the Iceberg `rewrite_data_files`
+maintenance action re-expressed over plain parquet directories (the
+sandbox has no Iceberg runtime jar; the commit-semantics analogue
+lives in plans/checkpoint.py's dynamic partition overwrite).
+
+  table_file_stats   file count / bytes via the Hadoop FS API (driver
+                     metadata listing only — no data scan)
+  compact_parquet    read -> repartition to ceil(bytes/target) ->
+                     write-temp + atomic swap; returns before/after
+                     stats. Row-preservation is the caller-checkable
+                     contract (the q_compaction query fingerprints the
+                     compacted output against the source oracle).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def table_file_stats(spark: SparkSession, path: str) -> dict:
+    """{n_files, total_bytes, min_bytes, max_bytes} over the data files
+    of a parquet directory (driver-side listing; success/_SUCCESS and
+    hidden files excluded)."""
+    fs, p, _ = _fs(spark, path)
+    sizes = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            sizes.append(int(st.getLen()))
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes) if sizes else 0,
+        "max_bytes": max(sizes) if sizes else 0,
+    }
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> dict:
+    """Rewrite a parquet directory into ~target-sized files, in place.
+
+    The rewrite lands in `<path>.__compact_tmp` first and swaps in via
+    two renames, so a failed rewrite never corrupts the source (rename
+    is atomic per directory on HDFS-like stores; on S3-like stores the
+    Iceberg snapshot commit plays this role). Returns before/after
+    file stats plus the row count moved."""
+    before = table_file_stats(spark, path)
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_out = max(1, math.ceil(before["total_bytes"] / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    # repartition (not coalesce): coalesce would chain the upstream scan
+    # into as few tasks as output files, serializing the read; a real
+    # rewrite wants parallel read + exchange into the output grain
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    fs, p_src, jvm = _fs(spark, path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(p_old):
+        fs.delete(p_old, True)
+    if not fs.rename(p_src, p_old):
+        raise IOError(f"compact: could not stage out {path}")
+    if not fs.rename(p_tmp, p_src):
+        fs.rename(p_old, p_src)  # roll back
+        raise IOError(f"compact: could not swap in rewrite for {path}")
+    fs.delete(p_old, True)
+    after = table_file_stats(spark, path)
+    return {"before": before, "after": after, "n_rows": n_rows,
+            "target_files": n_out}
+
+
+def compacted_copy(
+    spark: SparkSession, src_df: DataFrame, work_dir: str,
+    fragment_files: int, target_file_mb: int = 128,
+) -> tuple[DataFrame, dict]:
+    """Test/demo helper: write `src_df` as `fragment_files` small files
+    under work_dir, compact in place, and return (compacted DataFrame,
+    stats). Exercises the full rewrite + swap path."""
+    src_df.repartition(fragment_files).write.mode("overwrite").parquet(work_dir)
+    stats = compact_parquet(spark, work_dir, target_file_mb)
+    return spark.read.parquet(work_dir), stats

@@ -25,6 +25,18 @@ def test_srtm1_tile_end_to_end(spark):
     with open(f"/proc/{pid}/clear_refs", "w") as f:
         f.write("5")
 
+    def _status_kib(field):
+        with open(f"/proc/{pid}/status") as f:
+            return next(
+                int(line.split()[1]) for line in f if line.startswith(field)
+            )
+
+    # clear_refs resets VmHWM to *current* RSS, and a shared test-session
+    # JVM never returns heap from earlier suites — so the envelope must
+    # be the INCREMENT this tile adds, not the absolute peak (which is
+    # test-order-dependent).
+    base_kib = _status_kib("VmHWM")
+
     tiles = synthetic.tiles_df(spark, n_tiles=1, size=n, partitions=1)
     res = run_contour_pipeline(
         tiles, ContourOptions(minor_distance=100), shuffle_partitions=8
@@ -41,6 +53,9 @@ def test_srtm1_tile_end_to_end(spark):
 
     # memory envelope: the single task that held the whole 13M-sample
     # tile must fit far under the driver cap (per-task sizing evidence)
-    with open(f"/proc/{pid}/status") as f:
-        hwm_kib = next(int(line.split()[1]) for line in f if line.startswith("VmHWM"))
-    assert hwm_kib < 6 * 1024 * 1024, f"peak RSS {hwm_kib/1048576:.1f} GiB exceeds 6 GiB"
+    hwm_kib = _status_kib("VmHWM")
+    delta_kib = hwm_kib - base_kib
+    assert delta_kib < 6 * 1024 * 1024, (
+        f"tile added {delta_kib/1048576:.1f} GiB peak RSS "
+        f"(baseline {base_kib/1048576:.1f}, peak {hwm_kib/1048576:.1f}) — exceeds 6 GiB"
+    )
