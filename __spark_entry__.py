@@ -654,6 +654,15 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_video_features(spark, sf_dir):
+    """Real video path (r3): RIFF/AVI container demux (kernels.avi) ->
+    per-frame baseline-JPEG decode (kernels.jpeg) -> luma stats. The
+    golden twin demuxes by SOI/EOI marker scan (a different parsing
+    strategy) and recomputes the stats with plain loops."""
+    vids = synthetic.videos_df(spark, n_clips=4, n_frames=6)
+    return multimodal.video_frame_features(vids, every=1)
+
+
 def q_compaction(spark, sf_dir):
     """Small-file compaction (ops/maintenance.py — the Iceberg
     `rewrite_data_files` maintenance action over plain parquet): write
@@ -1124,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "phash_near_dup": q_phash_near_dup,
         "audio_features": q_audio_features,
+        "video_features": q_video_features,
         "compaction": q_compaction,
     }
 
@@ -1175,6 +1185,7 @@ GOLDEN_ORACLES = [
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "phash_near_dup", "audio_features",
+    "video_features",
 ]
 
 

@@ -203,6 +203,58 @@ def audio_df(spark: SparkSession, n_clips: int = 6, n_frames: int = 8000,
     return spec.mapInPandas(gen, schema=TILES_SCHEMA)
 
 
+def video_frame(idx: int, t: int, size: int, seed: int = 42) -> np.ndarray:
+    """Frame t of clip idx: the clip's base image translated 2px/frame
+    horizontally (wrap-around pan). Temporally coherent like real video,
+    smooth like rgb_image — lossy round trips stay above 40 dB."""
+    return np.roll(rgb_image(idx, size, seed), shift=2 * t, axis=1)
+
+
+def make_video_row(idx: int, n_frames: int = 8, size: int = 33,
+                   fps: int = 10, seed: int = 42) -> dict:
+    """One MJPEG-in-AVI clip row in the input_hint schema: per-frame
+    baseline JPEG (kernels.jpeg) muxed by the pure-Python RIFF writer
+    (kernels.avi). `w`/`h` carry the frame geometry; phash is over the
+    first frame's luma so the near-dup ops work unchanged on video."""
+    from ..kernels import avi as _avi
+    from ..kernels import jpeg as _jpeg
+
+    frames = [video_frame(idx, t, size, seed) for t in range(n_frames)]
+    payload = _avi.encode_avi_mjpeg(
+        [_jpeg.encode_jpeg_rgb8(f, quality=95) for f in frames],
+        w=size, h=size, fps=fps,
+    )
+    clip_id = f"vid{idx:04d}"
+    return {
+        "image_id": clip_id,
+        "bytes": payload,
+        "w": size,
+        "h": size,
+        "fmt": "avi-mjpeg",
+        "caption": f"video {clip_id} seed{seed}",
+        "phash": codecs.phash64(codecs.rgb_to_gray_i16(frames[0])),
+    }
+
+
+def videos_df(spark: SparkSession, n_clips: int = 4, n_frames: int = 8,
+              size: int = 33, seed: int = 42,
+              partitions: int | None = None) -> DataFrame:
+    """Distributed synthetic MJPEG/AVI table, same schema as tiles_df."""
+    import pandas as pd
+
+    spec = spark.range(n_clips).withColumnRenamed("id", "idx")
+    if partitions:
+        spec = spec.repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_video_row(int(i), n_frames, size, seed=seed)
+                    for i in pdf["idx"]]
+            yield pd.DataFrame(rows)
+
+    return spec.mapInPandas(gen, schema=TILES_SCHEMA)
+
+
 def polygons_df(spark: SparkSession, n_polys: int = 8, seed: int = 42) -> DataFrame:
     """Seeded convex + star-concave rings over the tile extents
     (FIXTURES.md §4): (poly_id, xs array<double>=lon, ys array<double>=lat)."""

@@ -509,6 +509,57 @@ def g_audio_features():
     ]))
 
 
+def g_video_features():
+    """Independent twin of ops/multimodal.video_frame_features: frames
+    are pulled out of the AVI by JPEG SOI/EOI MARKER SCAN (not the RIFF
+    chunk walk the engine uses), and the luma stats are recomputed with
+    plain-Python loops. kernels.jpeg.decode_jpeg is shared, but it is
+    itself cross-validated against Java ImageIO in test_jpeg — the demux
+    and the feature math are the independently-derived parts here."""
+    import math
+
+    from hgt2osm2_spark.kernels import jpeg as _jpeg
+
+    rows = []
+    for idx in range(4):
+        row = synthetic.make_video_row(idx, n_frames=6)
+        data, pos = row["bytes"], 0
+        frames = []
+        while True:
+            soi = data.find(b"\xff\xd8\xff", pos)
+            if soi < 0:
+                break
+            eoi = data.find(b"\xff\xd9", soi)
+            assert eoi > 0
+            frames.append(data[soi : eoi + 2])
+            pos = eoi + 2
+        assert len(frames) == 6
+        for t, payload in enumerate(frames):
+            px = _jpeg.decode_jpeg(payload)
+            h, w, _ = px.shape
+            n = h * w
+            s = 0.0
+            for r in range(h):
+                for c in range(w):
+                    s += (0.299 * px[r, c, 0] + 0.587 * px[r, c, 1]
+                          + 0.114 * px[r, c, 2])
+            m = s / n
+            v = 0.0
+            for r in range(h):
+                for c in range(w):
+                    luma = (0.299 * px[r, c, 0] + 0.587 * px[r, c, 1]
+                            + 0.114 * px[r, c, 2])
+                    v += (luma - m) ** 2
+            rows.append((row["image_id"], t, round(m, 6),
+                         round(math.sqrt(v / n), 6)))
+    df = pd.DataFrame(rows, columns=["image_id", "frame_idx",
+                                     "mean_luma", "std_luma"])
+    _write("video_features", df, pa.schema([
+        ("image_id", pa.string()), ("frame_idx", pa.int32()),
+        ("mean_luma", pa.float64()), ("std_luma", pa.float64()),
+    ]))
+
+
 def g_hgt_zip_scan():
     import __spark_entry__ as entrymod
 
@@ -1100,6 +1151,7 @@ GENERATORS = {
     "raster_cells": g_raster_cells,
     "phash_near_dup": g_phash_near_dup,
     "audio_features": g_audio_features,
+    "video_features": g_video_features,
     "hgt_zip_scan": g_hgt_zip_scan,
     "decode_quarantine": g_decode_quarantine,
     "crop_stats": g_crop_stats,
