@@ -428,6 +428,26 @@ def q_cell_index(spark, sf_dir):
     )
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key — the Iceberg/Delta Z-ORDER
+    write-layout transform (ops/spatial.zorder_key, pure JVM bit
+    expression). The query buckets the keyspace and fingerprints each
+    bucket; the DuckDB oracle re-derives the interleave with its own
+    bit arithmetic. The layout op itself (repartitionByRange + sort)
+    is exercised and footprint-asserted in tests/test_spatial.py."""
+    pts = _li_points(spark, sf_dir)
+    cpd = float(2**CELL_RES)
+    ix = F.floor((F.col("lon") + F.lit(180.0)) * F.lit(cpd)).cast("long")
+    iy = F.floor((F.col("lat") + F.lit(90.0)) * F.lit(cpd)).cast("long")
+    keyed = pts.withColumn("zkey", spatial.zorder_key(ix, iy, bits=16))
+    return keyed.groupBy(F.shiftright("zkey", 8).alias("zbucket")).agg(
+        F.count("*").alias("n"),
+        F.min("zkey").alias("zmin"),
+        F.max("zkey").alias("zmax"),
+        F.sum("p_id").alias("pid_sum"),
+    )
+
+
 def q_knn_join(spark, sf_dir):
     """J4: exact kNN via k-ring cell join + window top-k. stats_key
     memoizes the density/ring hint per dataset (the lineage-metrics
@@ -1135,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "compaction": q_compaction,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -1519,6 +1540,29 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # zorder: the oracle re-derives the Morton interleave with its
+        # own bit arithmetic (disjoint-bit terms summed with +)
+        "zorder_layout": f"""
+            WITH p AS ({_LI_POINTS_SQL}),
+            g AS (
+                SELECT p_id,
+                       CAST(FLOOR((lon + 180.0) * {float(2**CELL_RES)!r}) AS BIGINT) AS ix,
+                       CAST(FLOOR((lat + 90.0) * {float(2**CELL_RES)!r}) AS BIGINT) AS iy
+                FROM p
+            ),
+            z AS (
+                SELECT p_id,
+                       {" + ".join(
+                           f"(((ix >> {b}) & 1) << {2 * b + 1}) + (((iy >> {b}) & 1) << {2 * b})"
+                           for b in range(16)
+                       )} AS zkey
+                FROM g
+            )
+            SELECT zkey >> 8 AS zbucket, COUNT(*) AS n,
+                   MIN(zkey) AS zmin, MAX(zkey) AS zmax,
+                   CAST(SUM(p_id) AS BIGINT) AS pid_sum
+            FROM z GROUP BY zbucket
+        """,
         # compaction: the oracle fingerprints the PRISTINE source table;
         # the query returns the same fingerprint computed over the
         # rewritten/compacted copy — any row lost or duplicated by the

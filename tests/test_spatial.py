@@ -199,3 +199,86 @@ def test_as_of_join_semantics(spark):
                    2: 50,     # inclusive: same-ts right row matches
                    3: 70,     # latest of the two
                    4: None, 5: None}  # k=2's right row is later
+
+
+def test_zorder_key_matches_numpy_interleave(spark):
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import spatial
+
+    rng = np.random.default_rng(7)
+    ix = rng.integers(0, 2**16, 200)
+    iy = rng.integers(0, 2**16, 200)
+
+    def interleave(x, y):
+        out = 0
+        for b in range(16):
+            out |= ((int(x) >> b) & 1) << (2 * b + 1)
+            out |= ((int(y) >> b) & 1) << (2 * b)
+        return out
+
+    want = [interleave(x, y) for x, y in zip(ix, iy)]
+    df = spark.createDataFrame(pd.DataFrame({"ix": ix, "iy": iy}))
+    got = [
+        r.z for r in
+        df.select(spatial.zorder_key(F.col("ix"), F.col("iy")).alias("z"))
+        .collect()
+    ]
+    assert got == want
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """The point of Z-order layout is 2-D data skipping: per-file
+    (per-partition) min/max footprints bound BOTH lat and lon, so a
+    bbox predicate on EITHER dimension prunes files. A single-column
+    range layout (lon stripes) prunes lon queries but a lat-band query
+    must open every file. Assert the skip counts, not footprint area —
+    at equal row counts z squares and lon stripes have similar total
+    area; it's the aspect ratio that changes."""
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import spatial
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    pdf = pd.DataFrame({
+        "p_id": np.arange(n),
+        "lat": rng.uniform(40.0, 44.0, n),
+        "lon": rng.uniform(0.0, 4.0, n),
+    })
+    df = spark.createDataFrame(pdf)
+    n_parts = 16
+
+    def footprints(frame):
+        return (
+            frame.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.min("lat").alias("lat0"), F.max("lat").alias("lat1"),
+                 F.min("lon").alias("lon0"), F.max("lon").alias("lon1"))
+            .collect()
+        )
+
+    def hits(fps, lat0, lat1, lon0, lon1):
+        return sum(
+            1 for r in fps
+            if r.lat1 >= lat0 and r.lat0 <= lat1
+            and r.lon1 >= lon0 and r.lon0 <= lon1
+        )
+
+    z = spatial.zorder_layout(df, res=10, n_files=n_parts)
+    assert z.count() == n  # row preservation
+    z_fp = footprints(z)
+    naive_fp = footprints(df.repartitionByRange(n_parts, "lon"))
+    assert len(z_fp) == n_parts
+
+    # lat-band query (full lon extent): stripes must open every file
+    lat_band = (41.0, 41.5, 0.0, 4.0)
+    assert hits(naive_fp, *lat_band) == n_parts
+    assert hits(z_fp, *lat_band) <= n_parts // 2
+
+    # combined over both orientations, z opens strictly fewer files
+    lon_band = (40.0, 44.0, 1.0, 1.5)
+    z_total = hits(z_fp, *lat_band) + hits(z_fp, *lon_band)
+    naive_total = hits(naive_fp, *lat_band) + hits(naive_fp, *lon_band)
+    assert z_total < naive_total
