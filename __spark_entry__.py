@@ -674,6 +674,17 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_image_stats(spark, sf_dir):
+    """Image quality signals (r3): real PNG/JPEG decode -> luma
+    mean/contrast, 256-bin entropy, Sobel edge density — the image
+    analogue of quality_score for training-data filtering. Golden twin
+    recomputes with plain loops; PNG rows' twin decodes NOTHING (it
+    uses the pre-encode source array), so a PNG decoder bug fails the
+    gate."""
+    imgs = synthetic.images_df(spark, n_images=6, size=33)
+    return multimodal.image_stats(imgs)
+
+
 def q_video_features(spark, sf_dir):
     """Real video path (r3): RIFF/AVI container demux (kernels.avi) ->
     per-frame baseline-JPEG decode (kernels.jpeg) -> luma stats. The
@@ -1154,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
+        "image_stats": q_image_stats,
         "compaction": q_compaction,
         "zorder_layout": q_zorder_layout,
     }
@@ -1206,7 +1218,7 @@ GOLDEN_ORACLES = [
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "phash_near_dup", "audio_features",
-    "video_features",
+    "video_features", "image_stats",
 ]
 
 

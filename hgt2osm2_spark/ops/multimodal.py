@@ -85,6 +85,69 @@ def decode_features(tiles: DataFrame, n_bins: int = 16) -> DataFrame:
     return tiles.mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+        T.StructField("std_luma", T.DoubleType(), False),
+        T.StructField("entropy", T.DoubleType(), False),
+        T.StructField("edge_density", T.DoubleType(), False),
+    ]
+)
+
+
+def image_stats(images: DataFrame, edge_thresh: float = 30.0) -> DataFrame:
+    """Per-image quality signals over REAL decoded pixels — the image
+    analogue of ops/text.quality_score for training-data filtering:
+    luma mean/contrast, 256-bin luma entropy (near-blank screenshots
+    and solid fills score ~0), and Sobel edge density (information
+    content; flat synthetic images score low). Rounded to 6 so the
+    plain-loop golden twin hashes equal."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import jpeg as _jpeg
+
+        cols = [f.name for f in IMAGE_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for img, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt == "png-rgb":
+                    px = codecs.decode_png_rgb8(bytes(data))
+                elif fmt == "jpeg":
+                    px = _jpeg.decode_jpeg(bytes(data))
+                    if px.ndim == 2:
+                        px = np.stack([px] * 3, axis=2)
+                else:
+                    raise NotImplementedError(
+                        f"image_stats: {fmt!r} is not a real image format here"
+                    )
+                px = px.astype(np.float64)
+                luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                        + 0.114 * px[:, :, 2])
+                lu8 = np.clip(np.rint(luma), 0, 255).astype(np.uint8)
+                counts = np.bincount(lu8.ravel(), minlength=256)
+                p = counts[counts > 0] / lu8.size
+                entropy = float(-(p * np.log2(p)).sum())
+                # Sobel over the interior (no padding — border excluded)
+                gx = (luma[:-2, 2:] + 2 * luma[1:-1, 2:] + luma[2:, 2:]
+                      - luma[:-2, :-2] - 2 * luma[1:-1, :-2] - luma[2:, :-2])
+                gy = (luma[2:, :-2] + 2 * luma[2:, 1:-1] + luma[2:, 2:]
+                      - luma[:-2, :-2] - 2 * luma[:-2, 1:-1] - luma[:-2, 2:])
+                mag = np.sqrt(gx * gx + gy * gy)
+                rows.append(
+                    {"image_id": img,
+                     "mean_luma": round(float(luma.mean()), 6),
+                     "std_luma": round(float(luma.std()), 6),
+                     "entropy": round(entropy, 6),
+                     "edge_density": round(float((mag > edge_thresh).mean()), 6)}
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        gen, schema=IMAGE_STATS_SCHEMA
+    )
+
+
 def phash_near_dup(images: DataFrame, max_hamming: int = 10,
                    id_col: str = "image_id", phash_col: str = "phash") -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —

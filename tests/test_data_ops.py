@@ -437,3 +437,33 @@ def test_phash_near_dup_pairs(spark):
     want = {tuple(r) for r in
             pq.read_table("golden/phash_near_dup.parquet").to_pandas().itertuples(index=False)}
     assert got == want and len(want) == 16
+
+
+def test_image_stats_semantics(spark):
+    """Solid fill scores zero entropy/edges; a hard two-tone grid
+    scores ~1 bit entropy and saturated edge density — the ordering a
+    quality filter relies on."""
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.kernels import codecs
+    from hgt2osm2_spark.ops import multimodal
+
+    flat = np.full((17, 17, 3), 128, np.uint8)
+    yy, xx = np.mgrid[0:17, 0:17]
+    checker = np.where(((xx // 2 + yy // 2) % 2)[..., None] == 0, 230, 20).astype(np.uint8)
+    checker = np.repeat(checker, 3, axis=2) if checker.shape[2] == 1 else checker
+
+    rows = [
+        {"image_id": "flat", "bytes": codecs.encode_png_rgb8(flat), "fmt": "png-rgb"},
+        {"image_id": "checker", "bytes": codecs.encode_png_rgb8(checker), "fmt": "png-rgb"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r.image_id: r for r in multimodal.image_stats(df).collect()}
+
+    assert got["flat"].entropy == 0.0
+    assert got["flat"].edge_density == 0.0
+    assert got["flat"].std_luma == 0.0
+    assert abs(got["checker"].entropy - 1.0) < 0.01  # two tones ~ 1 bit
+    assert got["checker"].edge_density > 0.5
+    assert got["checker"].std_luma > 80

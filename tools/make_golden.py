@@ -560,6 +560,72 @@ def g_video_features():
     ]))
 
 
+def g_image_stats():
+    """Independent twin of ops/multimodal.image_stats: plain-loop
+    luma/entropy/Sobel math; PNG rows use the PRE-ENCODE source array
+    (no decoder at all — a png decode bug fails the gate), JPEG rows
+    decode via kernels.jpeg (itself ImageIO-cross-validated). Float
+    expression order mirrors the op exactly so rounding to 6 hashes
+    equal."""
+    import math
+
+    from hgt2osm2_spark.kernels import jpeg as _jpeg
+
+    rows = []
+    for idx in range(6):
+        row = synthetic.make_image_row(idx, 33)
+        if row["fmt"] == "png-rgb":
+            px = synthetic.rgb_image(idx, 33)
+        else:
+            px = _jpeg.decode_jpeg(row["bytes"])
+        h, w, _ = px.shape
+        luma = [[0.299 * float(px[r, c, 0]) + 0.587 * float(px[r, c, 1])
+                 + 0.114 * float(px[r, c, 2]) for c in range(w)]
+                for r in range(h)]
+        n = h * w
+        s = 0.0
+        for r in range(h):
+            for c in range(w):
+                s += luma[r][c]
+        m = s / n
+        v = 0.0
+        counts = [0] * 256
+        for r in range(h):
+            for c in range(w):
+                v += (luma[r][c] - m) ** 2
+                u8 = min(255, max(0, int(round_half_even(luma[r][c]))))
+                counts[u8] += 1
+        ent = 0.0
+        for cnt in counts:
+            if cnt:
+                p = cnt / n
+                ent -= p * math.log2(p)
+        edges = 0
+        for r in range(1, h - 1):
+            for c in range(1, w - 1):
+                gx = (luma[r - 1][c + 1] + 2 * luma[r][c + 1] + luma[r + 1][c + 1]
+                      - luma[r - 1][c - 1] - 2 * luma[r][c - 1] - luma[r + 1][c - 1])
+                gy = (luma[r + 1][c - 1] + 2 * luma[r + 1][c] + luma[r + 1][c + 1]
+                      - luma[r - 1][c - 1] - 2 * luma[r - 1][c] - luma[r - 1][c + 1])
+                if math.sqrt(gx * gx + gy * gy) > 30.0:
+                    edges += 1
+        rows.append((row["image_id"], round(m, 6), round(math.sqrt(v / n), 6),
+                     round(ent, 6), round(edges / ((h - 2) * (w - 2)), 6)))
+    df = pd.DataFrame(rows, columns=["image_id", "mean_luma", "std_luma",
+                                     "entropy", "edge_density"])
+    _write("image_stats", df, pa.schema([
+        ("image_id", pa.string()), ("mean_luma", pa.float64()),
+        ("std_luma", pa.float64()), ("entropy", pa.float64()),
+        ("edge_density", pa.float64()),
+    ]))
+
+
+def round_half_even(v: float) -> float:
+    """np.rint twin: IEEE round-half-to-even (Python round() on floats
+    is also half-even, but spell it out for the audit trail)."""
+    return round(v)
+
+
 def g_hgt_zip_scan():
     import __spark_entry__ as entrymod
 
@@ -1152,6 +1218,7 @@ GENERATORS = {
     "phash_near_dup": g_phash_near_dup,
     "audio_features": g_audio_features,
     "video_features": g_video_features,
+    "image_stats": g_image_stats,
     "hgt_zip_scan": g_hgt_zip_scan,
     "decode_quarantine": g_decode_quarantine,
     "crop_stats": g_crop_stats,
