@@ -674,6 +674,41 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_doc_split_sample(spark, sf_dir):
+    """Deterministic train/val/test split (ops/sampling.py, portable
+    31-bit hash — the oracle recomputes the identical arithmetic in
+    DuckDB). Reproducibility across engines IS the semantics under
+    test: a row must land in the same split everywhere."""
+    from hgt2osm2_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    split = sampling.train_test_split(
+        docs, "doc_id", test_rate=0.1, val_rate=0.05, portable=True
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-source document cap (C4/RefinedWeb 'domain capping'):
+    windowed top-k by (n_chars desc, doc_id) — a total order, so the
+    kept set is deterministic. Oracle: DuckDB ROW_NUMBER twin."""
+    from hgt2osm2_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = sampling.cap_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], k=40
+    )
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("n_chars").alias("min_kept_chars"),
+    )
+
+
 def q_image_stats(spark, sf_dir):
     """Image quality signals (r3): real PNG/JPEG decode -> luma
     mean/contrast, 256-bin entropy, Sobel edge density — the image
@@ -1168,6 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": q_image_stats,
         "compaction": q_compaction,
         "zorder_layout": q_zorder_layout,
+        "doc_split_sample": q_doc_split_sample,
+        "domain_cap": q_domain_cap,
     }
 
 
@@ -1552,6 +1589,43 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "ngram_jaccard": _NGRAM_PAIRS_SQL,
+        # sampling: the oracle re-derives the portable 31-bit hash
+        # (LCG -> xor-fold -> LCG) with its own arithmetic; integer //
+        # floors, matching Spark's double-div + cast-long on
+        # non-negative values
+        "doc_split_sample": """
+            WITH h AS (
+                SELECT doc_id, lang, n_chars,
+                       ((doc_id % 1000003) * 69069 + 1) % 2147483648 AS h1
+                FROM documents
+            ), b AS (
+                SELECT doc_id, lang, n_chars,
+                       ((xor(h1, h1 >> 15) * 69069 + 7) % 2147483648)
+                           * 1000000 // 2147483648 AS bucket
+                FROM h
+            )
+            SELECT CASE WHEN bucket < 100000 THEN 'test'
+                        WHEN bucket < 150000 THEN 'val'
+                        ELSE 'train' END AS split,
+                   lang, COUNT(*) AS n,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+            FROM b GROUP BY split, lang
+        """,
+        "domain_cap": """
+            WITH r AS (
+                SELECT source, doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT source, COUNT(*) AS n,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   MIN(n_chars) AS min_kept_chars
+            FROM r WHERE rn <= 40 GROUP BY source
+        """,
         # zorder: the oracle re-derives the Morton interleave with its
         # own bit arithmetic (disjoint-bit terms summed with +)
         "zorder_layout": f"""
