@@ -709,6 +709,22 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (ops/sampling.pack_sequences):
+    per-doc [tok_start, tok_end) spans in the global token stream plus
+    the training-sequence ids crossed. Distributed two-pass cumsum —
+    no single-task global window. Oracle: DuckDB window cumsum over the
+    identical token counts."""
+    from hgt2osm2_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.token_count(docs).where(F.col("n_tokens") > 0)
+    packed = sampling.pack_sequences(toks, "n_tokens", seq_len=512)
+    return packed.select(
+        "doc_id", "n_tokens", "tok_start", "tok_end", "seq_first", "seq_last"
+    )
+
+
 def q_image_stats(spark, sf_dir):
     """Image quality signals (r3): real PNG/JPEG decode -> luma
     mean/contrast, 256-bin entropy, Sobel edge density — the image
@@ -1205,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "doc_split_sample": q_doc_split_sample,
         "domain_cap": q_domain_cap,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1611,6 +1628,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum,
                    CAST(SUM(n_chars) AS BIGINT) AS chars_sum
             FROM b GROUP BY split, lang
+        """,
+        "pack_sequences": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens
+                FROM documents
+            ), nz AS (
+                SELECT doc_id, n_tokens FROM toks WHERE n_tokens > 0
+            ), packed AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS tok_start
+                FROM nz
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start + n_tokens AS tok_end,
+                   tok_start // 512 AS seq_first,
+                   (tok_start + n_tokens - 1) // 512 AS seq_last
+            FROM packed
         """,
         "domain_cap": """
             WITH r AS (

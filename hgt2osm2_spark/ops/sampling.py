@@ -112,3 +112,66 @@ def stratified_sample(
         expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
     thresh = expr.otherwise(thresh) if expr is not None else thresh
     return df.where(b < thresh)
+
+
+def pack_sequences(
+    df: DataFrame, tokens_col: str, seq_len: int,
+    order_cols: list | None = None, id_col: str = "doc_id",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end in a deterministic order and cut into fixed seq_len
+    training sequences; each doc gets its span [tok_start, tok_end)
+    in the global token stream plus seq_first/seq_last, the chunk ids
+    the span crosses. A doc spanning a boundary appears in consecutive
+    sequences — standard pretraining semantics (attention masking
+    handles the seam downstream).
+
+    A global prefix sum computed the naive way (W.orderBy with no
+    partition key) funnels every row through ONE task. Instead: the
+    two-pass distributed cumsum —
+      1. repartitionByRange on the order key (shard i holds keys
+         entirely below shard i+1),
+      2. per-shard token totals -> driver (n_shards scalars, bounded),
+         prefix-summed into per-shard base offsets,
+      3. per-shard window cumsum + broadcast base.
+    Every shard's window runs in parallel; the shuffle written by step
+    1 is reused by both jobs. Results are independent of where the
+    sampled range boundaries land, so packing stays byte-deterministic
+    across runs and cluster sizes.
+    """
+    order = order_cols or [F.col(id_col)]
+    spark = df.sparkSession
+    n_shards = int(
+        n_shards or spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = (
+        df.repartitionByRange(n_shards, *order)
+        .withColumn("_shard", F.spark_partition_id())
+    )
+    totals = ranged.groupBy("_shard").agg(
+        F.sum(tokens_col).alias("_tok")
+    ).collect()
+    bases, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r._shard):
+        bases[r._shard] = acc
+        acc += int(r._tok)
+    base_map = F.create_map(
+        *[F.lit(v) for kv in bases.items() for v in kv]
+    )
+    w = W.partitionBy("_shard").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    tok_start = (
+        base_map[F.col("_shard")]
+        + F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    ).cast("long")
+    return (
+        ranged.withColumn("tok_start", tok_start)
+        .withColumn(
+            "tok_end", (F.col("tok_start") + F.col(tokens_col)).cast("long")
+        )
+        .withColumn("seq_first", F.floor(F.col("tok_start") / seq_len))
+        .withColumn("seq_last", F.floor((F.col("tok_end") - 1) / seq_len))
+        .drop("_shard")
+    )

@@ -113,3 +113,38 @@ def test_sample_filter_is_narrow(spark):
     plan = sampling.deterministic_sample(docs, "doc_id", 0.1)
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in s
+
+
+def test_pack_sequences_contiguous_and_shard_invariant(spark):
+    """The packed stream must be gapless (doc i+1 starts where doc i
+    ended) and byte-identical regardless of shard count — shard
+    boundaries are an execution detail, never a semantic one."""
+    docs = _docs(spark).withColumn(
+        "n_tokens", (F.length("text") / 5 + 1).cast("int")
+    ).select("doc_id", "n_tokens").cache()
+
+    packed = sampling.pack_sequences(docs, "n_tokens", seq_len=128, n_shards=8)
+    rows = sorted(packed.collect(), key=lambda r: r.doc_id)
+    pos = 0
+    for r in rows:
+        assert r.tok_start == pos
+        assert r.tok_end == pos + r.n_tokens
+        assert r.seq_first == r.tok_start // 128
+        assert r.seq_last == (r.tok_end - 1) // 128
+        pos = r.tok_end
+
+    again = sampling.pack_sequences(
+        docs.repartition(3), "n_tokens", seq_len=128, n_shards=2
+    )
+    assert sorted(
+        (r.doc_id, r.tok_start, r.seq_first, r.seq_last) for r in again.collect()
+    ) == [(r.doc_id, r.tok_start, r.seq_first, r.seq_last) for r in rows]
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """The prefix-sum window must be partitioned (parallel) — a global
+    unpartitioned Window would serialize 100 TB through one task."""
+    docs = _docs(spark).withColumn("n_tokens", F.lit(10)).select("doc_id", "n_tokens")
+    plan = sampling.pack_sequences(docs, "n_tokens", seq_len=64)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in s
