@@ -726,13 +726,15 @@ def q_pack_sequences(spark, sf_dir):
 
 
 def q_image_stats(spark, sf_dir):
-    """Image quality signals (r3): real PNG/JPEG decode -> luma
+    """Image quality signals (r3): real PNG/JPEG/GIF decode -> luma
     mean/contrast, 256-bin entropy, Sobel edge density — the image
     analogue of quality_score for training-data filtering. Golden twin
-    recomputes with plain loops; PNG rows' twin decodes NOTHING (it
-    uses the pre-encode source array), so a PNG decoder bug fails the
-    gate."""
-    imgs = synthetic.images_df(spark, n_images=6, size=33)
+    recomputes with plain loops; PNG and GIF rows' twin decodes
+    NOTHING (png: the pre-encode source array; gif: its lossless
+    quantize), so a decoder bug in either fails the gate."""
+    imgs = synthetic.images_df(spark, n_images=6, size=33).unionByName(
+        synthetic.gifs_df(spark, n_images=3, size=33)
+    )
     return multimodal.image_stats(imgs)
 
 

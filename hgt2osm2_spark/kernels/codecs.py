@@ -326,6 +326,11 @@ def decode(data: bytes, fmt: str, w: int, h: int, name: str | None = None) -> np
         if px.ndim == 3:
             return rgb_to_gray_i16(px)
         return px.astype(np.int16)
+    if fmt == "gif":
+        # real GIF87a/89a (kernels.gif: palette + LZW); luma contract
+        from . import gif as _gif
+
+        return rgb_to_gray_i16(_gif.decode_gif_rgb8(data))
     raise NotImplementedError(f"unknown tile format {fmt!r}")
 
 

@@ -35,8 +35,9 @@ from ..kernels import codecs
 #: 'jpeg' AND 'wav' graduated in round 3 (kernels.jpeg:
 #: baseline-sequential huffman + dequant + IDCT, validated against
 #: Java ImageIO; kernels.audio: RIFF/PCM u8..s32 + float, validated
-#: against the stdlib wave module); 'avi-mjpeg' graduated in round 3
-#: (kernels.avi RIFF mux/demux + per-frame kernels.jpeg decode). The
+#: against the stdlib wave module); 'avi-mjpeg' AND 'gif' graduated in
+#: round 3 (kernels.avi RIFF mux/demux + per-frame kernels.jpeg decode;
+#: kernels.gif palette+LZW, lossless over quantized pixels). The
 #: remaining entries are genuinely codec-bound (entropy-coded streams
 #: with no feasible stdlib-only decoder).
 UNSUPPORTED_REAL_FORMATS = {"webp", "mp3", "mp4", "h264"}
@@ -117,6 +118,10 @@ def image_stats(images: DataFrame, edge_thresh: float = 30.0) -> DataFrame:
                     px = _jpeg.decode_jpeg(bytes(data))
                     if px.ndim == 2:
                         px = np.stack([px] * 3, axis=2)
+                elif fmt == "gif":
+                    from ..kernels import gif as _gif
+
+                    px = _gif.decode_gif_rgb8(bytes(data))
                 else:
                     raise NotImplementedError(
                         f"image_stats: {fmt!r} is not a real image format here"

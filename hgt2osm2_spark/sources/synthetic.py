@@ -203,6 +203,42 @@ def audio_df(spark: SparkSession, n_clips: int = 6, n_frames: int = 8000,
     return spec.mapInPandas(gen, schema=TILES_SCHEMA)
 
 
+def make_gif_row(idx: int, n: int, seed: int = 42) -> dict:
+    """One GIF image row (kernels.gif: web-safe palette + LZW). GIF is
+    lossless over the palettized pixels, so the per-row invariant is
+    exact equality with websafe_quantize(source), not a PSNR band."""
+    from ..kernels import gif as _gif
+
+    img = rgb_image(idx, n, seed)
+    image_id = f"gif{idx:04d}"
+    return {
+        "image_id": image_id,
+        "bytes": _gif.encode_gif_rgb8(img),
+        "w": n,
+        "h": n,
+        "fmt": "gif",
+        "caption": f"image {image_id} seed{seed}",
+        "phash": codecs.phash64(codecs.rgb_to_gray_i16(_gif.websafe_quantize(img))),
+    }
+
+
+def gifs_df(spark: SparkSession, n_images: int = 4, size: int = 33,
+            seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed synthetic GIF table, same schema as tiles_df."""
+    import pandas as pd
+
+    spec = spark.range(n_images).withColumnRenamed("id", "idx")
+    if partitions:
+        spec = spec.repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_gif_row(int(i), size, seed) for i in pdf["idx"]]
+            yield pd.DataFrame(rows)
+
+    return spec.mapInPandas(gen, schema=TILES_SCHEMA)
+
+
 def video_frame(idx: int, t: int, size: int, seed: int = 42) -> np.ndarray:
     """Frame t of clip idx: the clip's base image translated 2px/frame
     horizontally (wrap-around pan). Temporally coherent like real video,

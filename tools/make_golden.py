@@ -563,21 +563,27 @@ def g_video_features():
 def g_image_stats():
     """Independent twin of ops/multimodal.image_stats: plain-loop
     luma/entropy/Sobel math; PNG rows use the PRE-ENCODE source array
-    (no decoder at all — a png decode bug fails the gate), JPEG rows
-    decode via kernels.jpeg (itself ImageIO-cross-validated). Float
-    expression order mirrors the op exactly so rounding to 6 hashes
-    equal."""
+    and GIF rows its lossless websafe quantize (no decoder at all — a
+    png or gif decode bug fails the gate), JPEG rows decode via
+    kernels.jpeg (itself ImageIO-cross-validated). Float expression
+    order mirrors the op exactly so rounding to 6 hashes equal."""
     import math
 
+    from hgt2osm2_spark.kernels import gif as _gif
     from hgt2osm2_spark.kernels import jpeg as _jpeg
 
+    specs = [("img", i) for i in range(6)] + [("gif", i) for i in range(3)]
     rows = []
-    for idx in range(6):
-        row = synthetic.make_image_row(idx, 33)
-        if row["fmt"] == "png-rgb":
-            px = synthetic.rgb_image(idx, 33)
+    for kind, idx in specs:
+        if kind == "gif":
+            row = synthetic.make_gif_row(idx, 33)
+            px = _gif.websafe_quantize(synthetic.rgb_image(idx, 33))
         else:
-            px = _jpeg.decode_jpeg(row["bytes"])
+            row = synthetic.make_image_row(idx, 33)
+            if row["fmt"] == "png-rgb":
+                px = synthetic.rgb_image(idx, 33)
+            else:
+                px = _jpeg.decode_jpeg(row["bytes"])
         h, w, _ = px.shape
         luma = [[0.299 * float(px[r, c, 0]) + 0.587 * float(px[r, c, 1])
                  + 0.114 * float(px[r, c, 2]) for c in range(w)]
