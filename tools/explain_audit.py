@@ -64,6 +64,26 @@ AUDITED = {
     "session_windows": [
         ("native session-window aggregation", r"session_window|SessionWindow"),
     ],
+    "zorder_layout": [
+        # Morton key must stay a JVM expression — a python UDF here would
+        # put every written byte through Arrow
+        ("pure column expressions (no Python eval in plan)", r"EvalPython", "absent"),
+        ("partial aggregation before shuffle", r"HashAggregate"),
+    ],
+    "doc_split_sample": [
+        ("portable hash is a JVM expression (no Python eval)", r"EvalPython", "absent"),
+        ("partial aggregation before shuffle", r"HashAggregate"),
+        ("column-pruned scan (no text column read)", r"ReadSchema: (?![^\n]*\btext\b)"),
+    ],
+    "domain_cap": [
+        ("windowed top-k prunes before full sort output", r"WindowGroupLimit|Window"),
+        ("no cartesian", r"CartesianProduct", "absent"),
+    ],
+    "pack_sequences": [
+        ("prefix-sum window is sharded, not single-partition",
+         r"Exchange SinglePartition[^\n]*\n[^\n]*Window", "absent"),
+        ("range repartition for ordered shards", r"rangepartitioning"),
+    ],
 }
 
 
