@@ -109,6 +109,13 @@ def main():
         "asof_join",
         "time_functions",
         "rasterize",
+        # r3 additions: sampling/packing (pure JVM), multimodal codecs
+        "doc_split_sample",
+        "domain_cap",
+        "pack_sequences",
+        "zorder_layout",
+        "image_stats",
+        "video_features",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the
