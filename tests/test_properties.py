@@ -102,3 +102,49 @@ def test_djpg_psnr_bound(seed, n):
     ).astype(np.int16)
     back = codecs.decode(codecs.encode(g, "jpg"), "jpg", n, n)
     assert codecs.psnr(g, back) >= 40.0
+
+
+# ---- round-3 codecs: GIF LZW and AVI container, arbitrary inputs ----
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=4000))
+def test_gif_lzw_roundtrip_arbitrary_bytes(raw):
+    """LZW compress->decompress is the identity on ANY byte sequence
+    (8-bit alphabet), including runs that force code-size growth and
+    table resets."""
+    from hgt2osm2_spark.kernels import gif
+
+    idx = np.frombuffer(raw, np.uint8)
+    out = gif._lzw_decompress(gif._lzw_compress(idx, 8), 8, len(idx))
+    assert bytes(out) == raw
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=24),
+    st.integers(min_value=2, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_gif_full_roundtrip_arbitrary_images(h, w, seed):
+    from hgt2osm2_spark.kernels import gif
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    dec = gif.decode_gif_rgb8(gif.encode_gif_rgb8(img))
+    assert (dec == gif.websafe_quantize(img)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=600), min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=60))
+def test_avi_container_roundtrip_arbitrary_frames(frames, fps):
+    """The container must return frame payloads byte-exactly whatever
+    their sizes (odd lengths exercise RIFF pad bytes; empty frames are
+    legal chunks)."""
+    from hgt2osm2_spark.kernels import avi
+
+    blob = avi.encode_avi_mjpeg(frames, w=32, h=16, fps=fps)
+    info = avi.demux_avi(blob)
+    assert info["frames"] == frames
+    assert info["n_frames"] == len(frames)
+    assert (info["w"], info["h"]) == (32, 16)
