@@ -747,6 +747,37 @@ def q_video_features(spark, sf_dir):
     return multimodal.video_frame_features(vids, every=1)
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Keep-latest MERGE (ops/maintenance.merge_upsert — the Iceberg
+    MERGE INTO shape): an update set touches ~10% of orders (newer
+    version, tagged priority) and inserts ~1% new keys; the merged
+    table is fingerprinted per status. Oracle: the same union +
+    ROW_NUMBER keep-latest in DuckDB."""
+    from hgt2osm2_spark.ops import maintenance
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = (
+        orders.where(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_orderdate", F.expr("o_orderdate + INTERVAL 1000 DAYS"))
+        .withColumn("o_orderpriority", F.lit("X-UPDATED"))
+    ).unionByName(
+        orders.where(F.col("o_orderkey") % 100 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderpriority", F.lit("X-INSERTED"))
+    )
+    merged = maintenance.merge_upsert(
+        orders, updates, ["o_orderkey"], "o_orderdate"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("id_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents_sum"),
+        F.sum((F.col("o_orderpriority") == "X-UPDATED").cast("long")).alias("n_updated"),
+        F.sum((F.col("o_orderpriority") == "X-INSERTED").cast("long")).alias("n_inserted"),
+        F.max("o_orderdate").alias("max_version"),
+    )
+
+
 def q_compaction(spark, sf_dir):
     """Small-file compaction (ops/maintenance.py — the Iceberg
     `rewrite_data_files` maintenance action over plain parquet): write
@@ -1224,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_sample": q_doc_split_sample,
         "domain_cap": q_domain_cap,
         "pack_sequences": q_pack_sequences,
+        "merge_upsert": q_merge_upsert,
     }
 
 
@@ -1652,6 +1684,35 @@ def oracle_sql() -> dict[str, str]:
                    tok_start // 512 AS seq_first,
                    (tok_start + n_tokens - 1) // 512 AS seq_last
             FROM packed
+        """,
+        "merge_upsert": """
+            WITH updates AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate + INTERVAL 1000 DAY AS o_orderdate,
+                       'X-UPDATED' AS o_orderpriority
+                FROM orders WHERE o_orderkey % 10 = 3
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                       o_totalprice, o_orderdate, 'X-INSERTED'
+                FROM orders WHERE o_orderkey % 100 = 7
+            ), tagged AS (
+                SELECT *, 0 AS _upd FROM orders
+                UNION ALL
+                SELECT *, 1 AS _upd FROM updates
+            ), kept AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY o_orderdate DESC, _upd DESC
+                ) AS _rn
+                FROM tagged
+            )
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS id_sum,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+                   CAST(SUM(CASE WHEN o_orderpriority = 'X-UPDATED' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+                   CAST(SUM(CASE WHEN o_orderpriority = 'X-INSERTED' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+                   MAX(o_orderdate) AS max_version
+            FROM kept WHERE _rn = 1 GROUP BY o_orderstatus
         """,
         "domain_cap": """
             WITH r AS (

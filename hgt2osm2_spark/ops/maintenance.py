@@ -94,3 +94,61 @@ def compacted_copy(
     src_df.repartition(fragment_files).write.mode("overwrite").parquet(work_dir)
     stats = compact_parquet(spark, work_dir, target_file_mb)
     return spark.read.parquet(work_dir), stats
+
+
+def merge_upsert(table, updates, key_cols, version_col):
+    """Keep-latest MERGE (the Iceberg `MERGE INTO ... WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT` shape, keyed): union the update
+    set onto the table and keep, per key, the single row with the
+    highest (version, is_update) — updates win version ties, and
+    duplicate keys WITHIN the update set resolve to the newest too.
+
+    One shuffle (the per-key window); no join. At 10^12 rows with a
+    partitioned table the same expression runs per storage partition
+    under dynamic partition overwrite (plans/checkpoint.py) so only
+    touched partitions rewrite."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    cols = table.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError(
+            f"merge_upsert: schema mismatch {cols} vs {updates.columns}"
+        )
+    tagged = table.select(*cols).withColumn("_upd", F.lit(0)).unionByName(
+        updates.select(*cols).withColumn("_upd", F.lit(1))
+    )
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_upd").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_upd")
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession, path: str, updates: DataFrame,
+    key_cols: list, version_col: str,
+) -> dict:
+    """merge_upsert applied in place to a parquet directory, landing
+    through the same tmp-write + atomic two-rename swap as
+    compact_parquet (a failed merge never corrupts the table)."""
+    table = spark.read.parquet(path)
+    merged = merge_upsert(table, updates, key_cols, version_col)
+    tmp = path.rstrip("/") + ".__upsert_tmp"
+    old = path.rstrip("/") + ".__upsert_old"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs, p_src, jvm = _fs(spark, path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(p_old):
+        fs.delete(p_old, True)
+    if not fs.rename(p_src, p_old):
+        raise IOError(f"upsert: could not stage out {path}")
+    if not fs.rename(p_tmp, p_src):
+        fs.rename(p_old, p_src)
+        raise IOError(f"upsert: could not swap in merge for {path}")
+    fs.delete(p_old, True)
+    return {"n_rows": spark.read.parquet(path).count()}

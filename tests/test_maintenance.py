@@ -69,3 +69,51 @@ def test_compaction_respects_target_grain(spark):
     assert stats["target_files"] == want
     assert stats["after"]["n_files"] == want
     assert spark.read.parquet(work).count() == 200_000
+
+
+def test_merge_upsert_semantics(spark):
+    import pandas as pd
+
+    table = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2, 3], "v": ["a", "b", "c"], "ver": [10, 10, 10],
+    }))
+    updates = spark.createDataFrame(pd.DataFrame({
+        # k=2 newer (wins), k=3 older (loses), k=4 new (insert),
+        # k=5 duplicated within updates (newest wins)
+        "k": [2, 3, 4, 5, 5],
+        "v": ["B", "C-old", "d", "e1", "e2"],
+        "ver": [20, 5, 10, 11, 12],
+    }))
+    got = {
+        r.k: (r.v, r.ver)
+        for r in maintenance.merge_upsert(table, updates, ["k"], "ver").collect()
+    }
+    assert got == {1: ("a", 10), 2: ("B", 20), 3: ("c", 10),
+                   4: ("d", 10), 5: ("e2", 12)}
+
+
+def test_merge_upsert_tie_prefers_update(spark):
+    import pandas as pd
+
+    table = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["old"], "ver": [10]}))
+    updates = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["new"], "ver": [10]}))
+    row = maintenance.merge_upsert(table, updates, ["k"], "ver").collect()[0]
+    assert row.v == "new"
+
+
+def test_upsert_parquet_in_place(spark):
+    import pandas as pd
+
+    work = tempfile.mkdtemp(prefix="maint_upsert_") + "/t"
+    spark.createDataFrame(pd.DataFrame({
+        "k": range(100), "v": ["x"] * 100, "ver": [1] * 100,
+    })).write.parquet(work)
+    updates = spark.createDataFrame(pd.DataFrame({
+        "k": [5, 200], "v": ["upd", "ins"], "ver": [2, 1],
+    }))
+    stats = maintenance.upsert_parquet(spark, work, updates, ["k"], "ver")
+    assert stats["n_rows"] == 101
+    after = {r.k: r.v for r in spark.read.parquet(work).collect()}
+    assert after[5] == "upd" and after[200] == "ins" and after[6] == "x"
+    parent = os.path.dirname(work)
+    assert [d for d in os.listdir(parent) if "__upsert" in d] == []
