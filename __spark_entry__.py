@@ -1135,6 +1135,50 @@ def q_stream_dedup(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id")
 
 
+def q_stream_image_stats(spark, sf_dir):
+    """Streaming multimodal path: the SAME 9 image rows as
+    `image_stats` (6 png/jpeg + 3 gif) arrive as a file stream in
+    three micro-batches; the stateless Arrow decode+stats stage runs
+    under Structured Streaming with an exactly-once parquet sink. The
+    output must hash-equal the BATCH image_stats golden — streaming
+    execution is an engine detail, never a semantic one."""
+    import os
+    import tempfile
+
+    rows = (
+        synthetic.images_df(spark, n_images=6, size=33)
+        .unionByName(synthetic.gifs_df(spark, n_images=3, size=33))
+        .select("image_id", "bytes", "fmt")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="stream_imgs_")
+    src, out, ckpt = (os.path.join(root, p) for p in ("in", "out", "ckpt"))
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate(((0, 3), (3, 6), (6, 9))):
+        path = os.path.join(src, f"b{i}.parquet")
+        rows.iloc[lo:hi].to_parquet(path)
+        os.utime(path, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("image_id string, bytes binary, fmt string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        multimodal.image_stats(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     """S11/J7: run the checkpointed pipeline twice (second run resumes);
     returns the lineage metrics table — one row per (stage, tile), and
@@ -1256,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "pack_sequences": q_pack_sequences,
         "merge_upsert": q_merge_upsert,
+        "stream_image_stats": q_stream_image_stats,
     }
 
 
@@ -1330,6 +1375,9 @@ def oracle_sql() -> dict[str, str]:
 
     golden_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "golden")
     golden = {name: _golden_sql(name) for name in GOLDEN_ORACLES}
+    # streaming twin of image_stats: same 9 rows, same golden — batch
+    # vs streaming execution must be value-identical
+    golden["stream_image_stats"] = _golden_sql("image_stats")
     # computed oracles (VERDICT r2 item 7): rebuild the checks in plain
     # SQL over the nodes / raster-cell data goldens rather than reading
     # a twin-derived result parquet
