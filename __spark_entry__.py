@@ -738,6 +738,28 @@ def q_image_stats(spark, sf_dir):
     return multimodal.image_stats(imgs)
 
 
+def q_image_quarantine(spark, sf_dir):
+    """Corrupt-image quarantine (multimodal.image_stats_quarantined):
+    the 9 good rows flow through unchanged (rows must hash-equal the
+    batch image_stats golden projected with ok=true) while three
+    deterministically-damaged payloads (bad PNG magic, bad JPEG SOI,
+    truncated GIF) flag their rows instead of killing the task."""
+    import pandas as pd
+
+    good = synthetic.images_df(spark, n_images=6, size=33).unionByName(
+        synthetic.gifs_df(spark, n_images=3, size=33)
+    ).select("image_id", "bytes", "fmt")
+    png = synthetic.make_image_row(0, 33)["bytes"]
+    jpg = synthetic.make_image_row(1, 33)["bytes"]
+    gifb = synthetic.make_gif_row(0, 33)["bytes"]
+    bad = spark.createDataFrame(pd.DataFrame([
+        {"image_id": "bad_png_magic", "bytes": b"XXXX" + png[4:], "fmt": "png-rgb"},
+        {"image_id": "bad_jpeg_soi", "bytes": b"\x00\x00" + jpg[2:], "fmt": "jpeg"},
+        {"image_id": "bad_gif_trunc", "bytes": gifb[:100], "fmt": "gif"},
+    ]))
+    return multimodal.image_stats_quarantined(good.unionByName(bad))
+
+
 def q_video_features(spark, sf_dir):
     """Real video path (r3): RIFF/AVI container demux (kernels.avi) ->
     per-frame baseline-JPEG decode (kernels.jpeg) -> luma stats. The
@@ -1301,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "merge_upsert": q_merge_upsert,
         "stream_image_stats": q_stream_image_stats,
+        "image_quarantine": q_image_quarantine,
     }
 
 
@@ -1378,6 +1401,20 @@ def oracle_sql() -> dict[str, str]:
     # streaming twin of image_stats: same 9 rows, same golden — batch
     # vs streaming execution must be value-identical
     golden["stream_image_stats"] = _golden_sql("image_stats")
+    # quarantine: good rows == the batch golden with ok=true; the three
+    # damaged payloads flag ok=false with the pinned exception class
+    golden["image_quarantine"] = f"""
+        SELECT image_id, TRUE AS ok, CAST(NULL AS VARCHAR) AS error,
+               mean_luma, std_luma, entropy, edge_density
+        FROM read_parquet('{golden_dir}/image_stats.parquet')
+        UNION ALL
+        SELECT * FROM (VALUES
+            ('bad_png_magic', FALSE, 'ValueError', CAST(NULL AS DOUBLE),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+            ('bad_jpeg_soi', FALSE, 'ValueError', NULL, NULL, NULL, NULL),
+            ('bad_gif_trunc', FALSE, 'ValueError', NULL, NULL, NULL, NULL)
+        ) t(image_id, ok, error, mean_luma, std_luma, entropy, edge_density)
+    """
     # computed oracles (VERDICT r2 item 7): rebuild the checks in plain
     # SQL over the nodes / raster-cell data goldens rather than reading
     # a twin-derived result parquet

@@ -96,6 +96,56 @@ IMAGE_STATS_SCHEMA = T.StructType(
     ]
 )
 
+IMAGE_STATS_Q_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("std_luma", T.DoubleType(), True),
+        T.StructField("entropy", T.DoubleType(), True),
+        T.StructField("edge_density", T.DoubleType(), True),
+    ]
+)
+
+
+def _one_image_stats(data: bytes, fmt: str, edge_thresh: float) -> dict:
+    from ..kernels import jpeg as _jpeg
+
+    if fmt == "png-rgb":
+        px = codecs.decode_png_rgb8(data)
+    elif fmt == "jpeg":
+        px = _jpeg.decode_jpeg(data)
+        if px.ndim == 2:
+            px = np.stack([px] * 3, axis=2)
+    elif fmt == "gif":
+        from ..kernels import gif as _gif
+
+        px = _gif.decode_gif_rgb8(data)
+    else:
+        raise NotImplementedError(
+            f"image_stats: {fmt!r} is not a real image format here"
+        )
+    px = px.astype(np.float64)
+    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+            + 0.114 * px[:, :, 2])
+    lu8 = np.clip(np.rint(luma), 0, 255).astype(np.uint8)
+    counts = np.bincount(lu8.ravel(), minlength=256)
+    p = counts[counts > 0] / lu8.size
+    entropy = float(-(p * np.log2(p)).sum())
+    # Sobel over the interior (no padding — border excluded)
+    gx = (luma[:-2, 2:] + 2 * luma[1:-1, 2:] + luma[2:, 2:]
+          - luma[:-2, :-2] - 2 * luma[1:-1, :-2] - luma[2:, :-2])
+    gy = (luma[2:, :-2] + 2 * luma[2:, 1:-1] + luma[2:, 2:]
+          - luma[:-2, :-2] - 2 * luma[:-2, 1:-1] - luma[:-2, 2:])
+    mag = np.sqrt(gx * gx + gy * gy)
+    return {
+        "mean_luma": round(float(luma.mean()), 6),
+        "std_luma": round(float(luma.std()), 6),
+        "entropy": round(entropy, 6),
+        "edge_density": round(float((mag > edge_thresh).mean()), 6),
+    }
+
 
 def image_stats(images: DataFrame, edge_thresh: float = 30.0) -> DataFrame:
     """Per-image quality signals over REAL decoded pixels — the image
@@ -103,53 +153,51 @@ def image_stats(images: DataFrame, edge_thresh: float = 30.0) -> DataFrame:
     luma mean/contrast, 256-bin luma entropy (near-blank screenshots
     and solid fills score ~0), and Sobel edge density (information
     content; flat synthetic images score low). Rounded to 6 so the
-    plain-loop golden twin hashes equal."""
+    plain-loop golden twin hashes equal. Raises on a corrupt payload —
+    use image_stats_quarantined when the input is untrusted."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels import jpeg as _jpeg
-
         cols = [f.name for f in IMAGE_STATS_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for img, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                if fmt == "png-rgb":
-                    px = codecs.decode_png_rgb8(bytes(data))
-                elif fmt == "jpeg":
-                    px = _jpeg.decode_jpeg(bytes(data))
-                    if px.ndim == 2:
-                        px = np.stack([px] * 3, axis=2)
-                elif fmt == "gif":
-                    from ..kernels import gif as _gif
-
-                    px = _gif.decode_gif_rgb8(bytes(data))
-                else:
-                    raise NotImplementedError(
-                        f"image_stats: {fmt!r} is not a real image format here"
-                    )
-                px = px.astype(np.float64)
-                luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
-                        + 0.114 * px[:, :, 2])
-                lu8 = np.clip(np.rint(luma), 0, 255).astype(np.uint8)
-                counts = np.bincount(lu8.ravel(), minlength=256)
-                p = counts[counts > 0] / lu8.size
-                entropy = float(-(p * np.log2(p)).sum())
-                # Sobel over the interior (no padding — border excluded)
-                gx = (luma[:-2, 2:] + 2 * luma[1:-1, 2:] + luma[2:, 2:]
-                      - luma[:-2, :-2] - 2 * luma[1:-1, :-2] - luma[2:, :-2])
-                gy = (luma[2:, :-2] + 2 * luma[2:, 1:-1] + luma[2:, 2:]
-                      - luma[:-2, :-2] - 2 * luma[:-2, 1:-1] - luma[:-2, 2:])
-                mag = np.sqrt(gx * gx + gy * gy)
                 rows.append(
                     {"image_id": img,
-                     "mean_luma": round(float(luma.mean()), 6),
-                     "std_luma": round(float(luma.std()), 6),
-                     "entropy": round(entropy, 6),
-                     "edge_density": round(float((mag > edge_thresh).mean()), 6)}
+                     **_one_image_stats(bytes(data), fmt, edge_thresh)}
                 )
             yield pd.DataFrame(rows, columns=cols)
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         gen, schema=IMAGE_STATS_SCHEMA
+    )
+
+
+def image_stats_quarantined(images: DataFrame,
+                            edge_thresh: float = 30.0) -> DataFrame:
+    """image_stats for UNTRUSTED payloads (scraped corpora): a corrupt
+    or truncated image flags its row (ok=false, error=<exception
+    class>) instead of killing the task — at 10^12 rows one bad byte
+    stream must never cost a 10-hour job. Mirrors
+    sources/decode.decode_stats_quarantined for grids."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in IMAGE_STATS_Q_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for img, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    stats = _one_image_stats(bytes(data), fmt, edge_thresh)
+                    rows.append({"image_id": img, "ok": True, "error": None,
+                                 **stats})
+                except Exception as e:  # noqa: BLE001 — quarantine boundary
+                    rows.append({"image_id": img, "ok": False,
+                                 "error": type(e).__name__,
+                                 "mean_luma": None, "std_luma": None,
+                                 "entropy": None, "edge_density": None})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        gen, schema=IMAGE_STATS_Q_SCHEMA
     )
 
 

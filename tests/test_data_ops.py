@@ -467,3 +467,26 @@ def test_image_stats_semantics(spark):
     assert abs(got["checker"].entropy - 1.0) < 0.01  # two tones ~ 1 bit
     assert got["checker"].edge_density > 0.5
     assert got["checker"].std_luma > 80
+
+
+def test_image_quarantine_isolation(spark):
+    """A corrupt payload flags only its own row; siblings in the SAME
+    Arrow batch still produce stats (the quarantine boundary is
+    per-row, not per-task)."""
+    import pandas as pd
+
+    from hgt2osm2_spark.kernels import codecs
+    from hgt2osm2_spark.ops import multimodal
+    from hgt2osm2_spark.sources import synthetic
+
+    good = synthetic.make_image_row(0, 17)
+    rows = [
+        {"image_id": "good", "bytes": good["bytes"], "fmt": good["fmt"]},
+        {"image_id": "bad", "bytes": b"garbage", "fmt": "gif"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows)).coalesce(1)
+    got = {r.image_id: r for r in multimodal.image_stats_quarantined(df).collect()}
+    assert got["good"].ok and got["good"].error is None
+    assert got["good"].entropy > 0
+    assert not got["bad"].ok and got["bad"].error == "ValueError"
+    assert got["bad"].mean_luma is None
