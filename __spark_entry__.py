@@ -1404,7 +1404,7 @@ def oracle_sql() -> dict[str, str]:
     # quarantine: good rows == the batch golden with ok=true; the three
     # damaged payloads flag ok=false with the pinned exception class
     golden["image_quarantine"] = f"""
-        SELECT image_id, TRUE AS ok, CAST(NULL AS VARCHAR) AS error,
+        SELECT image_id, TRUE AS ok, '' AS error,
                mean_luma, std_luma, entropy, edge_density
         FROM read_parquet('{golden_dir}/image_stats.parquet')
         UNION ALL

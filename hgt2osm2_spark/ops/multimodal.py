@@ -100,7 +100,7 @@ IMAGE_STATS_Q_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),
         T.StructField("ok", T.BooleanType(), False),
-        T.StructField("error", T.StringType(), True),
+        T.StructField("error", T.StringType(), False),
         T.StructField("mean_luma", T.DoubleType(), True),
         T.StructField("std_luma", T.DoubleType(), True),
         T.StructField("entropy", T.DoubleType(), True),
@@ -187,7 +187,7 @@ def image_stats_quarantined(images: DataFrame,
             for img, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 try:
                     stats = _one_image_stats(bytes(data), fmt, edge_thresh)
-                    rows.append({"image_id": img, "ok": True, "error": None,
+                    rows.append({"image_id": img, "ok": True, "error": "",
                                  **stats})
                 except Exception as e:  # noqa: BLE001 — quarantine boundary
                     rows.append({"image_id": img, "ok": False,

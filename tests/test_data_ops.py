@@ -486,7 +486,7 @@ def test_image_quarantine_isolation(spark):
     ]
     df = spark.createDataFrame(pd.DataFrame(rows)).coalesce(1)
     got = {r.image_id: r for r in multimodal.image_stats_quarantined(df).collect()}
-    assert got["good"].ok and got["good"].error is None
+    assert got["good"].ok and got["good"].error == ""
     assert got["good"].entropy > 0
     assert not got["bad"].ok and got["bad"].error == "ValueError"
     assert got["bad"].mean_luma is None
