@@ -11,12 +11,37 @@ import os
 from pyspark.sql import SparkSession
 
 
+def iceberg_configs(
+    catalog: str = "ice",
+    warehouse: str = "/tmp/ice_warehouse",
+    catalog_impl: str = "hadoop",
+) -> dict[str, str]:
+    """Spark configs for an Iceberg catalog (the north rule's table
+    layer). Pure configuration — it takes effect when the
+    iceberg-spark-runtime jar is on the cluster classpath (every real
+    deployment; this sandbox has no jar and no network to fetch one, so
+    local tests exercise the parquet-dir analogues instead:
+    plans/checkpoint.py's dynamic partition overwrite = the snapshot
+    commit, ops/maintenance.py = rewrite_data_files / MERGE INTO,
+    bucketBy = the bucket transform, ops/spatial.zorder_layout =
+    Z-ORDER rewrite)."""
+    pfx = f"spark.sql.catalog.{catalog}"
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        pfx: "org.apache.iceberg.spark.SparkCatalog",
+        f"{pfx}.type": catalog_impl,
+        f"{pfx}.warehouse": warehouse,
+    }
+
+
 def get_spark(
     app: str = "hgt2osm2-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str = "24g",
     extra: dict[str, str] | None = None,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
@@ -24,6 +49,8 @@ def get_spark(
     shuffle_partitions: defaults to the core count — at cluster scale this
     would instead be sized so a shuffle partition is ~128-256MB; AQE
     coalescing corrects overshoot at runtime either way.
+    iceberg_warehouse: when set, registers the `ice` Iceberg catalog at
+    that path (requires the iceberg-spark-runtime jar — cluster only).
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -60,6 +87,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if iceberg_warehouse:
+        for k, v in iceberg_configs(warehouse=iceberg_warehouse).items():
+            b = b.config(k, v)
     if extra:
         for k, v in extra.items():
             b = b.config(k, v)

@@ -117,3 +117,16 @@ def test_upsert_parquet_in_place(spark):
     assert after[5] == "upd" and after[200] == "ins" and after[6] == "x"
     parent = os.path.dirname(work)
     assert [d for d in os.listdir(parent) if "__upsert" in d] == []
+
+
+def test_iceberg_configs_shape():
+    """Config-only Iceberg support (no jar in this sandbox): the
+    session helper must emit the exact catalog keys a real cluster
+    needs, with no typo'd prefixes."""
+    from hgt2osm2_spark.session import iceberg_configs
+
+    c = iceberg_configs(catalog="ice", warehouse="/w", catalog_impl="hadoop")
+    assert c["spark.sql.catalog.ice"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert c["spark.sql.catalog.ice.type"] == "hadoop"
+    assert c["spark.sql.catalog.ice.warehouse"] == "/w"
+    assert "IcebergSparkSessionExtensions" in c["spark.sql.extensions"]
