@@ -814,20 +814,27 @@ def q_compaction(spark, sf_dir):
 
     from hgt2osm2_spark.ops import maintenance
 
+    import shutil
+
     src = _t(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="compact_") + "/orders"
-    compacted, stats = maintenance.compacted_copy(
-        spark, src, work, fragment_files=64, target_file_mb=128
-    )
-    if stats["after"]["n_files"] >= stats["before"]["n_files"]:
-        raise AssertionError(f"compaction did not reduce file count: {stats}")
-    return compacted.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"),
-        F.sum("o_orderkey").alias("key_sum"),
-        F.min("o_orderkey").alias("key_min"),
-        F.max("o_orderkey").alias("key_max"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents_sum"),
-    )
+    root = tempfile.mkdtemp(prefix="compact_")
+    try:
+        compacted, stats = maintenance.compacted_copy(
+            spark, src, root + "/orders", fragment_files=64, target_file_mb=128
+        )
+        if stats["after"]["n_files"] >= stats["before"]["n_files"]:
+            raise AssertionError(f"compaction did not reduce file count: {stats}")
+        agg = compacted.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.min("o_orderkey").alias("key_min"),
+            F.max("o_orderkey").alias("key_max"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents_sum"),
+        )
+        # materialize before deleting the work dir the plan reads from
+        return spark.createDataFrame(agg.collect(), schema=agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_frame_sample(spark, sf_dir):
@@ -1153,8 +1160,16 @@ def q_stream_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.read.parquet(out).select("doc_id")
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_dedup: query did not drain in 300s")
+        res = spark.read.parquet(out).select("doc_id")
+        return spark.createDataFrame(res.collect(), schema=res.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_stream_image_stats(spark, sf_dir):
@@ -1197,8 +1212,16 @@ def q_stream_image_stats(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.read.parquet(out)
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_image_stats: query did not drain in 300s")
+        res = spark.read.parquet(out)
+        return spark.createDataFrame(res.collect(), schema=res.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_checkpoint_lineage(spark, sf_dir):

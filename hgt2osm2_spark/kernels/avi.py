@@ -121,6 +121,13 @@ def demux_avi(data: bytes) -> dict:
     including inside nested 'rec ' LISTs). Raises ValueError on a
     malformed container — callers quarantine, the engine never guesses.
     """
+    try:
+        return _demux_avi(data)
+    except (IndexError, struct.error) as e:  # truncated structures
+        raise ValueError(f"avi: truncated or malformed container ({e})")
+
+
+def _demux_avi(data: bytes) -> dict:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("avi: not a RIFF/AVI container")
     (riff_size,) = struct.unpack_from("<I", data, 4)
@@ -135,6 +142,8 @@ def demux_avi(data: bytes) -> dict:
                 if ltype in (b"hdrl", b"movi", b"rec ", b"strl"):
                     walk(p + 4, p + size)
             elif fourcc == b"avih":
+                if size < 40:
+                    raise ValueError(f"avi: avih chunk too short ({size} bytes)")
                 fields = struct.unpack_from("<10I", data, p)
                 info["fps"] = 1_000_000 // fields[0] if fields[0] else 0
                 info["n_frames"] = fields[4]

@@ -31,21 +31,59 @@ def _fs(spark: SparkSession, path: str):
 
 
 def table_file_stats(spark: SparkSession, path: str) -> dict:
-    """{n_files, total_bytes, min_bytes, max_bytes} over the data files
-    of a parquet directory (driver-side listing; success/_SUCCESS and
-    hidden files excluded)."""
+    """{n_files, total_bytes, min_bytes, max_bytes, n_subdirs} over the
+    data files of a parquet directory, RECURSIVE (Hive-partitioned
+    layouts keep data in lat=X/ leaf dirs; a top-level-only listing
+    would report 0 files and mis-plan any rewrite). Driver-side
+    metadata listing only — no data scan; _SUCCESS / hidden files and
+    hidden dirs excluded."""
     fs, p, _ = _fs(spark, path)
     sizes = []
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if st.isFile() and not name.startswith(("_", ".")):
-            sizes.append(int(st.getLen()))
+    n_subdirs = 0
+
+    def walk(d):
+        nonlocal n_subdirs
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isFile():
+                sizes.append(int(st.getLen()))
+            else:
+                n_subdirs += 1
+                walk(st.getPath())
+
+    walk(p)
     return {
         "n_files": len(sizes),
         "total_bytes": sum(sizes),
         "min_bytes": min(sizes) if sizes else 0,
         "max_bytes": max(sizes) if sizes else 0,
+        "n_subdirs": n_subdirs,
     }
+
+
+def _atomic_swap(spark: SparkSession, path: str, tag: str, write_tmp) -> None:
+    """Land a rewrite of `path` via tmp-write + two renames; on a
+    failed swap-in the original is restored AND the tmp copy removed
+    (a leaked tmp is a full duplicate of the table). `write_tmp(tmp)`
+    performs the write."""
+    tmp = path.rstrip("/") + f".__{tag}_tmp"
+    old = path.rstrip("/") + f".__{tag}_old"
+    write_tmp(tmp)
+    fs, p_src, jvm = _fs(spark, path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(p_old):
+        fs.delete(p_old, True)
+    if not fs.rename(p_src, p_old):
+        fs.delete(p_tmp, True)
+        raise IOError(f"{tag}: could not stage out {path}")
+    if not fs.rename(p_tmp, p_src):
+        fs.rename(p_old, p_src)  # roll back
+        fs.delete(p_tmp, True)
+        raise IOError(f"{tag}: could not swap in rewrite for {path}")
+    fs.delete(p_old, True)
 
 
 def compact_parquet(
@@ -59,29 +97,63 @@ def compact_parquet(
     Iceberg snapshot commit plays this role). Returns before/after
     file stats plus the row count moved."""
     before = table_file_stats(spark, path)
+    if before["n_subdirs"]:
+        raise ValueError(
+            f"compact_parquet: {path} is partitioned ({before['n_subdirs']} "
+            "subdirs) — a flat rewrite would destroy the partition layout "
+            "and funnel the table through one write grain; use "
+            "compact_partitioned (per-leaf rewrite) instead"
+        )
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_out = max(1, math.ceil(before["total_bytes"] / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    old = path.rstrip("/") + ".__compact_old"
     # repartition (not coalesce): coalesce would chain the upstream scan
     # into as few tasks as output files, serializing the read; a real
     # rewrite wants parallel read + exchange into the output grain
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    fs, p_src, jvm = _fs(spark, path)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    p_old = jvm.org.apache.hadoop.fs.Path(old)
-    if fs.exists(p_old):
-        fs.delete(p_old, True)
-    if not fs.rename(p_src, p_old):
-        raise IOError(f"compact: could not stage out {path}")
-    if not fs.rename(p_tmp, p_src):
-        fs.rename(p_old, p_src)  # roll back
-        raise IOError(f"compact: could not swap in rewrite for {path}")
-    fs.delete(p_old, True)
+    _atomic_swap(
+        spark, path, "compact",
+        lambda tmp: df.repartition(n_out).write.mode("overwrite").parquet(tmp),
+    )
     after = table_file_stats(spark, path)
     return {"before": before, "after": after, "n_rows": n_rows,
             "target_files": n_out}
+
+
+def compact_partitioned(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> dict:
+    """Compact a Hive-partitioned table LEAF BY LEAF, preserving the
+    directory layout (the Iceberg rewrite_data_files per-partition bin
+    behavior). Each leaf swaps atomically and independently, so a crash
+    mid-way leaves every partition either old or fully compacted —
+    never mixed. The driver loop is metadata-only; each leaf's rewrite
+    is a parallel cluster job (at fleet scale, run leaves concurrently
+    from a thread pool — each touches disjoint paths)."""
+    fs, p, _ = _fs(spark, path)
+
+    leaves = []
+
+    def find_leaves(d):
+        subdirs = [st.getPath() for st in fs.listStatus(d)
+                   if not st.isFile()
+                   and not st.getPath().getName().startswith(("_", "."))]
+        if subdirs:
+            for sd in subdirs:
+                find_leaves(sd)
+        else:
+            leaves.append(d.toString())
+
+    find_leaves(p)
+    results = {}
+    for leaf in leaves:
+        results[leaf] = compact_parquet(spark, leaf, target_file_mb)
+    return {
+        "n_leaves": len(leaves),
+        "n_files_before": sum(r["before"]["n_files"] for r in results.values()),
+        "n_files_after": sum(r["after"]["n_files"] for r in results.values()),
+        "n_rows": sum(r["n_rows"] for r in results.values()),
+        "leaves": results,
+    }
 
 
 def compacted_copy(
@@ -137,18 +209,8 @@ def upsert_parquet(
     compact_parquet (a failed merge never corrupts the table)."""
     table = spark.read.parquet(path)
     merged = merge_upsert(table, updates, key_cols, version_col)
-    tmp = path.rstrip("/") + ".__upsert_tmp"
-    old = path.rstrip("/") + ".__upsert_old"
-    merged.write.mode("overwrite").parquet(tmp)
-    fs, p_src, jvm = _fs(spark, path)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    p_old = jvm.org.apache.hadoop.fs.Path(old)
-    if fs.exists(p_old):
-        fs.delete(p_old, True)
-    if not fs.rename(p_src, p_old):
-        raise IOError(f"upsert: could not stage out {path}")
-    if not fs.rename(p_tmp, p_src):
-        fs.rename(p_old, p_src)
-        raise IOError(f"upsert: could not swap in merge for {path}")
-    fs.delete(p_old, True)
+    _atomic_swap(
+        spark, path, "upsert",
+        lambda tmp: merged.write.mode("overwrite").parquet(tmp),
+    )
     return {"n_rows": spark.read.parquet(path).count()}

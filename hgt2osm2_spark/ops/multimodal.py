@@ -139,11 +139,14 @@ def _one_image_stats(data: bytes, fmt: str, edge_thresh: float) -> dict:
     gy = (luma[2:, :-2] + 2 * luma[2:, 1:-1] + luma[2:, 2:]
           - luma[:-2, :-2] - 2 * luma[:-2, 1:-1] - luma[:-2, 2:])
     mag = np.sqrt(gx * gx + gy * gy)
+    # images under 3px have no Sobel interior: zero edges by definition
+    # (NOT NaN — NaN would sail through quality filters as ok)
+    edge_density = float((mag > edge_thresh).mean()) if mag.size else 0.0
     return {
         "mean_luma": round(float(luma.mean()), 6),
         "std_luma": round(float(luma.std()), 6),
         "entropy": round(entropy, 6),
-        "edge_density": round(float((mag > edge_thresh).mean()), 6),
+        "edge_density": round(edge_density, 6),
     }
 
 
@@ -410,8 +413,11 @@ def video_frame_features(videos: DataFrame, every: int = 1) -> DataFrame:
                 info = _avi.demux_avi(bytes(data))
                 for t in range(0, len(info["frames"]), every):
                     px = _jpeg.decode_jpeg(info["frames"][t]).astype(np.float64)
-                    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
-                            + 0.114 * px[:, :, 2])
+                    if px.ndim == 2:  # grayscale MJPEG frame
+                        luma = px
+                    else:
+                        luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                                + 0.114 * px[:, :, 2])
                     rows.append(
                         {"image_id": img, "frame_idx": t,
                          "mean_luma": round(float(luma.mean()), 6),

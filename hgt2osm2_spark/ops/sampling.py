@@ -43,9 +43,12 @@ def hash_bucket(key: Column, n_buckets: int, portable: bool = False) -> Column:
     changes grain (bucket k at 10n nests inside bucket k//10 at n)."""
     if portable:
         return (portable31(key) * n_buckets / _M31).cast("long")
-    # xxhash64 is signed; shift to unsigned-like non-negative first
-    h = F.xxhash64(key).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
-    return (h % n_buckets).cast("long")
+    # xxhash64: take the top 31 bits and project exactly like the
+    # portable path — floor(floor(k*10n/M)/10) == floor(k*n/M), so
+    # buckets NEST across grains (modulo would not); h31 * n_buckets
+    # stays within int64 for any n_buckets <= 2^32
+    h31 = F.shiftright(F.xxhash64(key).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)), 32)
+    return (h31 * n_buckets / _M31).cast("long")
 
 
 def deterministic_sample(

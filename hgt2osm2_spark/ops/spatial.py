@@ -363,7 +363,14 @@ def zorder_key(ix: Column, iy: Column, bits: int = 16) -> Column:
     Writing a table range-partitioned + sorted by this key co-locates
     spatially-near rows in the same files, so min/max file statistics
     prune 2-D bbox predicates — the storage-layout half of data
-    skipping that cell_expr's read-side predicates exploit."""
+    skipping that cell_expr's read-side predicates exploit.
+
+    `bits` must cover the full coordinate range — high bits beyond it
+    are DROPPED, aliasing far-apart locations onto one key. For the
+    res-quantized globe that is res+9 bits for lon (360*2^res values);
+    zorder_layout computes this itself."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"zorder_key: bits must be in [1, 31], got {bits}")
     x = ix.cast("long")
     y = iy.cast("long")
     key = F.lit(0).cast("long")
@@ -382,14 +389,21 @@ def zorder_layout(
     lon: str = "lon",
     res: int = 10,
     n_files: int | None = None,
-    bits: int = 16,
+    bits: int | None = None,
 ) -> DataFrame:
     """Rewrite `df` into Z-order-clustered layout: grid-quantize
     (lat,lon) at `res`, interleave to a Morton key, range-partition into
     `n_files` output units and sort within each.  The returned frame
     written as-is produces files whose (lat,lon) min/max footprints are
     compact squares instead of full-extent stripes — the write-side
-    complement of the read-side cell pruning."""
+    complement of the read-side cell pruning.
+
+    bits defaults to res+9, the width that covers the full quantized
+    globe (lon: 360*2^res values needs ceil(log2(360))+res = 9+res
+    bits) — a narrower width would silently alias far-apart longitudes
+    onto one key and defeat the skipping."""
+    if bits is None:
+        bits = res + 9
     cpd = float(2**res)
     ixc = F.floor((F.col(lon) + F.lit(180.0)) * F.lit(cpd)).cast("long")
     iyc = F.floor((F.col(lat) + F.lit(90.0)) * F.lit(cpd)).cast("long")

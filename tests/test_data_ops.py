@@ -490,3 +490,25 @@ def test_image_quarantine_isolation(spark):
     assert got["good"].entropy > 0
     assert not got["bad"].ok and got["bad"].error == "ValueError"
     assert got["bad"].mean_luma is None
+
+
+def test_image_stats_tiny_image_defined_edges(spark):
+    """Regression: a 2x2 image has no Sobel interior — edge_density
+    must be 0.0, never NaN (NaN sails through quality filters)."""
+    import math
+
+    import pandas as pd
+
+    from hgt2osm2_spark.kernels import codecs
+    from hgt2osm2_spark.ops import multimodal
+
+    import numpy as np
+
+    tiny = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    df = spark.createDataFrame(pd.DataFrame([
+        {"image_id": "tiny", "bytes": codecs.encode_png_rgb8(tiny), "fmt": "png-rgb"},
+    ]))
+    r = multimodal.image_stats(df).collect()[0]
+    assert r.edge_density == 0.0 and not math.isnan(r.edge_density)
+    rq = multimodal.image_stats_quarantined(df).collect()[0]
+    assert rq.ok and rq.edge_density == 0.0

@@ -130,3 +130,30 @@ def test_iceberg_configs_shape():
     assert c["spark.sql.catalog.ice.type"] == "hadoop"
     assert c["spark.sql.catalog.ice.warehouse"] == "/w"
     assert "IcebergSparkSessionExtensions" in c["spark.sql.extensions"]
+
+
+def test_partitioned_table_compaction(spark):
+    """Regression: flat compact on a Hive-partitioned dir must REFUSE
+    (it would flatten the layout); compact_partitioned rewrites leaf by
+    leaf, preserving partition dirs and all rows."""
+    import pandas as pd
+    import pytest
+
+    work = tempfile.mkdtemp(prefix="maint_part_") + "/t"
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": range(1000), "part": [i % 3 for i in range(1000)],
+    }))
+    df.repartition(8).write.partitionBy("part").parquet(work)
+
+    st = maintenance.table_file_stats(spark, work)
+    assert st["n_subdirs"] == 3 and st["n_files"] > 3  # recursive listing
+    with pytest.raises(ValueError, match="partitioned"):
+        maintenance.compact_parquet(spark, work)
+
+    res = maintenance.compact_partitioned(spark, work, target_file_mb=128)
+    assert res["n_leaves"] == 3
+    assert res["n_files_after"] == 3  # one file per leaf
+    assert res["n_rows"] == 1000
+    out = spark.read.parquet(work)
+    assert out.count() == 1000
+    assert out.select("part").distinct().count() == 3  # layout intact

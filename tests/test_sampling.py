@@ -148,3 +148,30 @@ def test_pack_sequences_window_is_sharded(spark):
     plan = sampling.pack_sequences(docs, "n_tokens", seq_len=64)
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in s
+
+
+def test_default_hash_bucket_nesting(spark):
+    """Regression: the xxhash64 (default) path must honor the nesting
+    contract like the portable path — a finer grain's bucket k nests
+    inside k//10 of the coarser grain."""
+    docs = _docs(spark).cache()
+    coarse = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id",
+            sampling.hash_bucket(F.col("doc_id"), 100).alias("b"),
+        ).collect()
+    }
+    fine = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id",
+            sampling.hash_bucket(F.col("doc_id"), 1000).alias("b"),
+        ).collect()
+    }
+    assert all(fine[k] // 10 == coarse[k] for k in coarse)
+    small = {r.doc_id for r in sampling.deterministic_sample(docs, "doc_id", 0.05)
+             .select("doc_id").collect()}
+    large = {r.doc_id for r in sampling.deterministic_sample(docs, "doc_id", 0.2)
+             .select("doc_id").collect()}
+    assert small <= large

@@ -282,3 +282,33 @@ def test_zorder_layout_prunes_both_dimensions(spark):
     z_total = hits(z_fp, *lat_band) + hits(z_fp, *lon_band)
     naive_total = hits(naive_fp, *lat_band) + hits(naive_fp, *lon_band)
     assert z_total < naive_total
+
+
+def test_zorder_no_aliasing_at_global_extent(spark):
+    """Regression: bits must cover the full quantized domain at the
+    chosen res. At res=10 a 16-bit key drops ix's high bits and
+    co-locates longitudes 64 degrees apart; the default (res+9) must
+    keep every partition's lon footprint a small fraction of the
+    globe."""
+    import numpy as np
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import spatial
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    df = spark.createDataFrame(pd.DataFrame({
+        "p_id": np.arange(n),
+        "lat": rng.uniform(-85.0, 85.0, n),
+        "lon": rng.uniform(-180.0, 180.0, n),
+    }))
+    z = spatial.zorder_layout(df, res=10, n_files=16)
+    spans = (
+        z.groupBy(F.spark_partition_id().alias("p"))
+        .agg((F.max("lon") - F.min("lon")).alias("dlon"))
+        .collect()
+    )
+    # 16-bit aliasing makes most partitions span ~296+ degrees; the
+    # correct key keeps the median span near 360/sqrt(16)*2 ~ 180 max
+    spans = sorted(r.dlon for r in spans)
+    assert spans[len(spans) // 2] < 200.0

@@ -94,3 +94,33 @@ def test_video_rejects_non_avi(spark):
     imgs = synthetic.images_df(spark, n_images=2)
     with pytest.raises(Exception, match="NotImplementedError|real"):
         multimodal.video_frames(imgs).collect()
+
+
+def test_grayscale_mjpeg_frames(spark):
+    """Regression: 1-component MJPEG frames decode to 2-D arrays; the
+    feature path must treat them as luma directly, not crash."""
+    import pandas as pd
+
+    from hgt2osm2_spark.kernels import avi as avik
+    from hgt2osm2_spark.kernels import jpeg as jpegk
+
+    gray = (synthetic.rgb_image(0, 17)[:, :, 1]).copy()
+    frames = [jpegk.encode_jpeg_gray8(gray, quality=95) for _ in range(3)]
+    blob = avik.encode_avi_mjpeg(frames, w=17, h=17)
+    df = spark.createDataFrame(pd.DataFrame([
+        {"image_id": "g0", "bytes": blob, "fmt": "avi-mjpeg"},
+    ]))
+    stats = multimodal.video_frame_features(df).toPandas()
+    assert len(stats) == 3
+    assert (stats["mean_luma"] > 0).all()
+
+
+def test_avi_truncated_header_is_valueerror():
+    import pytest as _pytest
+
+    from hgt2osm2_spark.kernels import avi as avik
+
+    blob = avik.encode_avi_mjpeg([b"x" * 40], w=4, h=4)
+    for cut in (20, 30, 45, 60):
+        with _pytest.raises(ValueError):
+            avik.demux_avi(blob[:cut])
