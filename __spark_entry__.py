@@ -428,6 +428,30 @@ def q_cell_index(spark, sf_dir):
     )
 
 
+def q_haversine(spark, sf_dir):
+    """Great-circle distance scalar (ops/spatial.haversine_km, pure
+    JVM trig): per-point distance to a fixed anchor, banded into 25 km
+    rings. Oracle: the identical formula in DuckDB; distances rounded
+    to 4 (0.1 m) so JVM-vs-libm trig ulps can't flip a hash."""
+    pts = _li_points(spark, sf_dir)
+    d = F.round(
+        spatial.haversine_km(
+            F.col("lat"), F.col("lon"), F.lit(42.0), F.lit(2.0)
+        ),
+        4,
+    )
+    return (
+        pts.withColumn("dist_km", d)
+        .groupBy(F.floor(F.col("dist_km") / 25).cast("long").alias("ring"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("dist_km").alias("d_min"),
+            F.max("dist_km").alias("d_max"),
+            F.sum("p_id").alias("pid_sum"),
+        )
+    )
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) clustering key — the Iceberg/Delta Z-ORDER
     write-layout transform (ops/spatial.zorder_key, pure JVM bit
@@ -1347,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "stream_image_stats": q_stream_image_stats,
         "image_quarantine": q_image_quarantine,
+        "haversine_bands": q_haversine,
     }
 
 
@@ -1821,6 +1846,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN o_orderpriority = 'X-INSERTED' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
                    MAX(o_orderdate) AS max_version
             FROM kept WHERE _rn = 1 GROUP BY o_orderstatus
+        """,
+        "haversine_bands": f"""
+            WITH p AS ({_LI_POINTS_SQL}),
+            d AS (
+                SELECT p_id,
+                       ROUND(2.0 * 6371.0088 * ASIN(SQRT(
+                           SIN(RADIANS(42.0 - lat) / 2) * SIN(RADIANS(42.0 - lat) / 2)
+                           + COS(RADIANS(lat)) * COS(RADIANS(42.0))
+                             * SIN(RADIANS(2.0 - lon) / 2) * SIN(RADIANS(2.0 - lon) / 2)
+                       )), 4) AS dist_km
+                FROM p
+            )
+            SELECT CAST(FLOOR(dist_km / 25) AS BIGINT) AS ring,
+                   COUNT(*) AS n,
+                   MIN(dist_km) AS d_min, MAX(dist_km) AS d_max,
+                   CAST(SUM(p_id) AS BIGINT) AS pid_sum
+            FROM d GROUP BY ring
         """,
         "domain_cap": """
             WITH r AS (

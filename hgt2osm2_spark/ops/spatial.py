@@ -414,3 +414,25 @@ def zorder_layout(
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
     )
+
+
+# ------------------------------------------------- geodesic distance
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean radius
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km — pure JVM trig expression (K4
+    family). The engine's join kernels stay planar-degree on purpose
+    (reference-faithful, ContourProcessor2 works in tile-local degree
+    space); this is the true-distance scalar a general toolkit needs
+    for high-latitude or cross-tile measurement, where planar degrees
+    distort by cos(lat)."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))

@@ -312,3 +312,23 @@ def test_zorder_no_aliasing_at_global_extent(spark):
     # correct key keeps the median span near 360/sqrt(16)*2 ~ 180 max
     spans = sorted(r.dlon for r in spans)
     assert spans[len(spans) // 2] < 200.0
+
+
+def test_haversine_known_values(spark):
+    import math
+
+    from hgt2osm2_spark.ops import spatial as sp
+
+    df = spark.range(1).select(
+        sp.haversine_km(F.lit(0.0), F.lit(0.0), F.lit(90.0), F.lit(0.0)).alias("pole"),
+        sp.haversine_km(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(180.0)).alias("anti"),
+        sp.haversine_km(F.lit(48.8566), F.lit(2.3522),
+                        F.lit(51.5074), F.lit(-0.1278)).alias("paris_london"),
+        sp.haversine_km(F.lit(12.5), F.lit(7.25), F.lit(12.5), F.lit(7.25)).alias("self"),
+    )
+    r = df.collect()[0]
+    quarter = math.pi * sp.EARTH_RADIUS_KM / 2
+    assert abs(r.pole - quarter) < 0.01
+    assert abs(r.anti - 2 * quarter) < 0.01
+    assert abs(r.paris_london - 343.5) < 1.5  # published great-circle distance
+    assert r.self == 0.0
