@@ -116,6 +116,8 @@ def main():
         "zorder_layout",
         "image_stats",
         "video_features",
+        "merge_upsert",
+        "haversine_bands",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the
