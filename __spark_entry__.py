@@ -606,6 +606,18 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_ann_topk(e, q, k=KNN_K).select("q_id", "p_id", "rnk")
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ ANN (memory-scale path: 32x-compressed uint8 codes + ADC
+    scoring + exact re-rank of the shortlist). Golden twin shares the
+    trained model (the codebooks ARE the contract) but re-implements
+    assignment, encoding, ADC and re-rank with scalar loops."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_pq_ann_topk(e, q, k=KNN_K).select("q_id", "p_id", "rnk")
+
+
 def _contour_result(spark):
     tiles = _synth_tiles(spark, n_tiles=6, size=33)
     return run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=16)
@@ -1372,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_image_stats": q_stream_image_stats,
         "image_quarantine": q_image_quarantine,
         "haversine_bands": q_haversine,
+        "ann_ivf_pq": q_ann_ivf_pq,
     }
 
 
@@ -1422,7 +1435,7 @@ GOLDEN_ORACLES = [
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "phash_near_dup", "audio_features",
-    "video_features", "image_stats",
+    "video_features", "image_stats", "ann_ivf_pq",
 ]
 
 

@@ -1208,6 +1208,84 @@ def g_ann_ivf():
     ]))
 
 
+def g_ann_ivf_pq():
+    """Scalar twin of similarity.ivf_pq_ann_topk (k=5, defaults:
+    n_centroids=16, n_probe=4, m=8, ksub=16, rerank=8). Shares the
+    trained model (_kmeans/train_pq — the codebooks ARE the contract);
+    assignment, PQ encoding, ADC scoring and the exact re-rank are
+    re-derived with plain loops."""
+    from hgt2osm2_spark.ops.similarity import _kmeans, train_pq
+
+    embs = _embs().sort_values("vec_id")
+    ids = embs.vec_id.tolist()
+    vecs = [np.asarray(v, dtype=np.float64) for v in embs.embedding]
+    sample = np.array(vecs[:2048])
+    cent = _kmeans(sample, 16, 10, 42)
+    books = train_pq(sample, 8, 16, 10, 1042)
+    m, ksub, dsub = books.shape
+
+    def norm(v):
+        n = 0.0
+        for x in v:
+            n += x * x
+        n = n ** 0.5
+        return [x / n if n > 1e-12 else x for x in v]
+
+    def assign(v):
+        best_s, best_c = None, None
+        for c in range(len(cent)):
+            s = _seq_dot(v, cent[c])
+            if best_s is None or s > best_s:
+                best_s, best_c = s, c
+        return best_c
+
+    def encode(v):
+        nv = norm(v)
+        codes = []
+        for j in range(m):
+            sub = nv[j * dsub : (j + 1) * dsub]
+            best_d, best_i = None, None
+            for i in range(ksub):
+                d = 0.0
+                for a, b in zip(sub, books[j][i]):
+                    d += (a - b) * (a - b)
+                if best_d is None or d < best_d:
+                    best_d, best_i = d, i
+            codes.append(best_i)
+        return codes
+
+    clusters: dict[int, list[int]] = {}
+    codes_of = {}
+    for i, v in enumerate(vecs):
+        clusters.setdefault(assign(v), []).append(i)
+        codes_of[i] = encode(v)
+
+    rows = []
+    for qi, vid in enumerate(ids):
+        if vid >= 20:
+            continue
+        nq = norm(vecs[qi])
+        scores = [(_seq_dot(vecs[qi], cent[c]), c) for c in range(len(cent))]
+        probes = [c for _s, c in sorted(scores, reverse=True)[:4]]
+        cands = {i for c in probes for i in clusters.get(c, [])}
+        lut = [[_seq_dot(np.asarray(nq[j * dsub : (j + 1) * dsub]), books[j][i])
+                for i in range(ksub)] for j in range(m)]
+        adc = sorted(
+            ((-sum(lut[j][codes_of[i][j]] for j in range(m)), ids[i], i)
+             for i in cands)
+        )[: 8 * 5]
+        rerank = sorted(
+            ((-_seq_cos(vecs[i_], vecs[qi]), pid)
+             for _neg, pid, i_ in adc)
+        )[:5]
+        for rnk, (_neg, pid) in enumerate(rerank, 1):
+            rows.append((vid, pid, rnk))
+    df = pd.DataFrame(rows, columns=["q_id", "p_id", "rnk"])
+    _write("ann_ivf_pq", df, pa.schema([
+        ("q_id", pa.int64()), ("p_id", pa.int64()), ("rnk", pa.int32()),
+    ]))
+
+
 # ======================================================================
 
 GENERATORS = {
@@ -1243,6 +1321,7 @@ GENERATORS = {
     "embedding_near_dup": g_embedding_near_dup,
     "ann_lsh": g_ann_lsh,
     "ann_ivf": g_ann_ivf,
+    "ann_ivf_pq": g_ann_ivf_pq,
 }
 
 
