@@ -79,6 +79,13 @@ AUDITED = {
         ("windowed top-k prunes before full sort output", r"WindowGroupLimit|Window"),
         ("no cartesian", r"CartesianProduct", "absent"),
     ],
+    "ann_ivf_pq": [
+        ("probed candidates via broadcast equi-join on cluster",
+         r"BroadcastHashJoin|BroadcastExchange"),
+        ("never all-pairs", r"CartesianProduct", "absent"),
+        ("ADC + encode are Arrow-batched, not per-row Python",
+         r"ArrowEvalPython|EvalPython"),
+    ],
     "pack_sequences": [
         ("prefix-sum window is sharded, not single-partition",
          r"Exchange SinglePartition[^\n]*\n[^\n]*Window", "absent"),
