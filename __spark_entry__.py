@@ -606,6 +606,21 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_ann_topk(e, q, k=KNN_K).select("q_id", "p_id", "rnk")
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Raster overview pyramid (ops/pyramid.py): the 6 synthetic tiles
+    decode to cells, then two 2x halvings — every level-1 and level-2
+    cell is value-compared against a DuckDB twin that re-derives the
+    halvings with plain SQL GROUP BYs over the raster_cells data
+    golden (NOVALUE poisoning + floor-of-mean)."""
+    from hgt2osm2_spark.ops import pyramid
+
+    tiles = _synth_tiles(spark, n_tiles=6, size=33)
+    cells = pyramid.explode_cells(tiles)
+    return pyramid.build_pyramid(cells, levels=2).select(
+        "level", "image_id", "x", "y", "value"
+    )
+
+
 def q_ann_ivf_pq(spark, sf_dir):
     """IVF-PQ ANN (memory-scale path: 32x-compressed uint8 codes + ADC
     scoring + exact re-rank of the shortlist). Golden twin shares the
@@ -1385,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quarantine": q_image_quarantine,
         "haversine_bands": q_haversine,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "tile_pyramid": q_tile_pyramid,
     }
 
 
@@ -1462,6 +1478,29 @@ def oracle_sql() -> dict[str, str]:
     # streaming twin of image_stats: same 9 rows, same golden — batch
     # vs streaming execution must be value-identical
     golden["stream_image_stats"] = _golden_sql("image_stats")
+    # pyramid: the oracle RE-DERIVES both halvings in SQL over the
+    # raster_cells data golden (NOVALUE poisoning + floor-of-mean)
+    golden["tile_pyramid"] = f"""
+        WITH l0 AS (
+            SELECT image_id, x, y, value
+            FROM read_parquet('{golden_dir}/raster_cells.parquet')
+        ), l1 AS (
+            SELECT image_id, x >> 1 AS x, y >> 1 AS y,
+                   CASE WHEN MAX(CASE WHEN value = -32768 THEN 1 ELSE 0 END) = 1
+                        THEN -32768
+                        ELSE CAST(FLOOR(SUM(value) / COUNT(*)) AS INT) END AS value
+            FROM l0 GROUP BY image_id, x >> 1, y >> 1
+        ), l2 AS (
+            SELECT image_id, x >> 1 AS x, y >> 1 AS y,
+                   CASE WHEN MAX(CASE WHEN value = -32768 THEN 1 ELSE 0 END) = 1
+                        THEN -32768
+                        ELSE CAST(FLOOR(SUM(value) / COUNT(*)) AS INT) END AS value
+            FROM l1 GROUP BY image_id, x >> 1, y >> 1
+        )
+        SELECT 1 AS level, * FROM l1
+        UNION ALL
+        SELECT 2 AS level, * FROM l2
+    """
     # quarantine: good rows == the batch golden with ok=true; the three
     # damaged payloads flag ok=false with the pinned exception class
     golden["image_quarantine"] = f"""

@@ -554,3 +554,39 @@ def test_ivf_pq_recall_and_compression(spark):
         hits += len(exact & set(grp.p_id))
         total += 5
     assert hits / total >= 0.75, f"wide-probe recall {hits/total:.2f}"
+
+
+def test_pyramid_semantics(spark):
+    """NOVALUE poisons the parent; odd-edge parents average their
+    actual children; two levels compose; the halving plan is pure JVM."""
+    import pandas as pd
+
+    from hgt2osm2_spark.kernels import codecs
+    from hgt2osm2_spark.ops import pyramid
+
+    nv = int(codecs.NOVALUE)
+    # 3x3 grid: one NOVALUE in the top-left 2x2 block
+    cells = [
+        (0, 0, 10), (1, 0, 20), (2, 0, 7),
+        (0, 1, 30), (1, 1, nv), (2, 1, 9),
+        (0, 2, 5),  (1, 2, 3),  (2, 2, -8),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame([{"image_id": "t", "x": x, "y": y, "value": v}
+                      for x, y, v in cells])
+    )
+    l1 = {(r.x, r.y): r.value for r in pyramid.pyramid_level_up(df).collect()}
+    assert l1[(0, 0)] == nv                     # poisoned block
+    assert l1[(1, 0)] == (7 + 9) // 2           # 2-child edge column
+    assert l1[(0, 1)] == (5 + 3) // 2           # 2-child edge row
+    assert l1[(1, 1)] == -8                     # single corner child
+    # floor on negatives: mean(-8) = -8; make a real negative-mean case
+    df2 = spark.createDataFrame(pd.DataFrame([
+        {"image_id": "t", "x": 0, "y": 0, "value": -3},
+        {"image_id": "t", "x": 1, "y": 0, "value": -4},
+    ]))
+    r = pyramid.pyramid_level_up(df2).collect()[0]
+    assert r.value == -4  # floor(-3.5), not trunc(-3.5)
+
+    plan = pyramid.build_pyramid(df, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
