@@ -606,6 +606,18 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_ann_topk(e, q, k=KNN_K).select("q_id", "p_id", "rnk")
 
 
+def q_tile_clip(spark, sf_dir):
+    """Polyline window clipping (ops/clip.py — the per-tile vector
+    extract, inverse of cross_tile stitching): kept contour polylines
+    of the 6 synthetic tiles clipped to the index window [8,24]^2;
+    every piece fingerprinted by endpoints + sequential length. Golden
+    twin re-clips with an independently-structured scalar walk."""
+    from hgt2osm2_spark.ops import clip as clip_ops
+
+    res = _contour_result(spark)
+    return clip_ops.clip_polylines(res.post, 8.0, 8.0, 24.0, 24.0)
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Raster overview pyramid (ops/pyramid.py): the 6 synthetic tiles
     decode to cells, then two 2x halvings — every level-1 and level-2
@@ -1401,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine_bands": q_haversine,
         "ann_ivf_pq": q_ann_ivf_pq,
         "tile_pyramid": q_tile_pyramid,
+        "tile_clip": q_tile_clip,
     }
 
 
@@ -1451,7 +1464,7 @@ GOLDEN_ORACLES = [
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "phash_near_dup", "audio_features",
-    "video_features", "image_stats", "ann_ivf_pq",
+    "video_features", "image_stats", "ann_ivf_pq", "tile_clip",
 ]
 
 

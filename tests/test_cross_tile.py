@@ -79,3 +79,34 @@ def test_levels_never_mix(spark, split_tiles):
     lv = merged.select("level").distinct().count()
     src_lv = post.select("level").distinct().count()
     assert lv == src_lv
+
+
+def test_clip_polyline_kernel():
+    """Window clip: containment, boundary interpolation, piece count on
+    a zig-zag crossing the window twice, and degenerate rejections."""
+    from hgt2osm2_spark.ops.clip import clip_polyline
+
+    w = (0.0, 0.0, 10.0, 10.0)
+    # fully inside: one piece, unchanged
+    p = clip_polyline([1, 2, 3], [1, 2, 1], *w)
+    assert p == [([1, 2, 3], [1, 2, 1])]
+    # fully outside: nothing
+    assert clip_polyline([20, 30], [20, 30], *w) == []
+    # straight line crossing: clipped to boundary points
+    [(xs, ys)] = clip_polyline([-5.0, 15.0], [5.0, 5.0], *w)
+    assert xs == [0.0, 10.0] and ys == [5.0, 5.0]
+    # zig-zag leaving and re-entering: two pieces
+    pieces = clip_polyline(
+        [5.0, 15.0, 15.0, 5.0], [2.0, 2.0, 8.0, 8.0], *w
+    )
+    assert len(pieces) == 2
+    (x1, y1), (x2, y2) = pieces
+    assert x1 == [5.0, 10.0] and y1 == [2.0, 2.0]
+    assert x2 == [10.0, 5.0] and y2 == [8.0, 8.0]
+    # every output point inside the window (inclusive)
+    for xs, ys in pieces:
+        assert all(0.0 <= x <= 10.0 for x in xs)
+        assert all(0.0 <= y <= 10.0 for y in ys)
+    # continuity: inside path spanning several segments stays ONE piece
+    [(xs, ys)] = clip_polyline([-2.0, 2.0, 4.0, 12.0], [5.0, 5.0, 5.0, 5.0], *w)
+    assert xs == [0.0, 2.0, 4.0, 10.0]

@@ -1208,6 +1208,107 @@ def g_ann_ivf():
     ]))
 
 
+def g_tile_clip():
+    """Scalar twin of ops/clip.clip_polylines over the 6-tile contour
+    run, window [8,24]^2. Kept polylines come from the same pure
+    kernel chain the contour goldens use (stitch + run_polyline — the
+    shared contract); the CLIP walk is re-derived here with its own
+    control flow (explicit per-axis candidate list instead of the
+    op's fold), while the intersection arithmetic mirrors the op
+    ((lo-p)/d then p+t*d) so floats round identically at 9."""
+    from hgt2osm2_spark.kernels import postprocess as pp
+
+    opt = ContourOptions()
+    wx0 = wy0 = 8.0
+    wx1 = wy1 = 24.0
+    rows = []
+    for idx in range(6):
+        trow, grid = scalar_tile_grid(idx, 33)
+        img = trow["image_id"]
+        arr = scalar_segments(grid, opt)
+        if len(arr) == 0:
+            continue
+        bags = stitch.stitch_tile(arr)
+        edge = 1.0 / 33
+        for level in sorted(bags):
+            for i, pts in enumerate(bags[level]):
+                c = pp.PostCounters()
+                kept = pp.run_polyline(
+                    pts, opt.min_vertice_points, opt.min_bounding_box,
+                    edge, opt.douglas_peucker, c, True,
+                )
+                if kept is None:
+                    continue
+                xs = [p[0] for p in kept]
+                ys = [p[1] for p in kept]
+                piece_no = 0
+                cur = []
+                prev_exit_full = False
+                for s_i in range(len(xs) - 1):
+                    px, py = xs[s_i], ys[s_i]
+                    qx, qy = xs[s_i + 1], ys[s_i + 1]
+                    dx, dy = qx - px, qy - py
+                    reject = False
+                    if dx == 0.0 and (px < wx0 or px > wx1):
+                        reject = True
+                    if dy == 0.0 and (py < wy0 or py > wy1):
+                        reject = True
+                    t0, t1 = 0.0, 1.0
+                    if not reject:
+                        if dx != 0.0:
+                            ta, tb = (wx0 - px) / dx, (wx1 - px) / dx
+                            if ta > tb:
+                                ta, tb = tb, ta
+                            t0, t1 = max(t0, ta), min(t1, tb)
+                        if dy != 0.0:
+                            ta, tb = (wy0 - py) / dy, (wy1 - py) / dy
+                            if ta > tb:
+                                ta, tb = tb, ta
+                            t0, t1 = max(t0, ta), min(t1, tb)
+                        if t0 > t1:
+                            reject = True
+                    if reject or t0 >= t1:
+                        if len(cur) >= 2:
+                            rows.append(_clip_row(img, level, i, piece_no, cur))
+                            piece_no += 1
+                        cur = []
+                        prev_exit_full = False
+                        continue
+                    ex, ey = px + t0 * dx, py + t0 * dy
+                    lx, ly = px + t1 * dx, py + t1 * dy
+                    if cur and prev_exit_full and t0 == 0.0:
+                        cur.append((lx, ly))
+                    else:
+                        if len(cur) >= 2:
+                            rows.append(_clip_row(img, level, i, piece_no, cur))
+                            piece_no += 1
+                        cur = [(ex, ey), (lx, ly)]
+                    prev_exit_full = t1 == 1.0
+                if len(cur) >= 2:
+                    rows.append(_clip_row(img, level, i, piece_no, cur))
+    df = pd.DataFrame(rows, columns=[
+        "image_id", "level", "poly_ord", "piece", "n_points",
+        "x_first", "y_first", "x_last", "y_last", "length",
+    ])
+    _write("tile_clip", df, pa.schema([
+        ("image_id", pa.string()), ("level", pa.int32()),
+        ("poly_ord", pa.int32()), ("piece", pa.int32()),
+        ("n_points", pa.int32()),
+        ("x_first", pa.float64()), ("y_first", pa.float64()),
+        ("x_last", pa.float64()), ("y_last", pa.float64()),
+        ("length", pa.float64()),
+    ]))
+
+
+def _clip_row(img, level, ordi, piece, pts):
+    ln = 0.0
+    for a, b in zip(pts, pts[1:]):
+        ln += ((b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2) ** 0.5
+    return (img, int(level), int(ordi), int(piece), len(pts),
+            round(pts[0][0], 9), round(pts[0][1], 9),
+            round(pts[-1][0], 9), round(pts[-1][1], 9), round(ln, 6))
+
+
 def g_ann_ivf_pq():
     """Scalar twin of similarity.ivf_pq_ann_topk (k=5, defaults:
     n_centroids=16, n_probe=4, m=8, ksub=16, rerank=8). Shares the
@@ -1322,6 +1423,7 @@ GENERATORS = {
     "ann_lsh": g_ann_lsh,
     "ann_ivf": g_ann_ivf,
     "ann_ivf_pq": g_ann_ivf_pq,
+    "tile_clip": g_tile_clip,
 }
 
 
