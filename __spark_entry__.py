@@ -1492,21 +1492,24 @@ def oracle_sql() -> dict[str, str]:
     # vs streaming execution must be value-identical
     golden["stream_image_stats"] = _golden_sql("image_stats")
     # pyramid: the oracle RE-DERIVES both halvings in SQL over the
-    # raster_cells data golden (NOVALUE poisoning + floor-of-mean)
+    # raster_cells data golden (NOVALUE poisoning + floor-of-mean);
+    # the sentinel is interpolated from the codec, never hardcoded
+    from hgt2osm2_spark.kernels.codecs import NOVALUE
+
     golden["tile_pyramid"] = f"""
         WITH l0 AS (
             SELECT image_id, x, y, value
             FROM read_parquet('{golden_dir}/raster_cells.parquet')
         ), l1 AS (
             SELECT image_id, x >> 1 AS x, y >> 1 AS y,
-                   CASE WHEN MAX(CASE WHEN value = -32768 THEN 1 ELSE 0 END) = 1
-                        THEN -32768
+                   CASE WHEN MAX(CASE WHEN value = {NOVALUE} THEN 1 ELSE 0 END) = 1
+                        THEN {NOVALUE}
                         ELSE CAST(FLOOR(SUM(value) / COUNT(*)) AS INT) END AS value
             FROM l0 GROUP BY image_id, x >> 1, y >> 1
         ), l2 AS (
             SELECT image_id, x >> 1 AS x, y >> 1 AS y,
-                   CASE WHEN MAX(CASE WHEN value = -32768 THEN 1 ELSE 0 END) = 1
-                        THEN -32768
+                   CASE WHEN MAX(CASE WHEN value = {NOVALUE} THEN 1 ELSE 0 END) = 1
+                        THEN {NOVALUE}
                         ELSE CAST(FLOOR(SUM(value) / COUNT(*)) AS INT) END AS value
             FROM l1 GROUP BY image_id, x >> 1, y >> 1
         )
@@ -1916,11 +1919,11 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS ({_LI_POINTS_SQL}),
             d AS (
                 SELECT p_id,
-                       ROUND(2.0 * 6371.0088 * ASIN(SQRT(
+                       ROUND(2.0 * 6371.0088 * ASIN(SQRT(LEAST(1.0,
                            SIN(RADIANS(42.0 - lat) / 2) * SIN(RADIANS(42.0 - lat) / 2)
                            + COS(RADIANS(lat)) * COS(RADIANS(42.0))
                              * SIN(RADIANS(2.0 - lon) / 2) * SIN(RADIANS(2.0 - lon) / 2)
-                       )), 4) AS dist_km
+                       ))), 4) AS dist_km
                 FROM p
             )
             SELECT CAST(FLOOR(dist_km / 25) AS BIGINT) AS ring,

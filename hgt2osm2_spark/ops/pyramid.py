@@ -84,6 +84,8 @@ def pyramid_level_up(cells: DataFrame) -> DataFrame:
 def build_pyramid(cells: DataFrame, levels: int) -> DataFrame:
     """Level-0 cells -> union of levels 1..levels, tagged with a
     `level` column (level 0 is the input, not repeated in the output)."""
+    if levels < 1:
+        raise ValueError(f"build_pyramid: levels must be >= 1, got {levels}")
     out = None
     cur = cells
     for lvl in range(1, levels + 1):

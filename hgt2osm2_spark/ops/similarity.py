@@ -187,6 +187,35 @@ def ivf_assign_expr(vec: Column, centroids: np.ndarray) -> Column:
     return (-top["negi"]).cast("int")
 
 
+def _train_coarse(embeddings: DataFrame, id_col: str, vec_col: str,
+                  n_centroids: int, train_sample: int, iters: int,
+                  seed: int) -> np.ndarray:
+    """Deterministic coarse-quantizer training sample + k-means —
+    shared by ivf_ann_topk and ivf_pq_ann_topk so probe/assignment
+    semantics can never drift between the two."""
+    sample = np.array(
+        [r["v"] for r in embeddings.select(F.col(vec_col).alias("v"))
+         .orderBy(F.col(id_col)).limit(train_sample).collect()],
+        dtype=np.float64,
+    )
+    return _kmeans(sample, n_centroids, iters, seed), sample
+
+
+def _probe_clusters(q: DataFrame, cent: np.ndarray, n_probe: int) -> DataFrame:
+    """queries (q_id, qvec) -> exploded (q_id, qvec, cluster) rows for
+    the n_probe best clusters by centroid dot (JVM-side)."""
+    probe_scores = F.array(*[
+        F.struct(_dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                 F.lit(i).alias("c"))
+        for i, c in enumerate(cent)
+    ])
+    return (
+        q.withColumn("_p", F.slice(F.reverse(F.array_sort(probe_scores)), 1, n_probe))
+        .withColumn("cluster", F.explode(F.transform("_p", lambda st: st["c"])))
+        .drop("_p")
+    )
+
+
 def ivf_ann_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16,
     n_probe: int = 4, train_sample: int = 2048, iters: int = 10, seed: int = 42,
@@ -204,25 +233,10 @@ def ivf_ann_topk(
     e = embeddings.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("pvec"))
     q = queries.select("q_id", "qvec")
 
-    sample = np.array(
-        [r["v"] for r in
-         embeddings.select(F.col(vec_col).alias("v")).orderBy(F.col(id_col)).limit(train_sample).collect()],
-        dtype=np.float64,
-    )
-    cent = _kmeans(sample, n_centroids, iters, seed)
-
+    cent, _ = _train_coarse(embeddings, id_col, vec_col, n_centroids,
+                            train_sample, iters, seed)
     eb = e.withColumn("cluster", ivf_assign_expr(F.col("pvec"), cent))
-    # query-side probe list: n_probe best clusters by centroid cosine
-    probe_scores = F.array(*[
-        F.struct(_dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
-                 F.lit(i).alias("c"))
-        for i, c in enumerate(cent)
-    ])
-    qb = (
-        q.withColumn("_p", F.slice(F.reverse(F.array_sort(probe_scores)), 1, n_probe))
-        .withColumn("cluster", F.explode(F.transform("_p", lambda st: st["c"])))
-        .drop("_p")
-    )
+    qb = _probe_clusters(q, cent, n_probe)
     cand = F.broadcast(qb).join(eb, "cluster").select("q_id", "qvec", "p_id", "pvec")
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("p_id").asc())
     return (
@@ -329,12 +343,8 @@ def ivf_pq_ann_topk(
     e = embeddings.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("pvec"))
     q = queries.select("q_id", "qvec")
 
-    sample = np.array(
-        [r["v"] for r in embeddings.select(F.col(vec_col).alias("v"))
-         .orderBy(F.col(id_col)).limit(train_sample).collect()],
-        dtype=np.float64,
-    )
-    cent = _kmeans(sample, n_centroids, iters, seed)
+    cent, sample = _train_coarse(embeddings, id_col, vec_col, n_centroids,
+                                 train_sample, iters, seed)
     books = train_pq(sample, m, ksub, iters, seed + 1000)
     dsub = books.shape[2]
 
@@ -345,9 +355,11 @@ def ivf_pq_ann_topk(
         codes = np.empty((len(vs), m), dtype=np.int32)
         for j in range(m):
             sub = vs[:, j * dsub : (j + 1) * dsub]
-            # (n, ksub) squared L2 via expansion; argmin ties -> low id
-            d2 = (sub * sub).sum(1)[:, None] - 2.0 * sub @ books[j].T \
-                + (books[j] * books[j]).sum(1)[None, :]
+            # direct (a-b)^2 with a last-axis np.sum: for dsub < 128
+            # numpy reduces SEQUENTIALLY, so the scalar golden twin's
+            # plain loop is bit-identical (the cancellation-prone
+            # ||a||^2-2ab+||b||^2 expansion through BLAS is not)
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
@@ -378,8 +390,11 @@ def ivf_pq_ann_topk(
             key = qs[i].tobytes()
             lut = luts.get(key)
             if lut is None:
+                # elementwise product + last-axis np.sum: sequential
+                # accumulation (dsub < 128), bit-identical to the
+                # twin's plain-loop dot — BLAS @ is not
                 lut = np.stack([
-                    books[j] @ qs[i, j * dsub : (j + 1) * dsub]
+                    (books[j] * qs[i, j * dsub : (j + 1) * dsub][None, :]).sum(axis=1)
                     for j in range(m)
                 ])  # (m, ksub)
                 luts[key] = lut

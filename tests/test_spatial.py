@@ -329,6 +329,11 @@ def test_haversine_known_values(spark):
     r = df.collect()[0]
     quarter = math.pi * sp.EARTH_RADIUS_KM / 2
     assert abs(r.pole - quarter) < 0.01
+    # near-antipodal regression: unclamped asin(sqrt(1+4e-16)) is NaN
+    na = spark.range(1).select(sp.haversine_km(
+        F.lit(-70.36958773), F.lit(18.45620859),
+        F.lit(70.36958777), F.lit(-161.54379140)).alias("d")).collect()[0]
+    assert not math.isnan(na.d) and 20000 < na.d < 20030
     assert abs(r.anti - 2 * quarter) < 0.01
     assert abs(r.paris_london - 343.5) < 1.5  # published great-circle distance
     assert r.self == 0.0

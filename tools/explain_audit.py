@@ -83,8 +83,8 @@ AUDITED = {
         ("probed candidates via broadcast equi-join on cluster",
          r"BroadcastHashJoin|BroadcastExchange"),
         ("never all-pairs", r"CartesianProduct", "absent"),
-        ("ADC + encode are Arrow-batched, not per-row Python",
-         r"ArrowEvalPython|EvalPython"),
+        ("ADC + encode are Arrow-batched", r"ArrowEvalPython"),
+        ("no per-row Python eval", r"BatchEvalPython", "absent"),
     ],
     "pack_sequences": [
         ("prefix-sum window is sharded, not single-partition",

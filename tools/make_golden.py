@@ -1326,11 +1326,12 @@ def g_ann_ivf_pq():
     m, ksub, dsub = books.shape
 
     def norm(v):
+        # mirrors the engine exactly: always divide by max(n, 1e-12)
         n = 0.0
         for x in v:
             n += x * x
-        n = n ** 0.5
-        return [x / n if n > 1e-12 else x for x in v]
+        n = max(n ** 0.5, 1e-12)
+        return [x / n for x in v]
 
     def assign(v):
         best_s, best_c = None, None
