@@ -1848,7 +1848,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_sample": """
             WITH h AS (
                 SELECT doc_id, lang, n_chars,
-                       ((doc_id % 1000003) * 69069 + 1) % 2147483648 AS h1
+                       (((doc_id & 9223372036854775807) % 1000003) * 69069 + 1)
+                           % 2147483648 AS h1
                 FROM documents
             ), b AS (
                 SELECT doc_id, lang, n_chars,

@@ -441,11 +441,14 @@ def hamming_near_pairs(
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
-    """Banded simhash candidates (4 x 16-bit bands; any equal band ->
-    candidate; guarantees recall for hamming <= 3), verified exactly."""
+    """Banded simhash candidates (max_hamming+1 pigeonhole bit-bands —
+    two words within the ball agree exactly on at least one band, so
+    recall is FULL for any max_hamming), verified exactly. (ADVICE r3:
+    a fixed 4-band split only guaranteed recall for hamming <= 3 and
+    silently lost pairs at larger radii.)"""
     sk = simhash_sketch(df, **kw).cache()
     return hamming_near_pairs(
-        sk, max_hamming, id_col="id", sketch_col="simhash", n_bands=4
+        sk, max_hamming, id_col="id", sketch_col="simhash"
     )
 
 

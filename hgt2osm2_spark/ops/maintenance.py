@@ -190,8 +190,18 @@ def merge_upsert(table, updates, key_cols, version_col):
     tagged = table.select(*cols).withColumn("_upd", F.lit(0)).unionByName(
         updates.select(*cols).withColumn("_upd", F.lit(1))
     )
+    # (version, _upd) alone is not a total order: two update rows with
+    # the same key AND version would tie and row_number would pick one
+    # nondeterministically (ADVICE r3). The remaining payload columns
+    # (sorted by name, descending) complete the order, so same-key
+    # same-version duplicates resolve to the same survivor every run.
+    tiebreak = [
+        F.col(c).desc()
+        for c in sorted(cols)
+        if c not in set(key_cols) and c != version_col
+    ]
     w = W.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), F.col("_upd").desc()
+        F.col(version_col).desc(), F.col("_upd").desc(), *tiebreak
     )
     return (
         tagged.withColumn("_rn", F.row_number().over(w))

@@ -31,7 +31,12 @@ _M31 = 2_147_483_648  # 2^31
 def portable31(key: Column) -> Column:
     """31-bit portable mix of an integer column: LCG -> xor-fold ->
     LCG. All intermediates fit int64, so no ANSI overflow on Spark and
-    identical arithmetic in DuckDB/any SQL engine."""
+    identical arithmetic in DuckDB/any SQL engine. The sign bit is
+    masked up front (`%` preserves sign in both Spark and DuckDB, so a
+    signed id like an xxhash64-derived key would otherwise produce
+    NEGATIVE buckets — kept unconditionally by `b < threshold` filters
+    regardless of rate)."""
+    key = key.bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
     h1 = ((key % 1_000_003) * 69_069 + 1) % _M31
     h2 = h1.bitwiseXOR(F.shiftright(h1, 15))
     return (h2 * 69_069 + 7) % _M31
@@ -138,10 +143,19 @@ def pack_sequences(
       2. per-shard token totals -> driver (n_shards scalars, bounded),
          prefix-summed into per-shard base offsets,
       3. per-shard window cumsum + broadcast base.
-    Every shard's window runs in parallel; the shuffle written by step
-    1 is reused by both jobs. Results are independent of where the
-    sampled range boundaries land, so packing stays byte-deterministic
-    across runs and cluster sizes.
+    Every shard's window runs in parallel. The ranged frame is
+    MATERIALIZED once (localCheckpoint) before the totals job:
+    RangePartitioner samples with a per-RDD seed, so re-executing the
+    range shuffle in a second job could draw DIFFERENT boundaries,
+    mismatching spark_partition_id between the totals job and the
+    output job and silently corrupting base offsets. Checkpointing
+    pins one boundary draw for both jobs — and, unlike plain persist,
+    a lost block FAILS the job rather than recomputing with fresh
+    boundaries. Results are then independent of where the sampled
+    boundaries land, so packing stays byte-deterministic across runs
+    and cluster sizes. (On a real cluster with executor churn, swap
+    localCheckpoint for a reliable `df.checkpoint()` to an HDFS/object
+    checkpoint dir — same contract, fault-tolerant blocks.)
     """
     order = order_cols or [F.col(id_col)]
     spark = df.sparkSession
@@ -151,6 +165,7 @@ def pack_sequences(
     ranged = (
         df.repartitionByRange(n_shards, *order)
         .withColumn("_shard", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     totals = ranged.groupBy("_shard").agg(
         F.sum(tokens_col).alias("_tok")

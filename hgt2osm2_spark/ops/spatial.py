@@ -229,8 +229,10 @@ def knn_join(
     Repeat-run fast path: pass ``stats`` (point count + bbox, optionally
     n_queries) or ``stats_key`` (memoized per key after the first call —
     the local stand-in for the lineage metrics table) and the ring-sizing
-    stats job and telemetry query-count job are skipped; exactness never
-    depends on the hint, only the pass-1/pass-2 split does."""
+    stats job over the (large) point side is skipped. The hint sizes the
+    ring ONLY: the pass-2 gate and telemetry are always derived from the
+    data (cached settled markers + an anti-join count over the small
+    query side), so a stale hint can never drop unsettled queries."""
     release_caches()
     # pts is NOT cached: in the common all-settled case it is scanned
     # exactly once (pass-1 join); caching 100 TB of points to maybe
@@ -304,31 +306,24 @@ def knn_join(
     _LIVE_CACHES.append(topk1)
     settled = topk1.filter("_settled").select(out_cols)
 
-    # telemetry — ONE job, no join/shuffle: settled queries are counted
-    # off the CACHED topk1 (rnk==1 marks each settled query exactly
-    # once); the total comes from the memoized stats when available,
-    # else from a row count unioned into the same job (q_id is unique
-    # per the queries contract). Replaces r2's distinct+join telemetry
-    # job — the bench-visible regression (VERDICT r2 #2).
-    settled_marker = (
-        topk1.filter("_settled AND rnk = 1")
-        .select(F.lit(0).alias("_q"), F.lit(1).alias("_s"))
+    # fallback gate + telemetry — both DATA-DERIVED (ADVICE r3: the
+    # n_queries hint must never gate pass 2 — a stale memo in a
+    # long-lived session, e.g. after the query set grows under the same
+    # stats_key, could make n_total <= n_settled and silently drop
+    # unsettled queries). The hint now feeds ring sizing only. Two tiny
+    # jobs, both over cached/small data: settled count off the CACHED
+    # topk1 (rnk==1 marks each settled query exactly once) and the
+    # unsettled count via anti-join of the (small, broadcastable) query
+    # side against the cached settled ids.
+    n_settled = topk1.filter("_settled AND rnk = 1").count()
+    settled_ids = topk1.filter("_settled").select("q_id")
+    remaining = queries.select("q_id", "lat", "lon").join(
+        F.broadcast(settled_ids), "q_id", "left_anti"
     )
-    n_total = int(stats["n_queries"]) if stats and "n_queries" in stats else None
-    if n_total is None:
-        trow = (
-            queries.select(F.lit(1).alias("_q"), F.lit(0).alias("_s"))
-            .unionByName(settled_marker)
-            .agg(F.sum("_q").alias("n_total"), F.sum("_s").alias("n_settled"))
-            .collect()[0]
-        )
-        n_total = int(trow["n_total"] or 0)
-        n_settled = int(trow["n_settled"] or 0)
-    else:
-        n_settled = settled_marker.count()
+    n_fallback = remaining.count()
+    n_total = n_settled + n_fallback
     if stats_key is not None:
         _KNN_STATS_MEMO[stats_key] = dict(stats or {}, n_queries=n_total)
-    n_fallback = n_total - n_settled
     LAST_KNN_METRICS.clear()
     LAST_KNN_METRICS.update(
         {"ring": int(ring), "res": int(res), "k": int(k),
@@ -344,8 +339,6 @@ def knn_join(
     # pass 2 — exhaustive fallback for the stragglers only (sparse
     # regions / ring misses). Queries are the small side: broadcast
     # them against all points; at scale this is a tiny tail.
-    settled_ids = topk1.filter("_settled").select("q_id")
-    remaining = queries.select("q_id", "lat", "lon").join(settled_ids, "q_id", "left_anti")
     fb = topk_of(
         F.broadcast(remaining).crossJoin(pts.drop("cell")).withColumn("dist2", d2)
     ).select(out_cols)

@@ -1017,8 +1017,9 @@ def g_minhash_lsh():
 
 def g_simhash_pairs():
     """Scalar simhash twin: the per-token loop formulation (the engine
-    is the batch-vectorized one); banded 4x16-bit candidates then exact
-    hamming <= 8."""
+    is the batch-vectorized one); the FULL exact hamming <= 8 ball — no
+    candidate pre-filter, so matching this golden independently proves
+    the engine's pigeonhole banding has full recall at radius 8."""
     docs = _docs()
     ids = docs.doc_id.tolist()
     hashes = []
@@ -1039,10 +1040,6 @@ def g_simhash_pairs():
         hi = hashes[i]
         for j in range(i + 1, nd):
             hj = hashes[j]
-            band_eq = any(((hi >> (16 * t)) & 0xFFFF) == ((hj >> (16 * t)) & 0xFFFF)
-                          for t in range(4))
-            if not band_eq:
-                continue
             ham = bin(hi ^ hj).count("1")
             if ham <= 8:
                 ia, ib = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
