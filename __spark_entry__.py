@@ -620,15 +620,16 @@ def q_tile_clip(spark, sf_dir):
 
 def q_tile_pyramid(spark, sf_dir):
     """Raster overview pyramid (ops/pyramid.py): the 6 synthetic tiles
-    decode to cells, then two 2x halvings — every level-1 and level-2
+    through the PRODUCTION array-native path — both halvings happen
+    tile-locally inside one Arrow decode pass (one narrow map, no
+    per-cell explode, no per-level Exchange). Every level-1 and level-2
     cell is value-compared against a DuckDB twin that re-derives the
     halvings with plain SQL GROUP BYs over the raster_cells data
     golden (NOVALUE poisoning + floor-of-mean)."""
     from hgt2osm2_spark.ops import pyramid
 
     tiles = _synth_tiles(spark, n_tiles=6, size=33)
-    cells = pyramid.explode_cells(tiles)
-    return pyramid.build_pyramid(cells, levels=2).select(
+    return pyramid.pyramid_cells(tiles, levels=2).select(
         "level", "image_id", "x", "y", "value"
     )
 

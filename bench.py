@@ -118,6 +118,8 @@ def main():
         "video_features",
         "merge_upsert",
         "haversine_bands",
+        # r4: array-native pyramid (one narrow Arrow map, no Exchange)
+        "tile_pyramid",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the

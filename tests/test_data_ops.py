@@ -168,6 +168,49 @@ def test_ivf_ann_recall(embs, spark):
     assert len(ivf & exact) >= 8
 
 
+def test_ivf_assign_parity_and_scale(embs, spark, monkeypatch):
+    # dispatch-boundary parity: the literal-expression coarse path and
+    # the broadcast-matrix Arrow kernel must be bit-identical on the
+    # SAME centroids — force each path via the threshold global.
+    rng = np.random.default_rng(7)
+    cent = rng.standard_normal((96, 64))
+    e = embs.limit(120).select("vec_id", "embedding")
+    q = embs.limit(8).select(
+        F.col("vec_id").cast("string").alias("q_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+    def run(threshold):
+        monkeypatch.setattr(similarity, "IVF_EXPR_MAX_CENTROIDS", threshold)
+        assign = (
+            e.select("vec_id", similarity.assign_cluster_col(F.col("embedding"), cent).alias("c"))
+            .toPandas().set_index("vec_id")["c"].sort_index()
+        )
+        probes = sorted(
+            map(tuple, similarity._probe_clusters(q, cent, 3).select("q_id", "cluster").collect())
+        )
+        return assign, probes
+
+    a_expr, p_expr = run(10**9)   # expression path for all 96 centroids
+    a_arrow, p_arrow = run(0)     # Arrow path for all 96 centroids
+    assert a_expr.tolist() == a_arrow.tolist()
+    assert p_expr == p_arrow
+
+    # scale path: 1024 centroids through the Arrow kernel (the literal
+    # plan the dispatch exists to avoid) vs an independent scalar twin
+    big = rng.standard_normal((1024, 64))
+    monkeypatch.setattr(similarity, "IVF_EXPR_MAX_CENTROIDS", 64)
+    got = (
+        e.limit(40)
+        .select("vec_id", similarity.assign_cluster_col(F.col("embedding"), big).alias("c"))
+        .toPandas().set_index("vec_id")["c"].sort_index()
+    )
+    rows = {r["vec_id"]: r["embedding"] for r in e.limit(40).collect()}
+    for vid, c in got.items():
+        scores = [sum(float(x) * float(y) for x, y in zip(rows[vid], cc)) for cc in big]
+        assert int(c) == max(range(1024), key=lambda i: (scores[i], -i))
+
+
 def test_ivf_deterministic(embs, spark):
     queries = embs.limit(5).select(
         F.col("vec_id").cast("string").alias("q_id"), F.col("embedding").alias("qvec")
@@ -590,3 +633,25 @@ def test_pyramid_semantics(spark):
 
     plan = pyramid.build_pyramid(df, 2)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_pyramid_array_path_equals_sql_path(spark):
+    """The production array-native pyramid (tile-local numpy halvings,
+    one narrow map) must be row-identical to the explode+groupBy SQL
+    formulation — including NOVALUE poisoning, odd-edge parents, and
+    negative-mean flooring — and its plan must contain NO Exchange."""
+    import __spark_entry__ as entry
+    from hgt2osm2_spark.ops import pyramid
+
+    tiles = entry._synth_tiles(spark, n_tiles=4, size=33)
+    fast = pyramid.pyramid_cells(tiles, levels=3)
+    slow = pyramid.build_pyramid(pyramid.explode_cells(tiles), levels=3).select(
+        "level", "image_id", "x", "y", "value"
+    )
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted((r["level"], r["image_id"], r["x"], r["y"], r["value"])
+               for r in slow.collect())
+    assert a == b and len(a) > 0
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
