@@ -655,6 +655,18 @@ def q_contour_nodes(spark, sf_dir):
     return _contour_result(spark).nodes
 
 
+def q_contour_nodes_banded(spark, sf_dir):
+    """Sub-tile parallel grain (VERDICT r3 #5): the same 6 tiles run
+    with each tile split into 8-cell-row halo-carrying bands spread
+    across tasks (ops/contours.extract_contour_segments_banded). The
+    node stream must hash-equal the whole-tile run — the oracle IS the
+    contour_nodes golden."""
+    tiles = _synth_tiles(spark, n_tiles=6, size=33)
+    return run_contour_pipeline(
+        tiles, ContourOptions(), shuffle_partitions=16, band_rows=8
+    ).nodes
+
+
 def q_contour_readme_profile(spark, sf_dir):
     """The README invocation profile (config.README_PROFILE: DP eps
     0.12, min bbox 0.00016, no elevation-type tags) — proves the option
@@ -1420,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stream_image_stats": q_stream_image_stats,
         "haversine_bands": q_haversine,
+        # r4 additions (tail; mirror-checked + tested this round)
+        "contour_nodes_banded": q_contour_nodes_banded,
     }
 
 
@@ -1497,6 +1511,8 @@ def oracle_sql() -> dict[str, str]:
     # streaming twin of image_stats: same 9 rows, same golden — batch
     # vs streaming execution must be value-identical
     golden["stream_image_stats"] = _golden_sql("image_stats")
+    # banded grain must reproduce the whole-tile node stream exactly
+    golden["contour_nodes_banded"] = _golden_sql("contour_nodes")
     # pyramid: the oracle RE-DERIVES both halvings in SQL over the
     # raster_cells data golden (NOVALUE poisoning + floor-of-mean);
     # the sentinel is interpolated from the codec, never hardcoded

@@ -48,6 +48,7 @@ def _between(ax, ay, ah, bx, by, bh, h):
 def extract_segments(
     grid_ns: np.ndarray, contour_distance: int, fake_distance: float,
     strip_rows: int = 64,
+    cell_lo: int = 0, cell_hi: int | None = None, y_base: int = 0,
 ) -> np.ndarray:
     """grid_ns: (H, W) int16-ish, row 0 = north (HGT layout). Returns a
     SEG_DTYPE array in reference emission order.
@@ -60,7 +61,15 @@ def extract_segments(
     appetite behind the 8->32 scaling gap. Every expression is
     elementwise per cell and evaluated in the identical IEEE order, and
     the final global lexsort is unchanged, so the output is
-    bit-identical for any strip_rows."""
+    bit-identical for any strip_rows.
+
+    WINDOWED execution (sub-tile parallelism, VERDICT r3 #5): pass
+    cell_lo/cell_hi to emit only the cell rows [cell_lo, cell_hi) of
+    this grid, and y_base to translate local rows/coordinates into the
+    enclosing tile's frame — callers hand the kernel a row band plus
+    its 2-row halo (flat-case probes reach cell_y±2) and get segments
+    bit-identical to the same rows of a whole-tile run (coordinates are
+    integer-valued doubles, so the translation is exact)."""
     d = int(contour_distance)
     gb = grid_ns[::-1, :].astype(np.float64)  # gb[y, x], y up from SW corner
     H, W = gb.shape
@@ -95,8 +104,11 @@ def extract_segments(
         )
 
     nxl = np.int64(nx)
-    for lo in range(0, ny, max(int(strip_rows), 1)):
-        hi = min(lo + max(int(strip_rows), 1), ny)
+    c0 = max(int(cell_lo), 0)
+    c1 = ny if cell_hi is None else min(int(cell_hi), ny)
+    yb = int(y_base)
+    for lo in range(c0, c1, max(int(strip_rows), 1)):
+        hi = min(lo + max(int(strip_rows), 1), c1)
 
         def at(dy, dx):
             """raw height at (cell_y + dy, cell_x + dx) for the strip's
@@ -122,7 +134,7 @@ def extract_segments(
         H3f = np.where(v3, H3 + fake, float(NOVALUE))
         Cf = C + fake  # center is always "valid" where cell_ok
 
-        YY, XX = np.mgrid[lo:hi, 0:nx]  # GLOBAL cell indices
+        YY, XX = np.mgrid[lo + yb : hi + yb, 0:nx]  # TILE-frame cell indices
         cx = XX.astype(np.float64)
         cy = YY.astype(np.float64)
         shape = YY.shape
@@ -172,7 +184,7 @@ def extract_segments(
                 if on_level.any():
                     onz = np.nonzero(on_level)[0]
                     loc_rows, oXs = onz // nxl, onz % nxl
-                    oYs = loc_rows + lo  # global data row for emission
+                    oYs = loc_rows + lo + yb  # tile-frame data row for emission
                     gg = lambda a: np.broadcast_to(a, shape)[loc_rows, oXs]
                     opp_a, opp_b, t1, t2 = (gg(p) for p in flat_probe[t])
                     fHa, fHb, fHc = Ha[onz], Hb[onz], Hc[onz]
@@ -215,7 +227,7 @@ def extract_segments(
             PAx, PAy, HA = Ax[rep], Ay[rep], Ha[rep]
             PBx, PBy, HB = Bx[rep], By[rep], Hb[rep]
             PCx, PCy, HC = Ccx[rep], Ccy[rep], Hc[rep]
-            Yp, Xp = rep // nxl + lo, rep % nxl
+            Yp, Xp = rep // nxl + lo + yb, rep % nxl
 
             ea = HA == h
             eb = HB == h

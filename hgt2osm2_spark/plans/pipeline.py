@@ -38,20 +38,35 @@ def run_contour_pipeline(
     strict_reference: bool = True,
     shuffle_partitions: int | None = None,
     fused: bool = True,
+    band_rows: int | None = None,
 ) -> ContourResult:
     """fused=True (default): stages 1-5 run as one narrow map per tile
     (contours.extract_stitch_post_fused) — zero shuffles before ID
     assignment; right grain when #tiles >> #cores (the 10^12 design
     point). fused=False: staged variant with a per-(tile,level) shuffle
-    for intra-tile parallelism + stage-level checkpointing."""
+    for intra-tile parallelism + stage-level checkpointing. band_rows
+    (implies staged): additionally split each tile into halo-carrying
+    row bands before the kernel so ONE native-grain tile (3601² SRTM-1)
+    spreads across many tasks — right grain when #tiles << #cores or a
+    straggler tile serializes the stage; output is identical to the
+    other grains (banded-kernel window property + (row_y, seg_ord)
+    stitch order)."""
     opt = opt or ContourOptions()
     dims = tiles.select("image_id", "w", "h")
 
+    if band_rows:
+        fused = False
     if fused:
         segments = polylines = None
         post = contours.extract_stitch_post_fused(tiles, opt, strict_reference)
     else:
-        segments = contours.extract_contour_segments(tiles, opt)
+        segments = (
+            contours.extract_contour_segments_banded(
+                tiles, opt, band_rows, shuffle_partitions
+            )
+            if band_rows
+            else contours.extract_contour_segments(tiles, opt)
+        )
         polylines = contours.stitch_polylines(segments, shuffle_partitions)
         post = contours.postprocess_polylines(polylines, dims, opt, strict_reference)
     metrics = contours.postprocess_metrics(post)

@@ -173,3 +173,21 @@ def test_srtm3_size_tile_end_to_end(spark):
     base = tile_first_id(43, 0)
     assert stats["min(node_id)"] == base
     assert 43.0 <= stats["min(lat)"] and stats["max(lon)"] <= 1.0
+
+
+def test_banded_grain_equals_fused(spark):
+    """Sub-tile row-band parallelism must be invisible in the output:
+    one 97x97 tile split into 16-row bands (7 bands, separate tasks)
+    produces the exact node/way streams of the fused whole-tile run."""
+    tiles = tiles_df(spark, n_tiles=2, size=97, partitions=2)
+    opt = ContourOptions()
+    fused = run_contour_pipeline(tiles, opt)
+    banded = run_contour_pipeline(tiles, opt, shuffle_partitions=8, band_rows=16)
+
+    fn = sorted(map(tuple, fused.nodes.collect()))
+    bn = sorted(map(tuple, banded.nodes.collect()))
+    assert fn == bn and len(fn) > 0
+
+    fw = sorted(map(tuple, fused.ways.select("image_id", "level", "way_id", "node_refs").collect()))
+    bw = sorted(map(tuple, banded.ways.select("image_id", "level", "way_id", "node_refs").collect()))
+    assert fw == bw and len(fw) > 0
