@@ -1484,7 +1484,7 @@ GOLDEN_ORACLES = [
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "phash_near_dup", "audio_features",
-    "video_features", "image_stats", "ann_ivf_pq", "tile_clip",
+    "video_features", "image_stats", "tile_clip",
 ]
 
 
@@ -1513,6 +1513,27 @@ def oracle_sql() -> dict[str, str]:
     golden["stream_image_stats"] = _golden_sql("image_stats")
     # banded grain must reproduce the whole-tile node stream exactly
     golden["contour_nodes_banded"] = _golden_sql("contour_nodes")
+    # IVF-PQ: the oracle COMPUTES the ADC shortlist (rerank*k=40 by
+    # adc desc, p_id asc) and the exact-cosine re-rank (top k=5) in
+    # SQL over the per-candidate scores golden (scalar-twin ADC +
+    # exact sims for every probed candidate) — the windowed stages are
+    # re-derived, not read back (r3 verdict item #9)
+    golden["ann_ivf_pq"] = f"""
+        WITH short AS (
+            SELECT q_id, p_id, exact_sim,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY adc_sim DESC, p_id ASC
+                   ) AS arnk
+            FROM read_parquet('{golden_dir}/ann_pq_candidates.parquet')
+        ), final AS (
+            SELECT q_id, p_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY exact_sim DESC, p_id ASC
+                   ) AS INT) AS rnk
+            FROM short WHERE arnk <= 40
+        )
+        SELECT q_id, p_id, rnk FROM final WHERE rnk <= 5
+    """
     # pyramid: the oracle RE-DERIVES both halvings in SQL over the
     # raster_cells data golden (NOVALUE poisoning + floor-of-mean);
     # the sentinel is interpolated from the codec, never hardcoded

@@ -1360,6 +1360,7 @@ def g_ann_ivf_pq():
         codes_of[i] = encode(v)
 
     rows = []
+    cand_rows = []
     for qi, vid in enumerate(ids):
         if vid >= 20:
             continue
@@ -1369,6 +1370,16 @@ def g_ann_ivf_pq():
         cands = {i for c in probes for i in clusters.get(c, [])}
         lut = [[_seq_dot(np.asarray(nq[j * dsub : (j + 1) * dsub]), books[j][i])
                 for i in range(ksub)] for j in range(m)]
+        # every probed candidate with its ADC + exact score — the
+        # DuckDB gate oracle re-derives the shortlist AND the final
+        # re-rank from these rows in SQL (r3 verdict item #9), so the
+        # windowed stages are computed, not read back
+        for i in cands:
+            cand_rows.append((
+                vid, ids[i],
+                sum(lut[j][codes_of[i][j]] for j in range(m)),
+                _seq_cos(vecs[i], vecs[qi]),
+            ))
         adc = sorted(
             ((-sum(lut[j][codes_of[i][j]] for j in range(m)), ids[i], i)
              for i in cands)
@@ -1382,6 +1393,13 @@ def g_ann_ivf_pq():
     df = pd.DataFrame(rows, columns=["q_id", "p_id", "rnk"])
     _write("ann_ivf_pq", df, pa.schema([
         ("q_id", pa.int64()), ("p_id", pa.int64()), ("rnk", pa.int32()),
+    ]))
+    cdf = pd.DataFrame(
+        sorted(cand_rows), columns=["q_id", "p_id", "adc_sim", "exact_sim"]
+    )
+    _write("ann_pq_candidates", cdf, pa.schema([
+        ("q_id", pa.int64()), ("p_id", pa.int64()),
+        ("adc_sim", pa.float64()), ("exact_sim", pa.float64()),
     ]))
 
 
