@@ -655,6 +655,34 @@ def q_contour_nodes(spark, sf_dir):
     return _contour_result(spark).nodes
 
 
+def q_pyfiles_contour(spark, sf_dir):
+    """spark-submit --py-files packaging proof (north rule): build the
+    deterministic zip artifact, launch a REAL spark-submit (separate
+    JVM, neutral cwd so the package can only import from the zip), run
+    the standard 6-tile contour job inside it, and return the node
+    stream it wrote — hash-compared against the same contour_nodes
+    golden as the in-session run."""
+    import os
+    import subprocess
+    import tempfile
+
+    from tools.make_pyfiles import build
+
+    tmp = tempfile.mkdtemp(prefix="pyfiles_gate_")
+    zip_path = build(tmp)
+    out_dir = os.path.join(tmp, "nodes_out")
+    job = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "pyfiles_job.py")
+    res = subprocess.run(
+        ["/opt/spark/bin/spark-submit", "--master", "local[4]",
+         "--conf", "spark.driver.memory=4g",
+         "--py-files", zip_path, job, out_dir],
+        cwd=tmp, capture_output=True, text=True, timeout=600,
+    )
+    if res.returncode != 0:
+        raise RuntimeError(f"spark-submit failed:\n{res.stderr[-2000:]}")
+    return spark.read.parquet(out_dir)
+
+
 def q_contour_nodes_banded(spark, sf_dir):
     """Sub-tile parallel grain (VERDICT r3 #5): the same 6 tiles run
     with each tile split into 8-cell-row halo-carrying bands spread
@@ -1434,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine_bands": q_haversine,
         # r4 additions (tail; mirror-checked + tested this round)
         "contour_nodes_banded": q_contour_nodes_banded,
+        "pyfiles_contour": q_pyfiles_contour,
     }
 
 
@@ -1513,6 +1542,8 @@ def oracle_sql() -> dict[str, str]:
     golden["stream_image_stats"] = _golden_sql("image_stats")
     # banded grain must reproduce the whole-tile node stream exactly
     golden["contour_nodes_banded"] = _golden_sql("contour_nodes")
+    # the --py-files spark-submit run must too (same job, zip imports)
+    golden["pyfiles_contour"] = _golden_sql("contour_nodes")
     # IVF-PQ: the oracle COMPUTES the ADC shortlist (rerank*k=40 by
     # adc desc, p_id asc) and the exact-cosine re-rank (top k=5) in
     # SQL over the per-candidate scores golden (scalar-twin ADC +
