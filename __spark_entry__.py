@@ -833,11 +833,16 @@ def q_image_stats(spark, sf_dir):
     """Image quality signals (r3): real PNG/JPEG/GIF decode -> luma
     mean/contrast, 256-bin entropy, Sobel edge density — the image
     analogue of quality_score for training-data filtering. Golden twin
-    recomputes with plain loops; PNG and GIF rows' twin decodes
-    NOTHING (png: the pre-encode source array; gif: its lossless
-    quantize), so a decoder bug in either fails the gate."""
-    imgs = synthetic.images_df(spark, n_images=6, size=33).unionByName(
-        synthetic.gifs_df(spark, n_images=3, size=33)
+    recomputes with plain loops; PNG, GIF and WEBP rows' twin decodes
+    NOTHING (png/webp: the pre-encode source array — webp-lossless
+    round-trips exactly; gif: its lossless quantize), so a decoder bug
+    in any of them fails the gate. The three webp rows rotate through
+    subtract-green+cache / predictor / palette+LZ77 encoder feature
+    sets (r4: kernels.webp, full VP8L)."""
+    imgs = (
+        synthetic.images_df(spark, n_images=6, size=33)
+        .unionByName(synthetic.gifs_df(spark, n_images=3, size=33))
+        .unionByName(synthetic.webps_df(spark, n_images=3, size=33))
     )
     return multimodal.image_stats(imgs)
 
@@ -850,16 +855,20 @@ def q_image_quarantine(spark, sf_dir):
     truncated GIF) flag their rows instead of killing the task."""
     import pandas as pd
 
-    good = synthetic.images_df(spark, n_images=6, size=33).unionByName(
-        synthetic.gifs_df(spark, n_images=3, size=33)
+    good = (
+        synthetic.images_df(spark, n_images=6, size=33)
+        .unionByName(synthetic.gifs_df(spark, n_images=3, size=33))
+        .unionByName(synthetic.webps_df(spark, n_images=3, size=33))
     ).select("image_id", "bytes", "fmt")
     png = synthetic.make_image_row(0, 33)["bytes"]
     jpg = synthetic.make_image_row(1, 33)["bytes"]
     gifb = synthetic.make_gif_row(0, 33)["bytes"]
+    webpb = synthetic.make_webp_row(0, 33)["bytes"]
     bad = spark.createDataFrame(pd.DataFrame([
         {"image_id": "bad_png_magic", "bytes": b"XXXX" + png[4:], "fmt": "png-rgb"},
         {"image_id": "bad_jpeg_soi", "bytes": b"\x00\x00" + jpg[2:], "fmt": "jpeg"},
         {"image_id": "bad_gif_trunc", "bytes": gifb[:100], "fmt": "gif"},
+        {"image_id": "bad_webp_riff", "bytes": b"JUNK" + webpb[4:], "fmt": "webp"},
     ]))
     return multimodal.image_stats_quarantined(good.unionByName(bad))
 
@@ -1277,18 +1286,19 @@ def q_stream_dedup(spark, sf_dir):
 
 
 def q_stream_image_stats(spark, sf_dir):
-    """Streaming multimodal path: the SAME 9 image rows as
-    `image_stats` (6 png/jpeg + 3 gif) arrive as a file stream in
-    three micro-batches; the stateless Arrow decode+stats stage runs
-    under Structured Streaming with an exactly-once parquet sink. The
-    output must hash-equal the BATCH image_stats golden — streaming
-    execution is an engine detail, never a semantic one."""
+    """Streaming multimodal path: the SAME 12 image rows as
+    `image_stats` (6 png/jpeg + 3 gif + 3 webp) arrive as a file
+    stream in three micro-batches; the stateless Arrow decode+stats
+    stage runs under Structured Streaming with an exactly-once parquet
+    sink. The output must hash-equal the BATCH image_stats golden —
+    streaming execution is an engine detail, never a semantic one."""
     import os
     import tempfile
 
     rows = (
         synthetic.images_df(spark, n_images=6, size=33)
         .unionByName(synthetic.gifs_df(spark, n_images=3, size=33))
+        .unionByName(synthetic.webps_df(spark, n_images=3, size=33))
         .select("image_id", "bytes", "fmt")
         .toPandas()
         .sort_values("image_id")
@@ -1297,7 +1307,7 @@ def q_stream_image_stats(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="stream_imgs_")
     src, out, ckpt = (os.path.join(root, p) for p in ("in", "out", "ckpt"))
     os.makedirs(src)
-    for i, (lo, hi) in enumerate(((0, 3), (3, 6), (6, 9))):
+    for i, (lo, hi) in enumerate(((0, 4), (4, 8), (8, 12))):
         path = os.path.join(src, f"b{i}.parquet")
         rows.iloc[lo:hi].to_parquet(path)
         os.utime(path, (1_700_000_000 + i * 100,) * 2)
@@ -1602,7 +1612,8 @@ def oracle_sql() -> dict[str, str]:
             ('bad_png_magic', FALSE, 'ValueError', CAST(NULL AS DOUBLE),
              CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
             ('bad_jpeg_soi', FALSE, 'ValueError', NULL, NULL, NULL, NULL),
-            ('bad_gif_trunc', FALSE, 'ValueError', NULL, NULL, NULL, NULL)
+            ('bad_gif_trunc', FALSE, 'ValueError', NULL, NULL, NULL, NULL),
+            ('bad_webp_riff', FALSE, 'ValueError', NULL, NULL, NULL, NULL)
         ) t(image_id, ok, error, mean_luma, std_luma, entropy, edge_density)
     """
     # computed oracles (VERDICT r2 item 7): rebuild the checks in plain

@@ -331,6 +331,11 @@ def decode(data: bytes, fmt: str, w: int, h: int, name: str | None = None) -> np
         from . import gif as _gif
 
         return rgb_to_gray_i16(_gif.decode_gif_rgb8(data))
+    if fmt == "webp":
+        # real WebP-lossless (kernels.webp: VP8L); luma contract
+        from . import webp as _webp
+
+        return rgb_to_gray_i16(_webp.decode_webp_rgb8(data))
     raise NotImplementedError(f"unknown tile format {fmt!r}")
 
 
@@ -350,6 +355,15 @@ def encode(grid: np.ndarray, fmt: str, name: str = "tile") -> bytes:
         if grid.min() < 0 or grid.max() > 255:
             raise ValueError("fmt 'jpeg' requires an 8-bit [0,255] grid")
         return _jpeg.encode_jpeg_gray8(grid.astype(np.uint8), quality=95)
+    if fmt == "webp":
+        # WebP-lossless is 8-bit: valid only for [0, 255] grids (stored
+        # as gray RGB; round-trips exactly)
+        from . import webp as _webp
+
+        if grid.min() < 0 or grid.max() > 255:
+            raise ValueError("fmt 'webp' requires an 8-bit [0,255] grid")
+        g8 = grid.astype(np.uint8)
+        return _webp.encode_webp(np.stack([g8, g8, g8], axis=2), subtract_green=True)
     raise NotImplementedError(f"unknown tile format {fmt!r}")
 
 

@@ -37,10 +37,13 @@ from ..kernels import codecs
 #: Java ImageIO; kernels.audio: RIFF/PCM u8..s32 + float, validated
 #: against the stdlib wave module); 'avi-mjpeg' AND 'gif' graduated in
 #: round 3 (kernels.avi RIFF mux/demux + per-frame kernels.jpeg decode;
-#: kernels.gif palette+LZW, lossless over quantized pixels). The
-#: remaining entries are genuinely codec-bound (entropy-coded streams
-#: with no feasible stdlib-only decoder).
-UNSUPPORTED_REAL_FORMATS = {"webp", "mp3", "mp4", "h264"}
+#: kernels.gif palette+LZW, lossless over quantized pixels); 'webp'
+#: graduated in round 4 (kernels.webp: full VP8L — all four transforms,
+#: color cache, meta prefix codes, LZ77 — from the public lossless
+#: bitstream spec, round-trip exact). The remaining entries are
+#: genuinely codec-bound (arithmetic/DCT-entropy streams with no
+#: feasible stdlib-only decoder).
+UNSUPPORTED_REAL_FORMATS = {"mp3", "mp4", "h264"}
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
@@ -122,6 +125,10 @@ def _one_image_stats(data: bytes, fmt: str, edge_thresh: float) -> dict:
         from ..kernels import gif as _gif
 
         px = _gif.decode_gif_rgb8(data)
+    elif fmt == "webp":
+        from ..kernels import webp as _webp
+
+        px = _webp.decode_webp_rgb8(data)
     else:
         raise NotImplementedError(
             f"image_stats: {fmt!r} is not a real image format here"

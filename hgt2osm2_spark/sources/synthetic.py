@@ -239,6 +239,60 @@ def gifs_df(spark: SparkSession, n_images: int = 4, size: int = 33,
     return spec.mapInPandas(gen, schema=TILES_SCHEMA)
 
 
+def webp_source(idx: int, n: int, seed: int = 42) -> np.ndarray:
+    """Source pixels for webp row idx. Row idx%3==2 is quantized to
+    <=64 colors so it exercises the palette (color-indexing) path;
+    webp-lossless round-trips EXACTLY, so this array IS the decoded
+    truth (the golden twin uses it without running any decoder)."""
+    img = rgb_image(idx, n, seed + 7)
+    if idx % 3 == 2:
+        img = (img // 64) * 64
+    return img
+
+
+def make_webp_row(idx: int, n: int, seed: int = 42) -> dict:
+    """One WebP-lossless row (kernels.webp: VP8L). Rows rotate through
+    encoder feature sets — subtract-green + color cache, predictor
+    transform, palette + LZ77 runs — so the gate exercises distinct
+    decoder paths."""
+    from ..kernels import webp as _webp
+
+    img = webp_source(idx, n, seed)
+    if idx % 3 == 0:
+        payload = _webp.encode_webp(img, subtract_green=True, cache_bits=5)
+    elif idx % 3 == 1:
+        payload = _webp.encode_webp(img, predictor=12)
+    else:
+        payload = _webp.encode_webp(img, palette=True, use_runs=True)
+    image_id = f"webp{idx:04d}"
+    return {
+        "image_id": image_id,
+        "bytes": payload,
+        "w": n,
+        "h": n,
+        "fmt": "webp",
+        "caption": f"image {image_id} seed{seed}",
+        "phash": codecs.phash64(codecs.rgb_to_gray_i16(img)),
+    }
+
+
+def webps_df(spark: SparkSession, n_images: int = 3, size: int = 33,
+             seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed synthetic WebP-lossless table, same schema as tiles_df."""
+    import pandas as pd
+
+    spec = spark.range(n_images).withColumnRenamed("id", "idx")
+    if partitions:
+        spec = spec.repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_webp_row(int(i), size, seed) for i in pdf["idx"]]
+            yield pd.DataFrame(rows)
+
+    return spec.mapInPandas(gen, schema=TILES_SCHEMA)
+
+
 def video_frame(idx: int, t: int, size: int, seed: int = 42) -> np.ndarray:
     """Frame t of clip idx: the clip's base image translated 2px/frame
     horizontally (wrap-around pan). Temporally coherent like real video,

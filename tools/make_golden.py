@@ -572,12 +572,22 @@ def g_image_stats():
     from hgt2osm2_spark.kernels import gif as _gif
     from hgt2osm2_spark.kernels import jpeg as _jpeg
 
-    specs = [("img", i) for i in range(6)] + [("gif", i) for i in range(3)]
+    specs = (
+        [("img", i) for i in range(6)]
+        + [("gif", i) for i in range(3)]
+        + [("webp", i) for i in range(3)]
+    )
     rows = []
     for kind, idx in specs:
         if kind == "gif":
             row = synthetic.make_gif_row(idx, 33)
             px = _gif.websafe_quantize(synthetic.rgb_image(idx, 33))
+        elif kind == "webp":
+            # webp-lossless: the pre-encode source array IS the decoded
+            # truth — zero decoder code in the twin, so any engine-side
+            # VP8L decode bug hash-fails the gate
+            row = synthetic.make_webp_row(idx, 33)
+            px = synthetic.webp_source(idx, 33)
         else:
             row = synthetic.make_image_row(idx, 33)
             if row["fmt"] == "png-rgb":
