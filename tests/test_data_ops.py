@@ -242,10 +242,11 @@ def test_multimodal_plumbing(spark):
 def test_multimodal_stub_refuses_real_formats(spark):
     import pandas as pd
 
-    # jpeg graduated to a real codec in round 3 — webp is still honest
+    # jpeg graduated in round 3, webp (VP8L) in round 4 — mp4 remains
+    # an honest arithmetic/DCT-stream stub
     df = spark.createDataFrame(
         pd.DataFrame(
-            [{"image_id": "x", "bytes": b"RIFF\x00\x00WEBP", "w": 2, "h": 2, "fmt": "webp"}]
+            [{"image_id": "x", "bytes": b"\x00\x00\x00 ftypisom", "w": 2, "h": 2, "fmt": "mp4"}]
         )
     )
     with pytest.raises(Exception) as ei:
