@@ -1027,9 +1027,9 @@ def g_minhash_lsh():
 
 def g_simhash_pairs():
     """Scalar simhash twin: the per-token loop formulation (the engine
-    is the batch-vectorized one); the FULL exact hamming <= 8 ball — no
+    is the batch-vectorized one); the FULL exact hamming <= 3 ball — no
     candidate pre-filter, so matching this golden independently proves
-    the engine's pigeonhole banding has full recall at radius 8."""
+    the engine's pigeonhole banding has full recall at the gate radius."""
     docs = _docs()
     ids = docs.doc_id.tolist()
     hashes = []
@@ -1051,7 +1051,7 @@ def g_simhash_pairs():
         for j in range(i + 1, nd):
             hj = hashes[j]
             ham = bin(hi ^ hj).count("1")
-            if ham <= 8:
+            if ham <= 3:
                 ia, ib = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
                 rows.append((ia, ib, ham))
     df = pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "hamming"])
