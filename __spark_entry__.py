@@ -670,24 +670,36 @@ def q_pyfiles_contour(spark, sf_dir):
     stream it wrote — hash-compared against the same contour_nodes
     golden as the in-session run."""
     import os
+    import shutil
     import subprocess
     import tempfile
 
     from tools.make_pyfiles import build
 
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
     tmp = tempfile.mkdtemp(prefix="pyfiles_gate_")
-    zip_path = build(tmp)
-    out_dir = os.path.join(tmp, "nodes_out")
-    job = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "pyfiles_job.py")
-    res = subprocess.run(
-        ["/opt/spark/bin/spark-submit", "--master", "local[4]",
-         "--conf", "spark.driver.memory=4g",
-         "--py-files", zip_path, job, out_dir],
-        cwd=tmp, capture_output=True, text=True, timeout=600,
-    )
-    if res.returncode != 0:
-        raise RuntimeError(f"spark-submit failed:\n{res.stderr[-2000:]}")
-    return spark.read.parquet(out_dir)
+    try:
+        zip_path = build(tmp)
+        out_dir = os.path.join(tmp, "nodes_out")
+        job = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools", "pyfiles_job.py"
+        )
+        res = subprocess.run(
+            [submit, "--master", "local[4]",
+             "--conf", "spark.driver.memory=4g",
+             "--py-files", zip_path, job, out_dir],
+            cwd=tmp, capture_output=True, text=True, timeout=600,
+        )
+        if res.returncode != 0:
+            raise RuntimeError(f"spark-submit failed:\n{res.stderr[-2000:]}")
+        # materialize before the temp dir is removed (the returned
+        # frame must not lazily re-read a deleted path)
+        sdf = spark.read.parquet(out_dir)
+        schema = sdf.schema
+        pdf = sdf.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def q_contour_nodes_banded(spark, sf_dir):
@@ -1554,8 +1566,9 @@ def oracle_sql() -> dict[str, str]:
 
     golden_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "golden")
     golden = {name: _golden_sql(name) for name in GOLDEN_ORACLES}
-    # streaming twin of image_stats: same 9 rows, same golden — batch
-    # vs streaming execution must be value-identical
+    # streaming twin of image_stats: same 12 rows (6 png/jpeg + 3 gif
+    # + 3 webp), same golden — batch vs streaming execution must be
+    # value-identical
     golden["stream_image_stats"] = _golden_sql("image_stats")
     # banded grain must reproduce the whole-tile node stream exactly
     golden["contour_nodes_banded"] = _golden_sql("contour_nodes")

@@ -339,6 +339,18 @@ def decode(data: bytes, fmt: str, w: int, h: int, name: str | None = None) -> np
     raise NotImplementedError(f"unknown tile format {fmt!r}")
 
 
+def iter_decoded_tiles(pdf):
+    """Yield (image_id, grid) for each tile row of an Arrow batch
+    DataFrame carrying the input_hint columns — the ONE decode loop
+    shared by every tile-consuming mapInPandas op (pyramid, contour
+    extract, band split); bytes() normalizes bytearray/memoryview
+    payloads."""
+    for img, data, w, h, fmt in zip(
+        pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+    ):
+        yield img, decode(bytes(data), fmt, int(w), int(h))
+
+
 def encode(grid: np.ndarray, fmt: str, name: str = "tile") -> bytes:
     if fmt == "hgt":
         return encode_hgt(grid)

@@ -156,7 +156,13 @@ def _read_prefix_code(br: BitReader, alphabet_size: int) -> _Huff:
         if num_symbols == 1:
             return _Huff.of_single(sym0)
         sym1 = br.bits(8)
-        return _Huff({sym0: 1, sym1: 1})
+        # codes are assigned in WRITE order (code 0 -> first-written
+        # symbol), NOT canonically by symbol value — a conformant
+        # encoder may store them unsorted
+        h = _Huff.__new__(_Huff)
+        h.single = None
+        h.table = {(1, 0): sym0, (1, 1): sym1}
+        return h
 
     num_codes = br.bits(4) + 4
     cl_lens = {i: 0 for i in range(19)}
@@ -602,10 +608,13 @@ def decode_webp(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8L":
             return decode_vp8l(body)
-        if fourcc in (b"VP8 ", b"VP8X"):
+        if fourcc == b"VP8 ":
             raise NotImplementedError(
-                "webp: only lossless (VP8L) streams are supported"
+                "webp: lossy (VP8) streams are not supported"
             )
+        # VP8X (extended header), ICCP/EXIF/XMP metadata, ALPH, ANIM...
+        # are skipped: a lossless file with metadata carries its VP8L
+        # chunk later in the stream
         pos += 8 + size + (size & 1)
     raise ValueError("webp: no VP8L chunk")
 

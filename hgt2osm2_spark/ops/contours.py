@@ -75,10 +75,7 @@ def extract_contour_segments(tiles: DataFrame, opt: ContourOptions | None = None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for img, data, w, h, fmt in zip(
-                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
-            ):
-                grid = codecs.decode(data, fmt, int(w), int(h))
+            for img, grid in codecs.iter_decoded_tiles(pdf):
                 seg = marching.extract_segments(grid, d, fake)
                 n = len(seg)
                 if n == 0:
@@ -126,10 +123,7 @@ def split_tile_bands(tiles: DataFrame, opt: ContourOptions | None = None,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for img, data, w, h, fmt in zip(
-                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
-            ):
-                grid = codecs.decode(data, fmt, int(w), int(h))
+            for img, grid in codecs.iter_decoded_tiles(pdf):
                 gh, gw = grid.shape
                 gb = grid[::-1]  # SW-origin rows
                 ny = gh - 1

@@ -192,13 +192,28 @@ def merge_upsert(table, updates, key_cols, version_col):
     )
     # (version, _upd) alone is not a total order: two update rows with
     # the same key AND version would tie and row_number would pick one
-    # nondeterministically (ADVICE r3). The remaining payload columns
-    # (sorted by name, descending) complete the order, so same-key
-    # same-version duplicates resolve to the same survivor every run.
+    # nondeterministically (ADVICE r3). The remaining ORDERABLE payload
+    # columns (sorted by name, descending) complete the order, so
+    # same-key same-version duplicates resolve to the same survivor
+    # every run. Map columns are not orderable in Spark and are left
+    # out of the tiebreak — rows identical on every orderable column
+    # but differing only inside a map still tie (document, don't fail).
+    from pyspark.sql import types as _T
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, _T.MapType):
+            return False
+        if isinstance(dt, _T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, _T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    dtypes = {f.name: f.dataType for f in table.schema.fields}
     tiebreak = [
         F.col(c).desc()
         for c in sorted(cols)
-        if c not in set(key_cols) and c != version_col
+        if c not in set(key_cols) and c != version_col and _orderable(dtypes[c])
     ]
     w = W.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(), F.col("_upd").desc(), *tiebreak

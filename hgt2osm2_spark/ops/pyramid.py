@@ -46,10 +46,7 @@ def explode_cells(tiles: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             parts = []
-            for img, data, w, h, fmt in zip(
-                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
-            ):
-                grid = codecs.decode(bytes(data), fmt, int(w), int(h))
+            for img, grid in codecs.iter_decoded_tiles(pdf):
                 gh, gw = grid.shape
                 ys, xs = np.mgrid[0:gh, 0:gw]
                 parts.append(pd.DataFrame({
@@ -129,10 +126,7 @@ def pyramid_cells(tiles: DataFrame, levels: int) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             parts = []
-            for img, data, w, h, fmt in zip(
-                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
-            ):
-                grid = codecs.decode(bytes(data), fmt, int(w), int(h))
+            for img, grid in codecs.iter_decoded_tiles(pdf):
                 for lvl in range(1, levels + 1):
                     grid = halve_grid(grid)
                     gh, gw = grid.shape

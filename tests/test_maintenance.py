@@ -157,3 +157,32 @@ def test_partitioned_table_compaction(spark):
     out = spark.read.parquet(work)
     assert out.count() == 1000
     assert out.select("part").distinct().count() == 3  # layout intact
+
+
+def test_merge_upsert_map_columns_and_tie_determinism(spark):
+    """Unorderable (map) payload columns are excluded from the tiebreak
+    (the op must not fail analysis on them), while same-key same-version
+    duplicates on orderable columns resolve deterministically."""
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    from hgt2osm2_spark.ops import maintenance
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ])
+    base = spark.createDataFrame(
+        [(1, 1, "old", {"a": "1"})], schema=schema
+    )
+    ups = spark.createDataFrame(
+        [(1, 5, "beta", {"x": "1"}), (1, 5, "alpha", {"y": "2"})], schema=schema
+    )
+    outs = set()
+    for _ in range(3):
+        row = maintenance.merge_upsert(base, ups, ["k"], "v").collect()[0]
+        outs.add(row["payload"])
+    # descending string tiebreak -> 'beta' wins every run
+    assert outs == {"beta"}

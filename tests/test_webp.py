@@ -108,6 +108,40 @@ def test_package_merge_kraft_and_limit():
         assert max(lens.values()) <= 15
 
 
+def test_simple_code_symbols_in_write_order():
+    """Simple prefix codes assign code 0 to the FIRST-WRITTEN symbol,
+    not canonically by symbol value — a conformant stream may store
+    them unsorted (sym0=5, sym1=2)."""
+    bw = webp.BitWriter()
+    bw.bits(1, 1)   # simple
+    bw.bits(1, 1)   # two symbols
+    bw.bits(1, 1)   # first symbol in 8 bits
+    bw.bits(5, 8)   # sym0 = 5
+    bw.bits(2, 8)   # sym1 = 2
+    bw.bits(0, 1)   # data: code 0 -> sym0
+    bw.bits(1, 1)   # data: code 1 -> sym1
+    br = webp.BitReader(bw.done())
+    huff = webp._read_prefix_code(br, 256)
+    assert huff.read(br) == 5
+    assert huff.read(br) == 2
+
+
+def test_metadata_chunks_are_skipped():
+    """A lossless file carrying VP8X/EXIF metadata ahead of its VP8L
+    chunk must still decode (chunk scan skips what it doesn't need)."""
+    import struct
+
+    img = np.full((5, 5, 3), 31, np.uint8)
+    good = webp.encode_webp(img)
+    vp8l_chunk = good[12:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    exif = b"EXIF" + struct.pack("<I", 3) + b"abc\x00"  # odd size padded
+    payload = b"WEBP" + vp8x + exif + vp8l_chunk
+    data = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    out = webp.decode_webp(data)
+    assert np.array_equal(out[:, :, :3], img)
+
+
 def test_truncated_and_corrupt_streams_raise():
     img = np.full((6, 6, 3), 9, np.uint8)
     good = webp.encode_webp(img)

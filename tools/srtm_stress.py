@@ -59,7 +59,8 @@ def main() -> None:
 
     t0 = time.time()
     res = run_contour_pipeline(tiles, opt, shuffle_partitions=args.cores * 2)
-    n_nodes = res.nodes.count()
+    nodes = res.nodes.cache()  # the equality hash below must not re-run the pipeline
+    n_nodes = nodes.count()
     n_ways = res.ways.count()
     dt = time.time() - t0
     cells = 2 * (n - 1) * (n - 1)
@@ -71,15 +72,16 @@ def main() -> None:
         bres = run_contour_pipeline(
             tiles, opt, shuffle_partitions=args.cores * 2, band_rows=args.bands
         )
-        bn = bres.nodes.count()
+        bnodes = bres.nodes.cache()
+        bn = bnodes.count()
         bw = bres.ways.count()
         bdt = time.time() - t1
         n_bands = (n - 1 + args.bands - 1) // args.bands
         same = bn == n_nodes and bw == n_ways
         if same:
-            # full hash equality, not just counts
-            a = res.nodes.selectExpr("sum(hash(node_id, lat, lon))").collect()[0][0]
-            b = bres.nodes.selectExpr("sum(hash(node_id, lat, lon))").collect()[0][0]
+            # full hash equality, not just counts (cached — no rerun)
+            a = nodes.selectExpr("sum(hash(node_id, lat, lon))").collect()[0][0]
+            b = bnodes.selectExpr("sum(hash(node_id, lat, lon))").collect()[0][0]
             same = a == b
         banded_lines = [
             f"- banded grain (band_rows={args.bands}, {n_bands} bands over "
