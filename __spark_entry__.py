@@ -688,6 +688,14 @@ def q_bm25(spark, sf_dir):
     return text.bm25_scores(d, ["join", "hash", "scan"])
 
 
+def q_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 scalar quantization of the embeddings
+    table (r4) — the 4x compression tier below PQ. Pure JVM fold +
+    transform; oracle re-derives scale and every code in DuckDB list
+    functions."""
+    return similarity.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+
+
 def q_pyfiles_contour(spark, sf_dir):
     """spark-submit --py-files packaging proof (north rule): build the
     deterministic zip artifact, launch a REAL spark-submit (separate
@@ -1521,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_counts": q_term_counts,
         "inverted_index": q_inverted_index,
         "bm25": q_bm25,
+        "quantize_int8": q_quantize_int8,
     }
 
 
@@ -1624,6 +1633,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, COUNT(DISTINCT doc_id) AS df_t,
                string_agg(CAST(doc_id AS VARCHAR), '/' ORDER BY doc_id) AS postings
         FROM tc GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
+    """
+    golden["quantize_int8"] = """
+        WITH m AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+            FROM embeddings
+        )
+        SELECT vec_id,
+               ROUND(max_abs / 127.0, 9) AS scale,
+               CASE WHEN max_abs = 0 THEN
+                   array_to_string(list_transform(embedding, x -> 0), '/')
+               ELSE
+                   array_to_string(list_transform(embedding, x ->
+                       CAST(LEAST(GREATEST(
+                           ROUND(CAST(x AS DOUBLE) / (max_abs / 127.0), 0),
+                           -127), 127) AS INT)), '/')
+               END AS codes
+        FROM m
     """
     golden["bm25"] = f"""
         WITH toks AS ({_toks}),

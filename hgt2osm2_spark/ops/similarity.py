@@ -489,3 +489,40 @@ def ivf_pq_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "p_id", "rnk", "sim")
     )
+
+
+# ------------------------------------------- int8 scalar quantization
+
+def quantize_embeddings_int8(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the 4x storage
+    compression step a 10^12-vector table applies before PQ/IVF (or
+    instead of them for re-rank tiers): scale = max|x| / 127, codes =
+    round(x / scale) in [-127, 127]; reconstruction x' = code * scale
+    has |x - x'| <= scale / 2 elementwise.
+
+    Pure JVM higher-order functions (one aggregate fold for the max,
+    one transform for the codes) — a narrow map, no shuffle, no
+    Python. The max fold is order-free (max is associative), so the
+    output is deterministic under any partitioning. Zero vectors get
+    scale 0 and all-zero codes. Codes are '/'-serialized
+    (engine-portable projection, like inverted_index postings)."""
+    vec = F.col(vec_col)
+    max_abs = F.aggregate(
+        vec, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    )
+    scale = max_abs / 127.0
+    code = lambda v: F.least(
+        F.greatest(F.round(v.cast("double") / scale, 0).cast("int"), F.lit(-127)),
+        F.lit(127),
+    )
+    codes = F.when(
+        max_abs == 0.0,
+        F.transform(vec, lambda v: F.lit(0)),
+    ).otherwise(F.transform(vec, code))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(scale, 9).alias("scale"),
+        F.concat_ws("/", codes).alias("codes"),
+    )

@@ -677,3 +677,18 @@ def test_bm25_and_inverted_index(docs, spark):
         posts = [int(x) for x in r["postings"].split("/")]
         assert posts == sorted(posts)
         assert r["df_t"] == len(posts) >= 3
+
+
+def test_int8_quantization_error_bound(embs, spark):
+    """Reconstruction code*scale stays within scale/2 of the source
+    elementwise, and the max-magnitude element always hits ±127."""
+    rows = similarity.quantize_embeddings_int8(embs.limit(50)).collect()
+    src = {r["vec_id"]: np.array(r["embedding"], np.float64)
+           for r in embs.limit(50).collect()}
+    assert len(rows) == 50
+    for r in rows:
+        codes = np.array([int(c) for c in r["codes"].split("/")], np.int64)
+        x = src[r["vec_id"]]
+        scale = float(r["scale"])
+        assert np.abs(codes).max() == 127
+        assert np.abs(codes * scale - x).max() <= scale / 2 + 1e-9
