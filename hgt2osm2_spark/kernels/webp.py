@@ -121,13 +121,21 @@ class _Huff:
         self.table = {
             (l, c): s for s, (c, l) in _canonical_codes(lengths).items()
         }
-        self.max_len = max(l for l, _c in self.table) if self.table else 0
 
     @classmethod
     def of_single(cls, sym: int) -> "_Huff":
         h = cls.__new__(cls)
         h.single = sym
         h.table = {}
+        return h
+
+    @classmethod
+    def of_pair(cls, sym0: int, sym1: int) -> "_Huff":
+        """Two-symbol simple code: codes {0, 1} in WRITE order (NOT
+        canonical by symbol value — the symbols may arrive unsorted)."""
+        h = cls.__new__(cls)
+        h.single = None
+        h.table = {(1, 0): sym0, (1, 1): sym1}
         return h
 
     def read(self, br: BitReader) -> int:
@@ -156,13 +164,7 @@ def _read_prefix_code(br: BitReader, alphabet_size: int) -> _Huff:
         if num_symbols == 1:
             return _Huff.of_single(sym0)
         sym1 = br.bits(8)
-        # codes are assigned in WRITE order (code 0 -> first-written
-        # symbol), NOT canonically by symbol value — a conformant
-        # encoder may store them unsorted
-        h = _Huff.__new__(_Huff)
-        h.single = None
-        h.table = {(1, 0): sym0, (1, 1): sym1}
-        return h
+        return _Huff.of_pair(sym0, sym1)
 
     num_codes = br.bits(4) + 4
     cl_lens = {i: 0 for i in range(19)}

@@ -500,7 +500,9 @@ def quantize_embeddings_int8(
     compression step a 10^12-vector table applies before PQ/IVF (or
     instead of them for re-rank tiers): scale = max|x| / 127, codes =
     round(x / scale) in [-127, 127]; reconstruction x' = code * scale
-    has |x - x'| <= scale / 2 elementwise.
+    has |x - x'| <= scale / 2 elementwise (for the exact scale; the
+    PUBLISHED scale column is rounded to 9 decimals, which adds at most
+    |code| * 5e-10 to that bound).
 
     Pure JVM higher-order functions (one aggregate fold for the max,
     one transform for the codes) — a narrow map, no shuffle, no

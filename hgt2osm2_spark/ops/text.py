@@ -142,6 +142,19 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 16) -> Data
 
 # ------------------------------------------------- relevance / indexing
 
+#: caches created by bm25_scores, released on the next call (or via
+#: release_caches) so a long-lived session never accumulates storage
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+
 def term_counts(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(doc_id, term, tf) — lowercase whitespace terms. One explode +
@@ -195,8 +208,14 @@ def bm25_scores(df: DataFrame, query_terms: list[str], k1: float = 1.2,
 
     Scale shape: term stats (df_t per query term, |q| rows) broadcast;
     doc length comes from the same term_counts pass; N/avgdl are two
-    driver scalars from one bounded agg."""
+    driver scalars from one bounded agg. The shared term_counts frame
+    is cached (one tokenization pass feeds the scalars job, dl, q and
+    dft); the cache is registered and released on the NEXT call (the
+    knn_join pattern) so repeated calls in a long-lived session don't
+    accumulate storage."""
+    release_caches()
     tc = term_counts(df, text_col, id_col).cache()
+    _LIVE_CACHES.append(tc)
     stats = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     row = stats.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")

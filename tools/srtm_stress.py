@@ -59,8 +59,11 @@ def main() -> None:
 
     t0 = time.time()
     res = run_contour_pipeline(tiles, opt, shuffle_partitions=args.cores * 2)
-    nodes = res.nodes.cache()  # the equality hash below must not re-run the pipeline
-    n_nodes = nodes.count()
+    # count + equality hash in ONE uncached job: no second pipeline run,
+    # no cache materialization inside the timed window
+    n_nodes, node_hash = res.nodes.selectExpr(
+        "count(*)", "sum(hash(node_id, lat, lon))"
+    ).collect()[0]
     n_ways = res.ways.count()
     dt = time.time() - t0
     cells = 2 * (n - 1) * (n - 1)
@@ -72,17 +75,13 @@ def main() -> None:
         bres = run_contour_pipeline(
             tiles, opt, shuffle_partitions=args.cores * 2, band_rows=args.bands
         )
-        bnodes = bres.nodes.cache()
-        bn = bnodes.count()
+        bn, bnode_hash = bres.nodes.selectExpr(
+            "count(*)", "sum(hash(node_id, lat, lon))"
+        ).collect()[0]
         bw = bres.ways.count()
         bdt = time.time() - t1
         n_bands = (n - 1 + args.bands - 1) // args.bands
-        same = bn == n_nodes and bw == n_ways
-        if same:
-            # full hash equality, not just counts (cached — no rerun)
-            a = nodes.selectExpr("sum(hash(node_id, lat, lon))").collect()[0][0]
-            b = bnodes.selectExpr("sum(hash(node_id, lat, lon))").collect()[0][0]
-            same = a == b
+        same = bn == n_nodes and bw == n_ways and bnode_hash == node_hash
         banded_lines = [
             f"- banded grain (band_rows={args.bands}, {n_bands} bands over "
             f"local[{args.cores}]): wall {bdt:.1f} s vs {dt:.1f} s single-task "
