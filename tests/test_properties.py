@@ -148,3 +148,68 @@ def test_avi_container_roundtrip_arbitrary_frames(frames, fps):
     assert info["frames"] == frames
     assert info["n_frames"] == len(frames)
     assert (info["w"], info["h"]) == (32, 16)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    channels=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    feature=st.sampled_from(
+        ["plain", "sg", "cache", "runs", "pred", "ct", "pal"]
+    ),
+)
+def test_webp_roundtrip_property(h, w, channels, seed, feature):
+    """Any image through any encoder feature set round-trips exactly."""
+    import numpy as np
+
+    from hgt2osm2_spark.kernels import webp
+
+    rng = np.random.default_rng(seed)
+    # low-cardinality values keep the palette path legal everywhere
+    img = (rng.integers(0, 5, (h, w, channels)) * 53).astype(np.uint8)
+    kw = {
+        "plain": {},
+        "sg": {"subtract_green": True},
+        "cache": {"cache_bits": 3},
+        "runs": {"use_runs": True},
+        "pred": {"predictor": int(rng.integers(0, 14))},
+        "ct": {"color_transform": (int(rng.integers(256)), int(rng.integers(256)), int(rng.integers(256)))},
+        "pal": {"palette": True},
+    }[feature]
+    out = webp.decode_webp(webp.encode_webp(img, **kw))
+    if channels == 3:
+        out = out[:, :, :3]
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    hh=st.integers(2, 40), ww=st.integers(2, 40),
+    band=st.integers(1, 16), seed=st.integers(0, 2**31 - 1),
+    d=st.sampled_from([10, 20]),
+    fake=st.sampled_from([0.0, 0.25, -0.5]),
+)
+def test_banded_kernel_equals_whole_grid_property(hh, ww, band, seed, d, fake):
+    """For ANY grid/band size, concatenated halo-band outputs are
+    byte-identical to the whole-grid kernel run."""
+    import numpy as np
+
+    from hgt2osm2_spark.kernels import marching
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(-80, 300, (hh, ww)).astype(np.int16)
+    g[rng.random((hh, ww)) < 0.05] = marching.NOVALUE
+    full = marching.extract_segments(g, d, fake)
+    gb = g[::-1]
+    parts = []
+    for lo in range(0, hh - 1, band):
+        hi = min(lo + band, hh - 1)
+        a, b = max(lo - 1, 0), min(hi + 2, hh)
+        seg = marching.extract_segments(
+            np.ascontiguousarray(gb[a:b][::-1]), d, fake,
+            cell_lo=lo - a, cell_hi=hi - a, y_base=a,
+        )
+        parts.append(seg)
+    banded = np.concatenate(parts) if parts else full[:0]
+    assert np.array_equal(banded.view(np.uint8), full.view(np.uint8))
