@@ -118,8 +118,11 @@ def main():
         "video_features",
         "merge_upsert",
         "haversine_bands",
-        # r4: array-native pyramid (one narrow Arrow map, no Exchange)
+        # r4: array-native pyramid (one narrow Arrow map, no Exchange),
+        # text relevance + int8 quantization
         "tile_pyramid",
+        "bm25",
+        "quantize_int8",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the

@@ -103,6 +103,18 @@ AUDITED = {
          r"MapInPandas|FlatMapGroupsInPandas"),
         ("never all-pairs", r"CartesianProduct", "absent"),
     ],
+    "bm25": [
+        ("term stats broadcast (no shuffle of the big side for dft)",
+         r"BroadcastHashJoin|BroadcastExchange"),
+        ("partial aggregation before the term-count shuffle",
+         r"HashAggregate .*partial|partial_"),
+        ("no per-row Python eval", r"BatchEvalPython", "absent"),
+    ],
+    "quantize_int8": [
+        ("pure JVM fold+transform, narrow map (no Exchange)",
+         r"Exchange", "absent"),
+        ("no Python eval in the plan", r"EvalPython", "absent"),
+    ],
 }
 
 
