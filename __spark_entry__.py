@@ -927,11 +927,15 @@ def q_image_quarantine(spark, sf_dir):
 
 
 def q_video_features(spark, sf_dir):
-    """Real video path (r3): RIFF/AVI container demux (kernels.avi) ->
-    per-frame baseline-JPEG decode (kernels.jpeg) -> luma stats. The
-    golden twin demuxes by SOI/EOI marker scan (a different parsing
-    strategy) and recomputes the stats with plain loops."""
-    vids = synthetic.videos_df(spark, n_clips=4, n_frames=6)
+    """Real video path: RIFF/AVI container demux (kernels.avi, r3) AND
+    ISO-BMFF MP4 demux (kernels.mp4, r4 — box tree + generic
+    stts/stsc/stsz/stco sample tables) -> per-frame baseline-JPEG
+    decode (kernels.jpeg) -> luma stats. The golden twin demuxes BOTH
+    containers by SOI/EOI marker scan (a different parsing strategy)
+    and recomputes the stats with plain loops."""
+    vids = synthetic.videos_df(spark, n_clips=4, n_frames=6).unionByName(
+        synthetic.mp4s_df(spark, n_clips=3, n_frames=6)
+    )
     return multimodal.video_frame_features(vids, every=1)
 
 

@@ -40,10 +40,13 @@ from ..kernels import codecs
 #: kernels.gif palette+LZW, lossless over quantized pixels); 'webp'
 #: graduated in round 4 (kernels.webp: full VP8L — all four transforms,
 #: color cache, meta prefix codes, LZ77 — from the public lossless
-#: bitstream spec, round-trip exact). The remaining entries are
-#: genuinely codec-bound (arithmetic/DCT-entropy streams with no
-#: feasible stdlib-only decoder).
-UNSUPPORTED_REAL_FORMATS = {"mp3", "mp4", "h264"}
+#: bitstream spec, round-trip exact), and so did the 'mp4' CONTAINER
+#: (kernels.mp4: ISO-BMFF box-tree demux + generic sample-table
+#: resolution; MJPEG tracks pixel-decode end-to-end, an avc1/h264
+#: track raises with its codec named). The remaining entries are
+#: genuinely codec-bound BITSTREAMS (mp3 hybrid filterbank, h264
+#: CABAC/CAVLC) with no feasible stdlib-only decoder.
+UNSUPPORTED_REAL_FORMATS = {"mp3", "h264"}
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
@@ -408,16 +411,28 @@ def video_frame_features(videos: DataFrame, every: int = 1) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels import avi as _avi
         from ..kernels import jpeg as _jpeg
+        from ..kernels import mp4 as _mp4
 
         cols = [f.name for f in VIDEO_STATS_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for img, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                if fmt != "avi-mjpeg":
+                if fmt == "avi-mjpeg":
+                    info = _avi.demux_avi(bytes(data))
+                elif fmt == "mp4":
+                    # real ISO-BMFF demux (r4); only the JPEG codec is
+                    # pixel-decodable — an avc1/h264 track raises here,
+                    # honestly, with its codec named
+                    info = _mp4.demux_mp4(bytes(data))
+                    if info["codec"] not in ("jpeg", "mjpa", "mjpb"):
+                        raise NotImplementedError(
+                            f"video_frame_features: mp4 codec {info['codec']!r}"
+                            " has no stdlib-feasible pixel decoder"
+                        )
+                else:
                     raise NotImplementedError(
                         f"video_frame_features: {fmt!r} is not a real format here"
                     )
-                info = _avi.demux_avi(bytes(data))
                 for t in range(0, len(info["frames"]), every):
                     px = _jpeg.decode_jpeg(info["frames"][t]).astype(np.float64)
                     if px.ndim == 2:  # grayscale MJPEG frame

@@ -345,6 +345,50 @@ def videos_df(spark: SparkSession, n_clips: int = 4, n_frames: int = 8,
     return spec.mapInPandas(gen, schema=TILES_SCHEMA)
 
 
+def make_mp4_row(idx: int, n_frames: int = 8, size: int = 33,
+                 fps: int = 10, seed: int = 42) -> dict:
+    """One MJPEG-in-MP4 clip row (same frame content family as the AVI
+    clips, different ids): per-frame baseline JPEG muxed by the
+    pure-Python ISO-BMFF writer (kernels.mp4)."""
+    from ..kernels import jpeg as _jpeg
+    from ..kernels import mp4 as _mp4
+
+    frames = [video_frame(idx + 100, t, size, seed) for t in range(n_frames)]
+    payload = _mp4.mux_mp4_mjpeg(
+        [_jpeg.encode_jpeg_rgb8(f, quality=95) for f in frames],
+        w=size, h=size, fps=fps,
+    )
+    clip_id = f"mp4_{idx:04d}"
+    return {
+        "image_id": clip_id,
+        "bytes": payload,
+        "w": size,
+        "h": size,
+        "fmt": "mp4",
+        "caption": f"clip {clip_id} seed{seed}",
+        "phash": codecs.phash64(codecs.rgb_to_gray_i16(frames[0])),
+    }
+
+
+def mp4s_df(spark: SparkSession, n_clips: int = 3, n_frames: int = 6,
+            size: int = 33, seed: int = 42,
+            partitions: int | None = None) -> DataFrame:
+    """Distributed synthetic MJPEG/MP4 table, same schema as tiles_df."""
+    import pandas as pd
+
+    spec = spark.range(n_clips).withColumnRenamed("id", "idx")
+    if partitions:
+        spec = spec.repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_mp4_row(int(i), n_frames, size, seed=seed)
+                    for i in pdf["idx"]]
+            yield pd.DataFrame(rows)
+
+    return spec.mapInPandas(gen, schema=TILES_SCHEMA)
+
+
 def polygons_df(spark: SparkSession, n_polys: int = 8, seed: int = 42) -> DataFrame:
     """Seeded convex + star-concave rings over the tile extents
     (FIXTURES.md §4): (poly_id, xs array<double>=lon, ys array<double>=lat)."""

@@ -242,11 +242,11 @@ def test_multimodal_plumbing(spark):
 def test_multimodal_stub_refuses_real_formats(spark):
     import pandas as pd
 
-    # jpeg graduated in round 3, webp (VP8L) in round 4 — mp4 remains
-    # an honest arithmetic/DCT-stream stub
+    # jpeg graduated in round 3; webp (VP8L) and the mp4 container in
+    # round 4 — mp3/h264 remain honest bitstream stubs
     df = spark.createDataFrame(
         pd.DataFrame(
-            [{"image_id": "x", "bytes": b"\x00\x00\x00 ftypisom", "w": 2, "h": 2, "fmt": "mp4"}]
+            [{"image_id": "x", "bytes": b"\xff\xfb\x90\x00", "w": 2, "h": 2, "fmt": "mp3"}]
         )
     )
     with pytest.raises(Exception) as ei:

@@ -521,8 +521,10 @@ def g_video_features():
     from hgt2osm2_spark.kernels import jpeg as _jpeg
 
     rows = []
-    for idx in range(4):
-        row = synthetic.make_video_row(idx, n_frames=6)
+    specs = [synthetic.make_video_row(idx, n_frames=6) for idx in range(4)] + [
+        synthetic.make_mp4_row(idx, n_frames=6) for idx in range(3)
+    ]
+    for row in specs:
         data, pos = row["bytes"], 0
         frames = []
         while True:
@@ -533,7 +535,7 @@ def g_video_features():
             assert eoi > 0
             frames.append(data[soi : eoi + 2])
             pos = eoi + 2
-        assert len(frames) == 6
+        assert len(frames) == 6, (row["image_id"], len(frames))
         for t, payload in enumerate(frames):
             px = _jpeg.decode_jpeg(payload)
             h, w, _ = px.shape
