@@ -1422,16 +1422,17 @@ def q_tile_pip_flagship(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver gate evaluates only the FIRST
-    # 50 entries of this dict (VERDICT r2 finding #2). Round-4 rotation
-    # (VERDICT r3 "Next round" #1): the ten round-3 extension queries the
-    # driver has never hash-checked (image/audio/video features,
-    # quarantine, IVF-PQ, pyramid, clip, merge/compaction, sampling) move
-    # INSIDE the window; ten multi-round-green queries rotate out — the
-    # seven relational built-in-only entries (driver-green r1+r2+r3, and
-    # array_functions green r3 after its r2 canonicalizer fix) and the
-    # three event-time window queries (driver-green r1-r3). Everything
-    # past the boundary stays value-checked every round by
-    # tools/check_entry.py (the gate mirror) + tests/.
+    # 50 entries of this dict (VERDICT r2 finding #2). Round-5 rotation
+    # (VERDICT r4 "Next round" #2): the 13 queries that have never had a
+    # driver hash-check — the 7 r3-tail residents (dedup_clusters,
+    # phash_near_dup, zorder_layout, domain_cap, pack_sequences,
+    # stream_image_stats, haversine_bands) and the 6 r4 additions
+    # (contour_nodes_banded, pyfiles_contour, term_counts,
+    # inverted_index, bm25, quantize_int8) — move INSIDE the window;
+    # 13 four-times-driver-green queries rotate out. After this round,
+    # every query in the registry has at least one driver hash-check on
+    # record. Everything past the boundary stays value-checked every
+    # round by tools/check_entry.py (the gate mirror) + tests/.
     return {
         # engine core: flagship + contour pipeline + decode (golden-oracled)
         "tile_pip_flagship": q_tile_pip_flagship,
@@ -1445,45 +1446,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,
-        # spatial layer (K12, J3, J4)
-        "cell_index": q_cell_index,
+        # spatial layer (J3, J4)
         "knn_join": q_knn_join,
         "pip_join": q_pip_join,
         "rasterize": q_rasterize,
         # real-file ingestion (S2/S4) + robustness
         "hgt_zip_scan": q_hgt_zip_scan,
         "decode_quarantine": q_decode_quarantine,
-        # decorations + cross-tile stitch + point store + crop
+        # decorations + cross-tile stitch + crop
         "show_points": q_show_points,
         "show_areas": q_show_areas,
         "cross_tile_stitch": q_cross_tile_stitch,
-        "point_store": q_point_store,
         "crop_stats": q_crop_stats,
         # sinks + checkpoint/lineage (golden-oracled)
         "arcinfo_sink": q_arcinfo_sink,
         "geopng_sink": q_geopng_sink,
-        "tsv_sink": q_tsv_sink,
         "osm_xml_tiles": q_osm_xml_tiles,
         "checkpoint_lineage": q_checkpoint_lineage,
-        # training-data ops
-        "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "language_id": q_language_id,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_bruteforce": q_ann_bruteforce,
-        # sketches / kernels (golden-oracled)
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
-        "fingerprint": q_fingerprint,
+        # sketches / ANN (golden-oracled)
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        # skew + custom stateful streaming op (applyInPandasWithState)
-        "salted_skew_agg": q_salted_skew_agg,
+        # custom stateful streaming op (applyInPandasWithState)
         "stream_dedup": q_stream_dedup,
-        # r3 extension surface, rotated INSIDE the window for round 4
-        # (never driver-hash-checked before; most code behind them)
+        # r3 extension surface (first driver-checked in r4)
         "image_stats": q_image_stats,
         "image_quarantine": q_image_quarantine,
         "audio_features": q_audio_features,
@@ -1494,7 +1480,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "compaction": q_compaction,
         "doc_split_sample": q_doc_split_sample,
+        # r3-tail residents, rotated INSIDE the window for round 5
+        # (never driver-hash-checked before)
+        "dedup_clusters": q_dedup_clusters,
+        "phash_near_dup": q_phash_near_dup,
+        "zorder_layout": q_zorder_layout,
+        "domain_cap": q_domain_cap,
+        "pack_sequences": q_pack_sequences,
+        "stream_image_stats": q_stream_image_stats,
+        "haversine_bands": q_haversine,
+        # r4 additions, rotated INSIDE the window for round 5
+        # (never driver-hash-checked before)
+        "contour_nodes_banded": q_contour_nodes_banded,
+        "pyfiles_contour": q_pyfiles_contour,
+        "term_counts": q_term_counts,
+        "inverted_index": q_inverted_index,
+        "bm25": q_bm25,
+        "quantize_int8": q_quantize_int8,
         # ---- driver window boundary (entry 50 ends above) ----
+        # rotated out in r5 (all four-times-driver-green r1-r4; still
+        # gate-mirror-checked + tested every round)
+        "cell_index": q_cell_index,
+        "point_store": q_point_store,
+        "tsv_sink": q_tsv_sink,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_bruteforce": q_ann_bruteforce,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprint": q_fingerprint,
+        "salted_skew_agg": q_salted_skew_agg,
         # rotated out in r4 (all driver-green in r1-r3; built-ins only
         # or event-time windows; still gate-mirror-checked every round)
         "pricing_summary": q_pricing_summary,
@@ -1518,22 +1536,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "time_functions": q_time_functions,
         "percentiles": q_percentiles,
-        # r3 additions remaining in the tail (check_entry-verified +
-        # tested every round)
-        "dedup_clusters": q_dedup_clusters,
-        "phash_near_dup": q_phash_near_dup,
-        "zorder_layout": q_zorder_layout,
-        "domain_cap": q_domain_cap,
-        "pack_sequences": q_pack_sequences,
-        "stream_image_stats": q_stream_image_stats,
-        "haversine_bands": q_haversine,
-        # r4 additions (tail; mirror-checked + tested this round)
-        "contour_nodes_banded": q_contour_nodes_banded,
-        "pyfiles_contour": q_pyfiles_contour,
-        "term_counts": q_term_counts,
-        "inverted_index": q_inverted_index,
-        "bm25": q_bm25,
-        "quantize_int8": q_quantize_int8,
     }
 
 

@@ -32,15 +32,16 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 
 
 def timed(fn):
-    """Best-of-REPEATS — the sandbox VM's host contention swings single
-    runs 2-4x, so one sample is noise, not a measurement."""
-    best, n = None, None
-    for _ in range(REPEATS):
+    """Warmup run + best-of-REPEATS, returning every sample — the
+    sandbox VM's host contention swings single runs 2-4x, so one sample
+    is noise, not a measurement, and the recorded spread lets a reader
+    distinguish a real regression from one bad draw (VERDICT r4 #7)."""
+    samples = []
+    for _ in range(REPEATS + 1):  # first run is the warmup, still recorded
         t0 = time.time()
-        n = fn()
-        dt = time.time() - t0
-        best = dt if best is None or dt < best else best
-    return best, n
+        fn()
+        samples.append(round(time.time() - t0, 3))
+    return min(samples[1:]), samples
 
 
 def headline_tile_pip(spark, cores: int):
@@ -130,23 +131,28 @@ def main():
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in bench_queries:
-        dt, _n = timed(lambda: qs[name](spark, sf_dir).count())
+        dt, samples = timed(lambda: qs[name](spark, sf_dir).count())
         times[name] = round(dt, 3)
+        spread[name] = samples
 
-    best = None
-    for _ in range(REPEATS):
+    best, head_samples = None, []
+    for _ in range(REPEATS + 1):  # first is the warmup, still recorded
         head_sec, imgs_per_sec, pip_rows = headline_tile_pip(spark, cores)
-        if best is None or head_sec < best[0]:
+        head_samples.append(round(head_sec, 3))
+        if len(head_samples) > 1 and (best is None or head_sec < best[0]):
             best = (head_sec, imgs_per_sec, pip_rows)
     head_sec, imgs_per_sec, pip_rows = best
     times["tile_encode_pip"] = round(head_sec, 3)
+    spread["tile_encode_pip"] = head_samples
 
     out = {
         "metric": "tile_encode_pip_images_per_sec",
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec",
         "queries": times,
+        "spread": spread,
         "sf": sf,
         "cores": cores,
         "tiles": {"n": BENCH_TILES, "size": BENCH_TILE_SIZE, "pip_rows": pip_rows},

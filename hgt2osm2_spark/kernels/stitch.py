@@ -430,12 +430,214 @@ def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
 
 
 def _stitch_arr(adj: list[list[int] | None], keys: list[int], n_pts: int) -> list[list[int]]:
+    """Flat-loop twin of ``_stitch_arr_objects`` (kept below as the
+    readable oracle): polylines become integer ids into parallel
+    ``plpts``/``alive`` arrays and every attach/insert/remove helper is
+    inlined into the one hot loop — the assembly is pure sequential
+    Python, so eliminating ~5 function calls and all attribute loads
+    per segment is the remaining lever (VERDICT r4 "Next round" #4).
+    Semantics equal _stitch_master/_Index exactly (property-pinned:
+    tests assert id-level equality with the object twin AND point-level
+    equality with stitch_tile_reference)."""
+    plpts: list[deque[int]] = []   # pid -> point-id chain
+    alive: list[bool] = []         # pid -> survives into the output
+    m: list[list[int] | None] = [None] * n_pts  # pt -> pids ending here
+
+    for key in sorted(keys):
+        for p2 in adj[key]:
+            l1 = m[key]
+            l2 = m[p2]
+            n1 = len(l1) if l1 is not None else 0
+            total = n1 + (len(l2) if l2 is not None else 0)
+            if total == 0:
+                pid = len(plpts)
+                plpts.append(deque((key, p2)))
+                alive.append(True)
+                lst = m[key]
+                if lst is None:
+                    m[key] = [pid]
+                elif pid not in lst:
+                    lst.append(pid)
+                lst = m[p2]
+                if lst is None:
+                    m[p2] = [pid]
+                elif pid not in lst:
+                    lst.append(pid)
+                continue
+            first = l1[0] if n1 else l2[0]
+            if total == 1:
+                # attach (key, p2) to `first`, updating the index
+                a = plpts[first]
+                if a[-1] == key:
+                    old, new, left = key, p2, False
+                elif a[-1] == p2:
+                    old, new, left = p2, key, False
+                elif a[0] == p2:
+                    old, new, left = p2, key, True
+                else:  # a[0] == key
+                    old, new, left = key, p2, True
+                lst = m[old]
+                if lst is not None:
+                    try:
+                        lst.remove(first)
+                    except ValueError:
+                        pass
+                    if not lst:
+                        m[old] = None
+                lst = m[new]
+                if lst is None:
+                    m[new] = [first]
+                elif first not in lst:
+                    lst.append(first)
+                if left:
+                    a.appendleft(new)
+                else:
+                    a.append(new)
+                continue
+            second = l1[1] if n1 > 1 else (l2[0] if n1 == 1 else l2[1])
+            a = plpts[first]
+            if total == 2 and first == second:
+                # segment closes `first` into a ring — retire from index
+                for pt in (a[0], a[-1]):
+                    lst = m[pt]
+                    if lst is not None:
+                        try:
+                            lst.remove(first)
+                        except ValueError:
+                            pass
+                        if not lst:
+                            m[pt] = None
+                # attach without index updates
+                if a[-1] == key:
+                    a.append(p2)
+                elif a[-1] == p2:
+                    a.append(key)
+                elif a[0] == p2:
+                    a.appendleft(key)
+                elif a[0] == key:
+                    a.appendleft(p2)
+                continue
+            # bridge: attach the segment to `first` (index-updating)...
+            if a[-1] == key:
+                old, new, left = key, p2, False
+            elif a[-1] == p2:
+                old, new, left = p2, key, False
+            elif a[0] == p2:
+                old, new, left = p2, key, True
+            else:  # a[0] == key
+                old, new, left = key, p2, True
+            lst = m[old]
+            if lst is not None:
+                try:
+                    lst.remove(first)
+                except ValueError:
+                    pass
+                if not lst:
+                    m[old] = None
+            lst = m[new]
+            if lst is None:
+                m[new] = [first]
+            elif first not in lst:
+                lst.append(first)
+            if left:
+                a.appendleft(new)
+            else:
+                a.append(new)
+            # ...retire `second` from the index (reading its endpoints
+            # AFTER the attach — when first == second the attach just
+            # moved them, exactly as the object twin does)...
+            b = plpts[second]
+            for pt in (b[0], b[-1]):
+                lst = m[pt]
+                if lst is not None:
+                    try:
+                        lst.remove(second)
+                    except ValueError:
+                        pass
+                    if not lst:
+                        m[pt] = None
+            # ...and concat second into first (4 orientation cases;
+            # a failed match still drops `second` from the output, :979)
+            if first != second:
+                if a[-1] == b[0]:
+                    lst = m[a[-1]]
+                    if lst is not None:
+                        try:
+                            lst.remove(first)
+                        except ValueError:
+                            pass
+                        if not lst:
+                            m[a[-1]] = None
+                    new = b[-1]
+                    lst = m[new]
+                    if lst is None:
+                        m[new] = [first]
+                    elif first not in lst:
+                        lst.append(first)
+                    a.pop()
+                    a.extend(b)
+                elif a[-1] == b[-1]:
+                    lst = m[a[-1]]
+                    if lst is not None:
+                        try:
+                            lst.remove(first)
+                        except ValueError:
+                            pass
+                        if not lst:
+                            m[a[-1]] = None
+                    new = b[0]
+                    lst = m[new]
+                    if lst is None:
+                        m[new] = [first]
+                    elif first not in lst:
+                        lst.append(first)
+                    a.pop()
+                    a.extend(reversed(b))
+                elif a[0] == b[-1]:
+                    lst = m[a[0]]
+                    if lst is not None:
+                        try:
+                            lst.remove(first)
+                        except ValueError:
+                            pass
+                        if not lst:
+                            m[a[0]] = None
+                    new = b[0]
+                    lst = m[new]
+                    if lst is None:
+                        m[new] = [first]
+                    elif first not in lst:
+                        lst.append(first)
+                    a.popleft()
+                    a.extendleft(reversed(b))
+                elif a[0] == b[0]:
+                    lst = m[a[0]]
+                    if lst is not None:
+                        try:
+                            lst.remove(first)
+                        except ValueError:
+                            pass
+                        if not lst:
+                            m[a[0]] = None
+                    new = b[-1]
+                    lst = m[new]
+                    if lst is None:
+                        m[new] = [first]
+                    elif first not in lst:
+                        lst.append(first)
+                    a.popleft()
+                    a.extendleft(b)
+            alive[second] = False
+    return [list(d) for d, ok in zip(plpts, alive) if ok]
+
+
+def _stitch_arr_objects(adj: list[list[int] | None], keys: list[int], n_pts: int) -> list[list[int]]:
     """_stitch_master over an interned-id array adjacency (``keys`` =
     the occupied slots), with the _add_segment candidate collection
     inlined and the two-sided endpoint index ARRAY-backed (ids are
     dense ints, so flat lists replace dict hashing on the hottest
     lookups). Semantics equal _stitch_master/_Index exactly
-    (property-pinned)."""
+    (property-pinned). Readable oracle for the flat twin above."""
     polylines: list[Polyline] = []
     m: list[list[Polyline] | None] = [None] * n_pts
 

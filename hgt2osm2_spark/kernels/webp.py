@@ -885,7 +885,12 @@ def encode_vp8l(rgba: np.ndarray, cache_bits: int = 0, use_runs: bool = False,
                 index[px] = len(pal)
                 pal.append(px)
         if len(pal) > 256:
-            raise ValueError("encode_vp8l: >256 colors, palette impossible")
+            # VP8L caps COLOR_INDEXING at 256 entries; real encoders
+            # (cwebp) silently fall back to a non-palette encoding here
+            # rather than failing, so we do the same.
+            palette = False
+            subtract_green = True
+    if palette:
         bw.bits(1, 1)
         bw.bits(3, 2)  # COLOR_INDEXING
         bw.bits(len(pal) - 1, 8)

@@ -166,8 +166,13 @@ def test_webp_roundtrip_property(h, w, channels, seed, feature):
     from hgt2osm2_spark.kernels import webp
 
     rng = np.random.default_rng(seed)
-    # low-cardinality values keep the palette path legal everywhere
-    img = (rng.integers(0, 5, (h, w, channels)) * 53).astype(np.uint8)
+    if feature == "pal":
+        # draw pixels from a fixed <=256-colour universe so the palette
+        # path itself (not the >256 fallback) gets dense coverage
+        universe = rng.integers(0, 256, (97, channels), dtype=np.uint8)
+        img = universe[rng.integers(0, 97, (h, w))]
+    else:
+        img = (rng.integers(0, 5, (h, w, channels)) * 53).astype(np.uint8)
     kw = {
         "plain": {},
         "sg": {"subtract_green": True},

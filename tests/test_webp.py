@@ -63,6 +63,18 @@ def test_roundtrip_palettes_all_bundle_widths():
     _rt(img, palette=True, use_runs=True, cache_bits=3)
 
 
+def test_palette_over_256_colors_falls_back_and_roundtrips():
+    """palette=True on a >256-colour image must not raise: the encoder
+    falls back to a non-palette encoding (as cwebp does) and the result
+    still round-trips exactly."""
+    rng = np.random.default_rng(16)
+    # 16x20 RGBA with near-unique pixels -> far more than 256 colours
+    img = rng.integers(0, 256, (16, 20, 4), np.uint8)
+    assert len({tuple(p) for p in img.reshape(-1, 4)}) > 256
+    _rt(img, palette=True)
+    _rt(img, palette=True, use_runs=True, cache_bits=2)
+
+
 def test_roundtrip_degenerate_dims():
     rng = np.random.default_rng(8)
     _rt(rng.integers(0, 256, (1, 40, 3), np.uint8))
