@@ -1586,7 +1586,7 @@ GOLDEN_ORACLES = [
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "phash_near_dup", "audio_features",
-    "video_features", "image_stats", "tile_clip",
+    "image_stats", "tile_clip",
 ]
 
 
@@ -1614,6 +1614,20 @@ def oracle_sql() -> dict[str, str]:
     # + 3 webp), same golden — batch vs streaming execution must be
     # value-identical
     golden["stream_image_stats"] = _golden_sql("image_stats")
+    # video_features (r5, VERDICT r4 #9): the oracle COMPUTES mean/std
+    # in SQL from the exact-int64 luma-sums golden (the twin derives
+    # only n/sum/sumsq by marker-scan demux + plain loops) — same
+    # fixed-point double expressions as the engine, so the last
+    # twin-reads-result-back shape in the multimodal family is gone
+    golden["video_features"] = f"""
+        SELECT image_id, frame_idx,
+               ROUND(sum_q / 1000.0 / n_px, 6) AS mean_luma,
+               ROUND(SQRT(GREATEST(
+                   sumsq_q / 1000000.0 / n_px
+                   - (sum_q / 1000.0 / n_px) * (sum_q / 1000.0 / n_px),
+                   0.0)), 6) AS std_luma
+        FROM read_parquet('{golden_dir}/video_frame_sums.parquet')
+    """
     # banded grain must reproduce the whole-tile node stream exactly
     golden["contour_nodes_banded"] = _golden_sql("contour_nodes")
     # the --py-files spark-submit run must too (same job, zip imports)

@@ -234,3 +234,82 @@ def run_polyline(
         counters.points += len(pts)
         return pts
     return None
+
+
+#: run_polylines_batch status codes -> filter-reason labels (0 = kept)
+STATUS_REASONS = (None, "short", "small", "vertical", "horizontal")
+
+
+def run_polylines_batch(
+    xs: "np.ndarray", ys: "np.ndarray", off: "np.ndarray",
+    minpt: int, minboxwidth: float, edge, dp_eps: float,
+    strict_reference: bool = True,
+):
+    """Batch run_polyline over flat point arrays (off[n_poly+1] spans).
+    ``edge`` may be a scalar or a per-polyline array (mixed tile widths
+    in one batch).
+
+    Returns (oxs, oys, ooff, status, n_unn, n_dp): survivors' simplified
+    points live in oxs/oys[ooff[i]:ooff[i+1]]; removed polylines have an
+    empty span and status = index into STATUS_REASONS.  Dispatches to
+    the C twin (kernels/postprocess_cext.py) when available, else runs
+    the scalar run_polyline per polyline — both paths are bit-identical
+    (property-pinned)."""
+    from . import postprocess_cext
+
+    if postprocess_cext.available():
+        res = postprocess_cext.run(
+            xs, ys, off, minpt, minboxwidth, edge, dp_eps, strict_reference
+        )
+        if res is not None:
+            return res
+    return run_polylines_batch_py(
+        xs, ys, off, minpt, minboxwidth, edge, dp_eps, strict_reference
+    )
+
+
+def run_polylines_batch_py(
+    xs: "np.ndarray", ys: "np.ndarray", off: "np.ndarray",
+    minpt: int, minboxwidth: float, edge, dp_eps: float,
+    strict_reference: bool = True,
+):
+    """Pure-Python fallback/oracle for run_polylines_batch — a scalar
+    run_polyline loop with the same flat-array interface."""
+    n_poly = len(off) - 1
+    oxs: list[float] = []
+    oys: list[float] = []
+    ooff = np.empty(n_poly + 1, dtype=np.int64)
+    status = np.zeros(n_poly, dtype=np.int8)
+    n_unn = np.zeros(n_poly, dtype=np.int32)
+    n_dp = np.zeros(n_poly, dtype=np.int32)
+    edges = (
+        np.full(n_poly, float(edge)) if np.ndim(edge) == 0
+        else np.asarray(edge, dtype=np.float64)
+    )
+    for i in range(n_poly):
+        s, e = int(off[i]), int(off[i + 1])
+        pts = list(zip(xs[s:e].tolist(), ys[s:e].tolist()))
+        ooff[i] = len(oxs)
+        c = PostCounters()
+        kept = run_polyline(
+            pts, minpt, minboxwidth, float(edges[i]), dp_eps, c,
+            strict_reference
+        )
+        if kept is None:
+            for code, attr in (
+                (1, "short_polylines"), (2, "small_polylines"),
+                (3, "vertical_polylines"), (4, "horizontal_polylines"),
+            ):
+                if getattr(c, attr):
+                    status[i] = code
+                    break
+            continue
+        n_unn[i] = c.unnecessary_points
+        n_dp[i] = c.douglas_peucker_points
+        oxs.extend(p[0] for p in kept)
+        oys.extend(p[1] for p in kept)
+    ooff[n_poly] = len(oxs)
+    return (
+        np.asarray(oxs, dtype=np.float64), np.asarray(oys, dtype=np.float64),
+        ooff, status, n_unn, n_dp,
+    )

@@ -361,6 +361,33 @@ def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
     inverse[order] = np.cumsum(first) - 1
     ux = xs[first]
     uy = ys[first]
+
+    # C fast path (kernels/stitch_cext.py): the whole sequential core
+    # (bags -> gather -> assembly) in one GIL-free call; bit-identical
+    # by property test, pure-Python below stays the fallback + oracle
+    from . import stitch_cext
+
+    if stitch_cext.available():
+        res = stitch_cext.run(
+            seg_array["y"], seg_array["level"], inverse[:n], inverse[n:],
+            ux.size,
+        )
+        if res is not None:
+            out_pts, out_off, out_lv = res
+            xs_l = ux[out_pts].tolist()
+            ys_l = uy[out_pts].tolist()
+            offs = out_off.tolist()
+            out: dict[int, list[list[Point]]] = {}
+            for i, lv in enumerate(out_lv.tolist()):
+                s, e = offs[i], offs[i + 1]
+                pl = list(zip(xs_l[s:e], ys_l[s:e]))
+                lst = out.get(lv)
+                if lst is None:
+                    out[lv] = [pl]
+                else:
+                    lst.append(pl)
+            return out
+
     p1s = inverse[:n].tolist()
     p2s = inverse[n:].tolist()
 
@@ -427,6 +454,62 @@ def stitch_tile(seg_array: np.ndarray) -> dict[int, list[list[Point]]]:
             for k in mkeys:  # reset for the next level
                 madj[k] = None
     return out
+
+
+def stitch_tile_arrays(seg_array: np.ndarray):
+    """stitch_tile with an array-native result: (levels, offsets, xs,
+    ys) where polyline i spans xs/ys[offsets[i]:offsets[i+1]] and
+    levels[i] is its contour level.  Polyline order == stitch_tile's
+    iteration order (levels ascending, creation order within a level),
+    values bit-identical (the tuple dict is just a different container).
+
+    This is the zero-copy hand-off into postprocess.run_polylines_batch
+    — on the C fast path neither tuples nor per-point Python objects are
+    ever materialized for the tile hot loop."""
+    n = len(seg_array)
+    empty = (np.empty(0, np.int32), np.zeros(1, np.int64),
+             np.empty(0, np.float64), np.empty(0, np.float64))
+    if n == 0:
+        return empty
+    x = np.concatenate([seg_array["x1"], seg_array["x2"]])
+    y = np.concatenate([seg_array["y1"], seg_array["y2"]])
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    first = np.empty(xs.size, dtype=bool)
+    first[0] = True
+    first[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+    inverse = np.empty(xs.size, dtype=np.int64)
+    inverse[order] = np.cumsum(first) - 1
+    ux = xs[first]
+    uy = ys[first]
+
+    from . import stitch_cext
+
+    if stitch_cext.available():
+        res = stitch_cext.run(
+            seg_array["y"], seg_array["level"], inverse[:n], inverse[n:],
+            ux.size,
+        )
+        if res is not None:
+            out_pts, out_off, out_lv = res
+            return (out_lv, out_off.astype(np.int64), ux[out_pts], uy[out_pts])
+
+    # pure-Python fallback: flatten the dict result
+    bags = stitch_tile(seg_array)
+    lvls: list[int] = []
+    offs: list[int] = [0]
+    fx: list[float] = []
+    fy: list[float] = []
+    for lv in bags:
+        for pts in bags[lv]:
+            lvls.append(lv)
+            fx.extend(p[0] for p in pts)
+            fy.extend(p[1] for p in pts)
+            offs.append(len(fx))
+    return (
+        np.asarray(lvls, dtype=np.int32), np.asarray(offs, dtype=np.int64),
+        np.asarray(fx, dtype=np.float64), np.asarray(fy, dtype=np.float64),
+    )
 
 
 def _stitch_arr(adj: list[list[int] | None], keys: list[int], n_pts: int) -> list[list[int]]:

@@ -214,22 +214,24 @@ def stitch_polylines(segments: DataFrame, shuffle_partitions: int | None = None)
         seg["level"] = pdf["level"].to_numpy()
         for c in ("x1", "y1", "x2", "y2"):
             seg[c] = pdf[c].to_numpy()
-        bags = stitch.stitch_tile(seg)
-        pls = bags.get(int(level), [])
+        lvls, offs, fx, fy = stitch.stitch_tile_arrays(seg)
         rows = []
-        for i, pts in enumerate(pls):
-            xs = [p[0] for p in pts]
-            ys = [p[1] for p in pts]
+        i = 0
+        for j, lv in enumerate(lvls.tolist()):
+            if lv != int(level):
+                continue
+            s, e = offs[j], offs[j + 1]
             rows.append(
                 {
                     "image_id": image_id,
                     "level": int(level),
                     "poly_ord": i,
-                    "xs": xs,
-                    "ys": ys,
-                    "closed": pts[0] == pts[-1],
+                    "xs": fx[s:e].tolist(),
+                    "ys": fy[s:e].tolist(),
+                    "closed": bool(fx[s] == fx[e - 1] and fy[s] == fy[e - 1]),
                 }
             )
+            i += 1
         return pd.DataFrame(rows, columns=[f.name for f in POLYLINES_SCHEMA.fields])
 
     seg = segments
@@ -251,36 +253,39 @@ def postprocess_polylines(
 
     def post(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=[f.name for f in POST_SCHEMA.fields])
+                continue
+            # flatten the batch into one run_polylines_batch call (C
+            # fast path); per-row edge = 1/Width rides along as an array
+            xs_rows = [np.asarray(v, dtype=np.float64) for v in pdf["xs"]]
+            ys_rows = [np.asarray(v, dtype=np.float64) for v in pdf["ys"]]
+            lens = np.fromiter((len(v) for v in xs_rows), dtype=np.int64,
+                               count=len(xs_rows))
+            off = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            fx = np.concatenate(xs_rows) if xs_rows else np.empty(0)
+            fy = np.concatenate(ys_rows) if ys_rows else np.empty(0)
+            edges = 1.0 / pdf["w"].to_numpy(dtype=np.float64)
+            oxs, oys, ooff, status, n_unn, n_dp = postprocess.run_polylines_batch(
+                fx, fy, off, minpt, minbox, edges, dp, strict_reference
+            )
             out = []
-            for r in pdf.itertuples(index=False):
-                pts = list(zip(r.xs, r.ys))
-                c = postprocess.PostCounters()
-                kept_pts = postprocess.run_polyline(
-                    pts, minpt, minbox, 1.0 / r.w, dp, c, strict_reference
-                )
-                reason = None
-                if kept_pts is None:
-                    for attr, name in (
-                        ("short_polylines", "short"),
-                        ("small_polylines", "small"),
-                        ("vertical_polylines", "vertical"),
-                        ("horizontal_polylines", "horizontal"),
-                    ):
-                        if getattr(c, attr):
-                            reason = name
-                            break
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                kept = status[i] == 0
+                s, e = ooff[i], ooff[i + 1]
                 out.append(
                     {
                         "image_id": r.image_id,
                         "level": r.level,
                         "poly_ord": r.poly_ord,
-                        "xs": [p[0] for p in kept_pts] if kept_pts else list(r.xs),
-                        "ys": [p[1] for p in kept_pts] if kept_pts else list(r.ys),
+                        "xs": oxs[s:e].tolist() if kept else list(r.xs),
+                        "ys": oys[s:e].tolist() if kept else list(r.ys),
                         "closed": r.closed,
-                        "kept": kept_pts is not None,
-                        "reason": reason,
-                        "collinear_removed": c.unnecessary_points,
-                        "dp_removed": c.douglas_peucker_points,
+                        "kept": bool(kept),
+                        "reason": postprocess.STATUS_REASONS[status[i]],
+                        "collinear_removed": int(n_unn[i]),
+                        "dp_removed": int(n_dp[i]),
                         "grid_w": int(r.w),
                         "grid_h": int(r.h),
                     }
@@ -321,42 +326,43 @@ def extract_stitch_post_fused(
                 seg = marching.extract_segments(grid, d, fake)
                 if len(seg) == 0:
                     continue
-                bags = stitch.stitch_tile(seg)
-                edge = 1.0 / w
-                for level in sorted(bags):
-                    for i, pts in enumerate(bags[level]):
-                        c = postprocess.PostCounters()
-                        kept_pts = postprocess.run_polyline(
-                            pts, minpt, minbox, edge, dp, c, strict_reference
+                lvls, offs, fx, fy = stitch.stitch_tile_arrays(seg)
+                oxs, oys, ooff, status, n_unn, n_dp = (
+                    postprocess.run_polylines_batch(
+                        fx, fy, offs, minpt, minbox, 1.0 / w, dp,
+                        strict_reference
+                    )
+                )
+                poly_ord = 0
+                prev_lv = None
+                for i, lv in enumerate(lvls.tolist()):
+                    if lv != prev_lv:
+                        poly_ord = 0
+                        prev_lv = lv
+                    s, e = offs[i], offs[i + 1]
+                    kept = status[i] == 0
+                    if kept:
+                        ks, ke = ooff[i], ooff[i + 1]
+                        uxs, uys = oxs[ks:ke].tolist(), oys[ks:ke].tolist()
+                    else:
+                        uxs, uys = fx[s:e].tolist(), fy[s:e].tolist()
+                    out.append(
+                        (
+                            img,
+                            int(lv),
+                            poly_ord,
+                            uxs,
+                            uys,
+                            bool(fx[s] == fx[e - 1] and fy[s] == fy[e - 1]),
+                            bool(kept),
+                            postprocess.STATUS_REASONS[status[i]],
+                            int(n_unn[i]),
+                            int(n_dp[i]),
+                            w,
+                            h,
                         )
-                        reason = None
-                        if kept_pts is None:
-                            for attr, name in (
-                                ("short_polylines", "short"),
-                                ("small_polylines", "small"),
-                                ("vertical_polylines", "vertical"),
-                                ("horizontal_polylines", "horizontal"),
-                            ):
-                                if getattr(c, attr):
-                                    reason = name
-                                    break
-                        use = kept_pts if kept_pts is not None else pts
-                        out.append(
-                            (
-                                img,
-                                int(level),
-                                i,
-                                [p[0] for p in use],
-                                [p[1] for p in use],
-                                pts[0] == pts[-1],
-                                kept_pts is not None,
-                                reason,
-                                c.unnecessary_points,
-                                c.douglas_peucker_points,
-                                w,
-                                h,
-                            )
-                        )
+                    )
+                    poly_ord += 1
             yield pd.DataFrame(out, columns=cols)
 
     return tiles.mapInPandas(gen, schema=POST_SCHEMA)
@@ -403,24 +409,32 @@ def fused_tile_nodes(
                 seg = marching.extract_segments(grid, d, fake)
                 if len(seg) == 0:
                     continue
-                bags = stitch.stitch_tile(seg)
-                edge = 1.0 / w
+                lvls, offs, fx, fy = stitch.stitch_tile_arrays(seg)
+                oxs, oys, ooff, status, _n_unn, _n_dp = (
+                    postprocess.run_polylines_batch(
+                        fx, fy, offs, minpt, minbox, 1.0 / w, dp,
+                        strict_reference
+                    )
+                )
                 lat0 = int(img[1:3]) * (-1 if img[0] in "sS" else 1)
                 lon0 = int(img[4:7]) * (-1 if img[3] in "wW" else 1)
                 node_id = tile_first_id(lat0, lon0)
-                c = postprocess.PostCounters()
-                for level in sorted(bags):
-                    for i, pts in enumerate(bags[level]):
-                        kept = postprocess.run_polyline(
-                            pts, minpt, minbox, edge, dp, c, strict_reference
+                poly_ord = 0
+                prev_lv = None
+                for i, lv in enumerate(lvls.tolist()):
+                    if lv != prev_lv:
+                        poly_ord = 0
+                        prev_lv = lv
+                    if status[i] != 0:
+                        poly_ord += 1
+                        continue
+                    ks, ke = ooff[i], ooff[i + 1]
+                    for x, y in zip(oxs[ks:ke].tolist(), oys[ks:ke].tolist()):
+                        out.append(
+                            (img, int(lv), poly_ord, node_id, lat0 + y / (h - 1), lon0 + x / (w - 1))
                         )
-                        if kept is None:
-                            continue
-                        for x, y in kept:
-                            out.append(
-                                (img, int(level), i, node_id, lat0 + y / (h - 1), lon0 + x / (w - 1))
-                            )
-                            node_id += 1
+                        node_id += 1
+                    poly_ord += 1
             yield pd.DataFrame(out, columns=cols)
 
     return tiles.mapInPandas(gen, schema=NODES_SCHEMA)

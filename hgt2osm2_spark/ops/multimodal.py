@@ -21,6 +21,7 @@ Operators:
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -45,7 +46,9 @@ from ..kernels import codecs
 #: resolution; MJPEG tracks pixel-decode end-to-end, an avc1/h264
 #: track raises with its codec named). The remaining entries are
 #: genuinely codec-bound BITSTREAMS (mp3 hybrid filterbank, h264
-#: CABAC/CAVLC) with no feasible stdlib-only decoder.
+#: CABAC/CAVLC) with no feasible stdlib-only decoder — they are the
+#: documented native-codec seam, not pending work: see COVERAGE.md
+#: "Native fast paths and the fleet-scale swap points".
 UNSUPPORTED_REAL_FORMATS = {"mp3", "h264"}
 
 
@@ -405,8 +408,15 @@ VIDEO_STATS_SCHEMA = T.StructType(
 
 def video_frame_features(videos: DataFrame, every: int = 1) -> DataFrame:
     """Full real video path: AVI demux -> per-frame baseline-JPEG decode
-    (kernels.jpeg) -> luma statistics. Rounded to 6 so independent
-    scalar twins (different summation association) hash equal."""
+    (kernels.jpeg) -> luma statistics.
+
+    r5: the stats are FIXED-POINT-derived (the BM25 pattern): per-pixel
+    lumaq = 299R + 587G + 114B is an exact int64, summed exactly, so
+    the per-frame aggregates are invariant to summation order and the
+    oracle COMPUTES mean/std in SQL from the integer sums golden
+    (video_frame_sums) with the identical double expression — no
+    twin-reads-result-back. mean = sum_q/1000/n; var = sumsq_q/1e6/n -
+    mean^2 (clamped at 0); both rounded to 6."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels import avi as _avi
@@ -434,16 +444,22 @@ def video_frame_features(videos: DataFrame, every: int = 1) -> DataFrame:
                         f"video_frame_features: {fmt!r} is not a real format here"
                     )
                 for t in range(0, len(info["frames"]), every):
-                    px = _jpeg.decode_jpeg(info["frames"][t]).astype(np.float64)
+                    px = _jpeg.decode_jpeg(info["frames"][t]).astype(np.int64)
                     if px.ndim == 2:  # grayscale MJPEG frame
-                        luma = px
+                        lumaq = 1000 * px
                     else:
-                        luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
-                                + 0.114 * px[:, :, 2])
+                        lumaq = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                                 + 114 * px[:, :, 2])
+                    n = lumaq.size
+                    sum_q = int(lumaq.sum())
+                    sumsq_q = int((lumaq * lumaq).sum())
+                    mean_raw = sum_q / 1000.0 / n
+                    var = sumsq_q / 1000000.0 / n - mean_raw * mean_raw
+                    std = math.sqrt(var if var > 0 else 0.0)
                     rows.append(
                         {"image_id": img, "frame_idx": t,
-                         "mean_luma": round(float(luma.mean()), 6),
-                         "std_luma": round(float(luma.std()), 6)}
+                         "mean_luma": round(mean_raw, 6),
+                         "std_luma": round(std, 6)}
                     )
             yield pd.DataFrame(rows, columns=cols)
 

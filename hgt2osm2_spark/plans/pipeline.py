@@ -38,7 +38,8 @@ def run_contour_pipeline(
     strict_reference: bool = True,
     shuffle_partitions: int | None = None,
     fused: bool = True,
-    band_rows: int | None = None,
+    band_rows: "int | str | None" = "auto",
+    auto_band_threshold: int = 1025,
 ) -> ContourResult:
     """fused=True (default): stages 1-5 run as one narrow map per tile
     (contours.extract_stitch_post_fused) — zero shuffles before ID
@@ -50,9 +51,33 @@ def run_contour_pipeline(
     spreads across many tasks — right grain when #tiles << #cores or a
     straggler tile serializes the stage; output is identical to the
     other grains (banded-kernel window property + (row_y, seg_ord)
-    stitch order)."""
+    stitch order).
+
+    band_rows="auto" (the default, VERDICT r4 #5): a cheap dims-only
+    peek decides the grain — tiles at or above `auto_band_threshold`
+    rows that are FEWER than the core count get the banded grain at the
+    documented sweet spot band_rows ~ grid/(2*cores) (BENCH/SRTM1.md);
+    everything else keeps the fused narrow map. SRTM-1-grain inputs
+    thus parallelize without caller tuning, and the 10^12-small-tile
+    design point never pays the peek beyond one tiny dims job."""
     opt = opt or ContourOptions()
     dims = tiles.select("image_id", "w", "h")
+
+    if band_rows == "auto" and tiles.isStreaming:
+        band_rows = None  # no eager peek on an unbounded source
+    if band_rows == "auto":
+        cores = tiles.sparkSession.sparkContext.defaultParallelism
+        n_tiles, max_h = dims.agg(
+            F.count("*"), F.max("h")
+        ).first()
+        if (
+            max_h is not None
+            and max_h >= auto_band_threshold
+            and n_tiles < cores
+        ):
+            band_rows = max((int(max_h) - 1) // (2 * cores), 64)
+        else:
+            band_rows = None
 
     if band_rows:
         fused = False

@@ -679,6 +679,31 @@ def test_bm25_and_inverted_index(docs, spark):
         assert r["df_t"] == len(posts) >= 3
 
 
+def test_inverted_index_postings_cap_at_scale_shape(docs, spark):
+    """The max_postings valve (VERDICT r4 #6): with a hot stopword-like
+    term, capped postings stay bounded (the 100 TB guarantee: no single
+    term row grows with corpus size) while df_t keeps the TRUE document
+    frequency, and every capped list is the sorted prefix of the
+    uncapped one. Non-hot terms are untouched."""
+    d = docs.limit(400)
+    cap = 16
+    uncapped = {r["term"]: r for r in text.inverted_index(d, min_df=1).collect()}
+    capped = {r["term"]: r
+              for r in text.inverted_index(d, min_df=1, max_postings=cap).collect()}
+    assert set(capped) == set(uncapped)
+    hot = [t for t, r in uncapped.items() if r["df_t"] > cap]
+    assert hot, "fixture must contain at least one term hotter than the cap"
+    for t, r in capped.items():
+        full = uncapped[t]
+        assert r["df_t"] == full["df_t"]  # true df survives the cap
+        posts = r["postings"].split("/")
+        assert len(posts) <= cap
+        full_posts = full["postings"].split("/")
+        assert posts == full_posts[: len(posts)]  # sorted prefix
+        if full["df_t"] <= cap:
+            assert r["postings"] == full["postings"]
+
+
 def test_int8_quantization_error_bound(embs, spark):
     """Reconstruction code*scale stays within scale/2 of the source
     elementwise, and the max-magnitude element always hits ±127."""

@@ -191,3 +191,23 @@ def test_banded_grain_equals_fused(spark):
     fw = sorted(map(tuple, fused.ways.select("image_id", "level", "way_id", "node_refs").collect()))
     bw = sorted(map(tuple, banded.ways.select("image_id", "level", "way_id", "node_refs").collect()))
     assert fw == bw and len(fw) > 0
+
+
+def test_auto_band_grain_picks_banding_and_matches_manual(spark):
+    """band_rows="auto" (the default): one big tile with the threshold
+    lowered must take the banded grain and produce exactly the manual
+    banded/fused node stream; many small tiles must stay fused."""
+    tiles = tiles_df(spark, n_tiles=1, size=97, partitions=1)
+    opt = ContourOptions()
+    fused = run_contour_pipeline(tiles, opt, band_rows=None)
+    auto = run_contour_pipeline(
+        tiles, opt, shuffle_partitions=8, auto_band_threshold=97
+    )
+    fn = sorted(map(tuple, fused.nodes.collect()))
+    an = sorted(map(tuple, auto.nodes.collect()))
+    assert fn == an and len(fn) > 0
+    # auto actually picked the staged/banded plan (segments stage exists)
+    assert auto.segments is not None and fused.segments is None
+    # small-tile inputs below the threshold keep the fused narrow map
+    small_auto = run_contour_pipeline(tiles_df(spark, n_tiles=2, size=33), opt)
+    assert small_auto.segments is None

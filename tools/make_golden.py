@@ -521,6 +521,7 @@ def g_video_features():
     from hgt2osm2_spark.kernels import jpeg as _jpeg
 
     rows = []
+    sums = []
     specs = [synthetic.make_video_row(idx, n_frames=6) for idx in range(4)] + [
         synthetic.make_mp4_row(idx, n_frames=6) for idx in range(3)
     ]
@@ -540,25 +541,34 @@ def g_video_features():
             px = _jpeg.decode_jpeg(payload)
             h, w, _ = px.shape
             n = h * w
-            s = 0.0
+            # r5 fixed-point (BM25 pattern): exact int64 luma sums, so
+            # the aggregates are order-invariant and the DRIVER ORACLE
+            # recomputes mean/std in DuckDB SQL from the sums golden
+            # below (no twin-reads-result-back)
+            sum_q = 0
+            sumsq_q = 0
             for r in range(h):
                 for c in range(w):
-                    s += (0.299 * px[r, c, 0] + 0.587 * px[r, c, 1]
-                          + 0.114 * px[r, c, 2])
-            m = s / n
-            v = 0.0
-            for r in range(h):
-                for c in range(w):
-                    luma = (0.299 * px[r, c, 0] + 0.587 * px[r, c, 1]
-                            + 0.114 * px[r, c, 2])
-                    v += (luma - m) ** 2
+                    lq = (299 * int(px[r, c, 0]) + 587 * int(px[r, c, 1])
+                          + 114 * int(px[r, c, 2]))
+                    sum_q += lq
+                    sumsq_q += lq * lq
+            sums.append((row["image_id"], t, n, sum_q, sumsq_q))
+            m = sum_q / 1000.0 / n
+            v = sumsq_q / 1000000.0 / n - m * m
             rows.append((row["image_id"], t, round(m, 6),
-                         round(math.sqrt(v / n), 6)))
+                         round(math.sqrt(v if v > 0 else 0.0), 6)))
     df = pd.DataFrame(rows, columns=["image_id", "frame_idx",
                                      "mean_luma", "std_luma"])
     _write("video_features", df, pa.schema([
         ("image_id", pa.string()), ("frame_idx", pa.int32()),
         ("mean_luma", pa.float64()), ("std_luma", pa.float64()),
+    ]))
+    sdf = pd.DataFrame(sums, columns=["image_id", "frame_idx", "n_px",
+                                      "sum_q", "sumsq_q"])
+    _write("video_frame_sums", sdf, pa.schema([
+        ("image_id", pa.string()), ("frame_idx", pa.int32()),
+        ("n_px", pa.int64()), ("sum_q", pa.int64()), ("sumsq_q", pa.int64()),
     ]))
 
 
@@ -1456,6 +1466,10 @@ GENERATORS = {
 
 
 def main():
+    # goldens are the INDEPENDENT oracle: pin the pure-Python kernel
+    # paths so the driver gate cross-checks Spark+C-kernels against
+    # Python-only derivations (a shared C bug cannot pass silently)
+    os.environ["HGT2OSM2_NO_CKERNEL"] = "1"
     names = sys.argv[1:] or list(GENERATORS)
     for name in names:
         GENERATORS[name]()
