@@ -149,7 +149,7 @@ def entry(spark: SparkSession) -> DataFrame:
     stage) on synthetic tiles, joined with sf0.001 document stats."""
     sf_dir = "/root/testdata/sf0.001"
     tiles = _synth_tiles(spark, n_tiles=4, size=33)
-    res = run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=8)
+    res = run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=8, band_rows=None)
     pts = res.nodes.select(
         F.concat_ws("/", "image_id", "node_id").alias("q_id"), "lat", "lon"
     )
@@ -654,8 +654,12 @@ def q_ann_ivf_pq(spark, sf_dir):
 
 
 def _contour_result(spark):
+    # band_rows=None here and in the other 33px-tile gate queries: the
+    # auto-grain peek (plans/pipeline.py) can never band tiles this
+    # small, so skipping it saves one Spark job of pure latency per
+    # query; auto is exercised by test_pipeline_spark + srtm_stress
     tiles = _synth_tiles(spark, n_tiles=6, size=33)
-    return run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=16)
+    return run_contour_pipeline(tiles, ContourOptions(), shuffle_partitions=16, band_rows=None)
 
 
 def q_contour_nodes(spark, sf_dir):
@@ -756,7 +760,7 @@ def q_contour_readme_profile(spark, sf_dir):
     from hgt2osm2_spark.config import README_PROFILE
 
     tiles = _synth_tiles(spark, n_tiles=4, size=33)
-    r = run_contour_pipeline(tiles, README_PROFILE, shuffle_partitions=8)
+    r = run_contour_pipeline(tiles, README_PROFILE, shuffle_partitions=8, band_rows=None)
     return r.ways.select(
         "image_id", "level", "poly_ord", "way_id",
         F.size("node_refs").alias("n_refs"), "contour_ext",
@@ -1136,7 +1140,7 @@ def q_cross_tile_stitch(spark, sf_dir):
         pd.DataFrame([row("n40e000_0", full[:, :n].copy()), row("n40e001_0", full[:, n - 1:].copy())]),
         schema=TILES_SCHEMA,
     )
-    post = run_contour_pipeline(tiles, ContourOptions()).post.filter("kept")
+    post = run_contour_pipeline(tiles, ContourOptions(), band_rows=None).post.filter("kept")
     merged = cross_tile.stitch_across_tiles(post)
     return merged.select(
         "level", "component", "n_parts", F.size("lats").alias("n_points"), "closed"

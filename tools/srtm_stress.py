@@ -58,7 +58,9 @@ def main() -> None:
     opt = ContourOptions(minor_distance=args.levels)
 
     t0 = time.time()
-    res = run_contour_pipeline(tiles, opt, shuffle_partitions=args.cores * 2)
+    res = run_contour_pipeline(
+        tiles, opt, shuffle_partitions=args.cores * 2, band_rows=None
+    )
     # count + equality hash in ONE uncached job: no second pipeline run,
     # no cache materialization inside the timed window
     n_nodes, node_hash = res.nodes.selectExpr(
@@ -90,6 +92,24 @@ def main() -> None:
         ]
         if not same:
             raise SystemExit("banded output mismatch")
+        # auto grain (r5): the default band_rows="auto" must band this
+        # tile at (n-1)/(2*cores) without caller tuning and match too
+        t2 = time.time()
+        ares = run_contour_pipeline(tiles, opt, shuffle_partitions=args.cores * 2)
+        an, anode_hash = ares.nodes.selectExpr(
+            "count(*)", "sum(hash(node_id, lat, lon))"
+        ).collect()[0]
+        adt = time.time() - t2
+        auto_rows = max((n - 1) // (2 * args.cores), 64)
+        asame = an == n_nodes and anode_hash == node_hash
+        banded_lines.append(
+            f"- AUTO grain (default band_rows=\"auto\" -> {auto_rows} rows/band): "
+            f"wall {adt:.1f} s — node stream "
+            f"{'IDENTICAL' if asame else 'MISMATCH'}; native-grain tiles "
+            "parallelize with no caller tuning (VERDICT r4 #5)"
+        )
+        if not asame:
+            raise SystemExit("auto-banded output mismatch")
 
     lines = [
         "# SRTM-1 scale stress (one native-grain tile)",
