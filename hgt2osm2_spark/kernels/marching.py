@@ -107,6 +107,27 @@ def extract_segments(
     c0 = max(int(cell_lo), 0)
     c1 = ny if cell_hi is None else min(int(cell_hi), ny)
     yb = int(y_base)
+
+    # C fast path (kernels/marching_cext.py): the reference's per-cell
+    # loop emits in the exact (y, x, tri, level, seq) order the numpy
+    # path's final lexsort establishes — no sort needed. Bit-identical
+    # (property-pinned); numpy below stays the fallback + oracle.
+    from . import marching_cext
+
+    if marching_cext.available():
+        ncells = max((c1 - c0), 0) * nx
+        res = marching_cext.run(P, d, fake, c0, c1, yb,
+                                cap_hint=ncells // 4 + 4096)
+        if res is not None:
+            oy, olv, x1, y1, x2, y2 = res
+            seg = np.empty(oy.size, dtype=SEG_DTYPE)
+            seg["y"] = oy
+            seg["level"] = olv
+            seg["x1"] = x1
+            seg["y1"] = y1
+            seg["x2"] = x2
+            seg["y2"] = y2
+            return seg
     for lo in range(c0, c1, max(int(strip_rows), 1)):
         hi = min(lo + max(int(strip_rows), 1), c1)
 

@@ -138,3 +138,45 @@ def test_stitch_c_against_reference_twin_random():
             g, int(rng.choice([2, 10, 20])), float(rng.choice([0.0, 0.25, -0.5]))
         )
         assert stitch.stitch_tile(seg) == stitch.stitch_tile_reference(seg)
+
+
+@pytest.mark.skipif(not __import__("hgt2osm2_spark.kernels.marching_cext", fromlist=["x"]).available(),
+                    reason="no C compiler")
+def test_marching_c_equals_numpy_twin():
+    """The C per-cell marcher must equal the numpy strip path exactly:
+    fixtures, random grids with NoValue rows/cols, case-e plateaus,
+    fake-distance settings, and windowed crops."""
+    from hgt2osm2_spark.kernels import marching, marching_cext
+    from hgt2osm2_spark.kernels.fixtures import TEST1, TEST2, TEST3
+
+    def py_extract(grid, d, fake, **kw):
+        av = marching_cext.available
+        marching_cext.available = lambda: False
+        try:
+            return marching.extract_segments(grid, d, fake, **kw)
+        finally:
+            marching_cext.available = av
+
+    rng = np.random.default_rng(23)
+    cases = [(TEST1, 20, -0.5), (TEST2, 20, -0.5), (TEST3, 2, 0.0),
+             (np.full((9, 9), 105, np.int16), 20, -0.5)]
+    flat = np.full((31, 31), 100, np.int16)
+    flat[5:10, 5:10] = 120
+    flat[20:25, 20:25] = -32768
+    cases += [(flat, 20, 0.0), (flat, 20, -0.5)]
+    for _ in range(10):
+        nn = int(rng.integers(3, 70))
+        g = rng.normal(100, 50, (nn, nn)).astype(np.int16)
+        if rng.random() < 0.4:
+            g[int(rng.integers(0, nn)), :] = -32768
+        cases.append((g, int(rng.choice([2, 10, 20])),
+                      float(rng.choice([0.0, 0.25, -0.5]))))
+    for g, d, fake in cases:
+        assert np.array_equal(
+            marching.extract_segments(g, d, fake), py_extract(g, d, fake)
+        )
+    g = heightfield(4, 101)
+    for lo, hi, ybase in ((0, 50, 0), (30, 70, 7), (50, 100, 0)):
+        a = marching.extract_segments(g, 10, 0.25, cell_lo=lo, cell_hi=hi, y_base=ybase)
+        b = py_extract(g, 10, 0.25, cell_lo=lo, cell_hi=hi, y_base=ybase)
+        assert np.array_equal(a, b)
