@@ -54,7 +54,12 @@ def main() -> None:
                       shuffle_partitions=args.cores * 2,
                       driver_memory="24g")
     n = args.size
-    tiles = synthetic.tiles_df(spark, n_tiles=1, size=n, partitions=1)
+    # materialize the synthetic input OUTSIDE the timed window (the
+    # bench.py convention): the BASELINE metric is throughput over an
+    # EXISTING table, and at r5 kernel speeds the 3601^2 heightfield
+    # synthesis would otherwise dominate the measurement
+    tiles = synthetic.tiles_df(spark, n_tiles=1, size=n, partitions=1).cache()
+    tiles.count()
     opt = ContourOptions(minor_distance=args.levels)
 
     t0 = time.time()
