@@ -113,6 +113,10 @@ def polygon_cover_cells(polygons: DataFrame, res: int) -> DataFrame:
 
 # ------------------------------------------------------------- exact PIP
 
+#: rings at or below this length get the unrolled codegen ray cast in
+#: pip_join; longer rings use the batched numpy fallback
+_PIP_UNROLL_MAX = 64
+
 def _ray_crossings(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Even-odd rule, vectorized over points for one ring."""
     inside = np.zeros(px.shape, dtype=bool)
@@ -145,26 +149,55 @@ def pip_join(
         pts = pts.repartition(repartition, "cell")
     cand = pts.join(cover, "cell", "inner")
 
-    @F.pandas_udf(T.BooleanType())
-    def exact_pip(pid: pd.Series, px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
-        out = np.zeros(len(px), dtype=bool)
-        if len(px) == 0:
+    # exact even-odd ray cast as a PURE JVM expression (r5): same IEEE
+    # arithmetic as the numpy twin (_ray_crossings, kept below as the
+    # test oracle) — no ArrowEvalPython, no per-candidate ring-array
+    # transfer to Python. Edge (i, j=i-1 mod n): crossing iff
+    # (yi>py) != (yj>py) AND px < (xj-xi)*(py-yi)/(yj-yi)+xi;
+    # XOR-accumulated. The division can only produce inf/NaN when
+    # yi == yj, where the first conjunct is already false, so the
+    # predicate is never null.
+    #
+    # Polygons are broadcast-small by contract, so one tiny driver agg
+    # reads the max ring length and the XOR chain is UNROLLED to that
+    # depth as plain CaseWhen/element_at expressions — whole-stage
+    # codegen applies (higher-order aggregate() lambdas run
+    # INTERPRETED, ~3x slower here; the fold also trips a Catalyst
+    # pushdown bug where lambda-captured outer attributes go untracked
+    # and the filter lands on the wrong join side). Rings longer than
+    # _PIP_UNROLL_MAX fall back to the vectorized numpy ray cast via a
+    # pandas UDF.
+    max_n = polygons.agg(F.max(F.size("xs"))).first()[0] or 0
+    if max_n <= _PIP_UNROLL_MAX:
+        px, py = F.col("lon"), F.col("lat")
+        n = F.size("xs")
+        inside = None
+        for i in range(max_n):
+            j1 = (n - 1) + 1 if i == 0 else F.lit(i)  # 1-based index of j
+            xi = F.element_at(F.col("xs"), i + 1)
+            yi = F.element_at(F.col("ys"), i + 1)
+            xj = F.element_at(F.col("xs"), j1)
+            yj = F.element_at(F.col("ys"), j1)
+            cross = F.when(
+                F.lit(i) < n,
+                ((yi > py) != (yj > py))
+                & (px < (xj - xi) * (py - yi) / (yj - yi) + xi),
+            ).otherwise(F.lit(False))
+            inside = cross if inside is None else (inside != cross)
+        hit = cand.filter(inside)
+    else:
+        @F.pandas_udf(T.BooleanType())
+        def exact_pip(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+            out = np.zeros(len(px), dtype=bool)
+            pxv, pyv = px.to_numpy(), py.to_numpy()
+            for k, (rx, ry) in enumerate(zip(xs, ys)):
+                out[k] = _ray_crossings(
+                    pxv[k:k + 1], pyv[k:k + 1],
+                    np.asarray(rx, np.float64), np.asarray(ry, np.float64),
+                )[0]
             return pd.Series(out)
-        pxv = px.to_numpy()
-        pyv = py.to_numpy()
-        # rings repeat per batch — vectorize the ray cast over the points
-        # of each polygon group
-        pid = pid.reset_index(drop=True)
-        xs_l = xs.tolist()
-        ys_l = ys.tolist()
-        for _, idx in pid.groupby(pid).groups.items():
-            ii = np.asarray(idx)
-            ring_x = np.asarray(xs_l[ii[0]], dtype=np.float64)
-            ring_y = np.asarray(ys_l[ii[0]], dtype=np.float64)
-            out[ii] = _ray_crossings(pxv[ii], pyv[ii], ring_x, ring_y)
-        return pd.Series(out)
 
-    hit = cand.filter(exact_pip(F.col("poly_id"), F.col("lon"), F.col("lat"), F.col("xs"), F.col("ys")))
+        hit = cand.filter(exact_pip(F.col("lon"), F.col("lat"), F.col("xs"), F.col("ys")))
     return hit.select("q_id", "poly_id", "lat", "lon")
 
 

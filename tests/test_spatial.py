@@ -337,3 +337,35 @@ def test_haversine_known_values(spark):
     assert abs(r.anti - 2 * quarter) < 0.01
     assert abs(r.paris_london - 343.5) < 1.5  # published great-circle distance
     assert r.self == 0.0
+
+
+def test_pip_jvm_fold_matches_raycast_on_star_polygons(spark):
+    """r5: the exact PIP test is a pure-JVM aggregate() fold — it must
+    equal the numpy even-odd oracle on NON-convex star rings too (the
+    cell prefilter is a superset either way)."""
+    import numpy as np
+
+    from hgt2osm2_spark.ops.spatial import _ray_crossings
+
+    rng = np.random.default_rng(7)
+    polys = []
+    for pid in range(6):
+        k = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        r = rng.uniform(0.2, 1.0, k) if pid % 2 else np.full(k, 0.8)
+        cx, cy = rng.uniform(-2, 2, 2)
+        polys.append((f"p{pid}", (cx + r * np.cos(ang)).tolist(),
+                      (cy + r * np.sin(ang)).tolist()))
+    pts = [(f"q{i}", float(rng.uniform(-3, 3)), float(rng.uniform(-3, 3)))
+           for i in range(1500)]
+    pdf = spark.createDataFrame(polys, ["poly_id", "xs", "ys"])
+    qdf = spark.createDataFrame(pts, ["q_id", "lat", "lon"])
+    got = {(r["q_id"], r["poly_id"])
+           for r in spatial.pip_join(qdf, pdf, res=4).collect()}
+    want = set()
+    for qid, lat, lon in pts:
+        for pid, xs, ys in polys:
+            if _ray_crossings(np.array([lon]), np.array([lat]),
+                              np.array(xs), np.array(ys))[0]:
+                want.add((qid, pid))
+    assert got == want and len(want) > 0

@@ -30,7 +30,10 @@ AUDITED = {
     "pip_join": [
         ("polygon-cell cover broadcast", r"BroadcastHashJoin|BroadcastExchange"),
         ("cell id computed JVM-side (no UDF before join)", r"FLOOR|floor"),
-        ("exact test is an Arrow-batched eval", r"ArrowEvalPython|EvalPython"),
+        # r5: the even-odd ray cast is a JVM aggregate() fold — the
+        # whole join is Python-free (no Arrow transfer of ring arrays)
+        ("exact test is a JVM fold (NO Python eval)",
+         r"ArrowEvalPython|BatchEvalPython", "absent"),
     ],
     "knn_join": [
         ("cell equi-join (prefilter), not a cross join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*\bcell\b|\[cell"),
