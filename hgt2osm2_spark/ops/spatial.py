@@ -12,7 +12,8 @@ res <= 16 keeps both indices under 2^24.
 
 Join strategies:
   PIP : polygons -> covering cells (explode, JVM-side) -> equi-join on
-        cell -> exact ray-crossing test in an Arrow-vectorized UDF.
+        cell -> exact ray-crossing test as an UNROLLED codegen
+        expression (r5; numpy fallback for >64-vertex rings).
         Polygon side is broadcast when small.
   kNN : query cell k-ring expand (explode) -> equi-join on cell ->
         planar squared distance -> Window row_number() <= k. Callers
