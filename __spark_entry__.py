@@ -692,6 +692,17 @@ def q_bm25(spark, sf_dir):
     return text.bm25_scores(d, ["join", "hash", "scan"])
 
 
+def q_tfidf_pairs(spark, sf_dir):
+    """TF-IDF cosine document-similarity pairs (r5) — the text-family
+    bridge into the similarity family: sparse postings self-join over a
+    df-bounded vocabulary (max_df bounds the candidate blow-up), exact
+    int64 milli-unit dot products and norms (the BM25 fixed-point
+    pattern), one final fixed double expression. Oracle: the whole
+    derivation re-computed in DuckDB SQL."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return text.tfidf_cosine_pairs(d, min_sim=0.2, min_df=2, max_df=50)
+
+
 def q_quantize_int8(spark, sf_dir):
     """Per-vector symmetric int8 scalar quantization of the embeddings
     table (r4) — the 4x compression tier below PQ. Pure JVM fold +
@@ -1540,6 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "time_functions": q_time_functions,
         "percentiles": q_percentiles,
+        # r5 addition (tail; mirror-checked + tested this round)
+        "tfidf_pairs": q_tfidf_pairs,
     }
 
 
@@ -1700,6 +1713,47 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(w_micro) AS score_micro
         FROM w GROUP BY doc_id
+    """
+    # TF-IDF cosine pairs (r5): same fixed-point discipline — int64
+    # milli-unit weights, exact integer dots/norms, one final fixed
+    # double expression; the df-bounded vocabulary (2 <= df_t <= 50)
+    # defines both candidate generation AND the similarity space, so
+    # the oracle applies the identical bound
+    golden["tfidf_pairs"] = f"""
+        WITH toks AS ({_toks} AND doc_id < 400),
+        tc AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ),
+        agg AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tc),
+        dft AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tc GROUP BY term
+            HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50
+        ),
+        w AS (
+            SELECT tc.doc_id, tc.term,
+                   CAST(ROUND(tf * ROUND(ln(CAST((SELECT n FROM agg) AS DOUBLE)
+                                             / df_t), 6) * 1000.0, 0)
+                        AS BIGINT) AS w_milli
+            FROM tc JOIN dft USING (term)
+        ),
+        norms AS (
+            SELECT doc_id, SUM(w_milli * w_milli) AS norm2 FROM w GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_shared_terms,
+                   SUM(a.w_milli * b.w_milli) AS dot
+            FROM w a JOIN w b USING (term)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_shared_terms,
+               ROUND(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
+        FROM pairs
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE ROUND(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) >= 0.2
     """
     # IVF-PQ: the oracle COMPUTES the ADC shortlist (rerank*k=40 by
     # adc desc, p_id asc) and the exact-cosine re-rank (top k=5) in

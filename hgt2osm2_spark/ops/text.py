@@ -243,3 +243,77 @@ def bm25_scores(df: DataFrame, query_terms: list[str], k1: float = 1.2,
             F.sum("w_micro").alias("score_micro"),
         )
     )
+
+
+def tfidf_cosine_pairs(df: DataFrame, min_sim: float = 0.2, min_df: int = 2,
+                       max_df: int | None = None, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs over the df-bounded
+    vocabulary: (doc_a, doc_b, n_shared_terms, cosine) for doc_a <
+    doc_b with cosine >= min_sim. The text-family bridge into the
+    similarity family — semantic near-dup candidates without an
+    embedding model.
+
+    Exactness (the BM25 fixed-point pattern): per-(doc, term) weights
+    are tf * round(ln(N / df_t), 6) rounded to 1e-3 MILLI-UNITS and
+    cast to int64, so dot products and squared norms are EXACT integer
+    sums — invariant to partitioning and addend order, and the DuckDB
+    oracle re-derives the whole thing bit-comparably. The only float
+    step is the final dot / (sqrt(norm_a) * sqrt(norm_b)), a fixed
+    expression over exactly-representable int64s (milli-units keep
+    norms < 2^53).
+
+    Scale shape: candidate pairs come from the postings self-join on
+    term — O(sum df_t^2), which is exactly what `max_df` bounds
+    (stopword-like terms leave CANDIDATE GENERATION; the similarity is
+    then defined over the capped vocabulary, consistently for engine
+    and oracle — bounded, not silently truncated). The df table is
+    broadcast; one bounded driver scalar (N). term_counts is computed
+    once and cached; released on the next text-family call."""
+    release_caches()
+    tc = term_counts(df, text_col, id_col).cache()
+    _LIVE_CACHES.append(tc)
+    n_docs = int(tc.select(F.countDistinct("doc_id")).collect()[0][0])
+
+    dft = tc.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
+    dft = dft.where(F.col("df_t") >= int(min_df))
+    if max_df is not None:
+        dft = dft.where(F.col("df_t") <= int(max_df))
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df_t")), 6)
+    w = (
+        tc.join(F.broadcast(dft), "term")
+        .withColumn(
+            "w_milli",
+            F.round(F.col("tf") * idf * 1000.0, 0).cast("long"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w_milli") * F.col("w_milli")).alias("norm2")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term",
+                 F.col("w_milli").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term",
+                 F.col("w_milli").alias("wb"))
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("norm2").alias("norm2_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("norm2").alias("norm2_b"))
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("norm2_a")) * F.sqrt(F.col("norm2_b"))), 6
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= float(min_sim))
+        .select("doc_a", "doc_b", "n_shared_terms", "cosine")
+    )

@@ -180,3 +180,34 @@ def test_marching_c_equals_numpy_twin():
         a = marching.extract_segments(g, 10, 0.25, cell_lo=lo, cell_hi=hi, y_base=ybase)
         b = py_extract(g, 10, 0.25, cell_lo=lo, cell_hi=hi, y_base=ybase)
         assert np.array_equal(a, b)
+
+
+@pytest.mark.skipif(not stitch_cext.available(), reason="no C compiler")
+def test_stitch_c_on_adversarial_segment_streams():
+    """Drive the C stitch's stage-1/3 logic (umdrehen keying, duplicate
+    rejection, sorted row/key gathering) directly with random SEG_DTYPE
+    streams — duplicate and reversed-duplicate segments, shared
+    endpoints across rows and levels, interleaved emission — far
+    outside what marching squares emits. Must equal the readable
+    reference twin exactly."""
+    rng = np.random.default_rng(31)
+    for trial in range(120):
+        n = int(rng.integers(1, 120))
+        seg = np.empty(n, dtype=marching.SEG_DTYPE)
+        # small coordinate/row/level universes force collisions
+        seg["y"] = rng.integers(0, 4, n)
+        seg["level"] = rng.integers(-1, 3, n) * int(rng.choice([10, 20]))
+        pts = rng.integers(0, 5, (n, 4)) * 0.5
+        seg["x1"], seg["y1"], seg["x2"], seg["y2"] = pts.T
+        if n > 3 and rng.random() < 0.5:
+            # inject exact duplicates and reversed duplicates
+            src = int(rng.integers(0, n - 1))
+            seg[src + 1] = seg[src]
+            if rng.random() < 0.5:
+                seg["x1"][src + 1], seg["x2"][src + 1] = (
+                    seg["x2"][src], seg["x1"][src])
+                seg["y1"][src + 1], seg["y2"][src + 1] = (
+                    seg["y2"][src], seg["y1"][src])
+        fast = stitch.stitch_tile(seg)
+        ref = stitch.stitch_tile_reference(seg)
+        assert fast == ref, f"trial {trial}"

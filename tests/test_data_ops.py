@@ -719,3 +719,32 @@ def test_int8_quantization_error_bound(embs, spark):
         # the published scale is rounded to 9 decimals, adding up to
         # |code| * 5e-10 on top of the quantization half-step
         assert np.abs(codes * scale - x).max() <= scale / 2 + 127 * 5e-10
+
+
+def test_tfidf_cosine_pairs_exactness_and_sanity(docs, spark):
+    """TF-IDF cosine pairs (r5): partition-invariant (exact int64
+    milli-unit dots/norms), symmetric-bounded (0 < cosine <= 1 + tiny
+    rounding), ordered doc_a < doc_b, and a document paired with an
+    exact duplicate of itself scores cosine 1.0."""
+    import pandas as pd
+
+    d = docs.limit(150)
+    a = {(r["doc_a"], r["doc_b"]): (r["n_shared_terms"], r["cosine"])
+         for r in text.tfidf_cosine_pairs(d, min_sim=0.1, max_df=60).collect()}
+    b = {(r["doc_a"], r["doc_b"]): (r["n_shared_terms"], r["cosine"])
+         for r in text.tfidf_cosine_pairs(
+             d.repartition(13), min_sim=0.1, max_df=60).collect()}
+    assert a == b and len(a) > 0
+    for (da, db), (_ns, cos) in a.items():
+        assert da < db
+        assert 0.1 <= cos <= 1.000001
+
+    # exact duplicate doc -> cosine 1.0 with its source
+    src = d.limit(1).collect()[0]
+    dup = spark.createDataFrame(pd.DataFrame([{
+        "doc_id": 10_000_000, "text": src["text"], "lang": src["lang"],
+        "source": src["source"], "n_chars": src["n_chars"]}]))
+    both = d.unionByName(dup.select(*d.columns))
+    pairs = {(r["doc_a"], r["doc_b"]): r["cosine"]
+             for r in text.tfidf_cosine_pairs(both, min_sim=0.5).collect()}
+    assert pairs[(src["doc_id"], 10_000_000)] == 1.0
