@@ -131,6 +131,8 @@ def main():
         "tile_pyramid",
         "bm25",
         "quantize_int8",
+        # r5: tf-idf cosine pairs (postings self-join, fixed-point)
+        "tfidf_pairs",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the
