@@ -684,21 +684,27 @@ def q_inverted_index(spark, sf_dir):
 
 def q_bm25(spark, sf_dir):
     """Okapi BM25 relevance of a fixed 3-term query against every
-    document (r4). Scores are exact fixed-point micro-units (per-term
-    weights rounded to 1e-6 then summed as int64) so the aggregation is
-    order-invariant and bit-comparable; idf is rounded straight out of
-    ln(). Oracle: the full formula re-derived in DuckDB SQL."""
+    document (r4; r6-hardened after the r5 driver hash failure). Each
+    per-term weight is an EXACT int64 rational — idf_micro pinned via
+    Python libm on |q| collected df_t scalars, then integer multiplies
+    and ONE explicit half-up integer division (2p+q) div (2q) — so no
+    double is ever ROUNDed and the per-doc sum is exact integer
+    arithmetic, order- and engine-invariant. Oracle: the identical
+    rational re-derived in DuckDB SQL (ln is the single float op)."""
     d = _t(spark, sf_dir, "documents")
     return text.bm25_scores(d, ["join", "hash", "scan"])
 
 
 def q_tfidf_pairs(spark, sf_dir):
-    """TF-IDF cosine document-similarity pairs (r5) — the text-family
-    bridge into the similarity family: sparse postings self-join over a
-    df-bounded vocabulary (max_df bounds the candidate blow-up), exact
-    int64 milli-unit dot products and norms (the BM25 fixed-point
-    pattern), one final fixed double expression. Oracle: the whole
-    derivation re-computed in DuckDB SQL."""
+    """TF-IDF cosine document-similarity pairs (r5; r6-hardened) — the
+    text-family bridge into the similarity family: sparse postings
+    self-join over a df-bounded vocabulary (max_df bounds the candidate
+    blow-up), exact int64 milli-unit weights tf * idf_milli (idf pinned
+    via Python libm over the <=49 possible df_t values), exact integer
+    dots/norms, and the similarity emitted as int64 cosine_micro =
+    floor(dot/(sqrt*sqrt)*1e6 + 0.5) — every op IEEE-exactly-rounded,
+    so no cross-engine ROUND anywhere. Oracle: the whole derivation
+    re-computed in DuckDB SQL."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
     return text.tfidf_cosine_pairs(d, min_sim=0.2, min_df=2, max_df=50)
 
@@ -1690,6 +1696,16 @@ def oracle_sql() -> dict[str, str]:
                END AS codes
         FROM m
     """
+    # BM25 (r6 hardened): the weight is an exact int64 rational —
+    # with k1=1.2, b=0.75: num = idf_micro*tf*2200*tot, den =
+    # 1000*tot*tf + 300*tot + 900*n*dl, w_micro = (2*num+den)//(2*den)
+    # (floor division, both operands positive -> identical in Spark's
+    # `div` and DuckDB's `//`). idf_micro = floor(ln(...)*1e6 + 0.5)
+    # is the ONLY float op (Spark side pins it via Python libm on |q|
+    # collected df_t scalars; margin test pins >=1e-6 distance from
+    # the flip boundary on the real datasets). No ROUND anywhere, so
+    # Spark's BigDecimal HALF_UP vs DuckDB's float-space ROUND (the
+    # r5 hash failure) is out of the chain.
     golden["bm25"] = f"""
         WITH toks AS ({_toks}),
         tc AS (
@@ -1697,28 +1713,41 @@ def oracle_sql() -> dict[str, str]:
             FROM toks WHERE term <> '' GROUP BY doc_id, term
         ),
         stats AS (SELECT doc_id, SUM(tf) AS dl FROM tc GROUP BY doc_id),
-        agg AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM stats),
+        agg AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM stats),
         q AS (SELECT * FROM tc WHERE term IN ('join', 'hash', 'scan')),
         dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM q GROUP BY term),
+        idf AS (
+            SELECT term,
+                   CAST(FLOOR(ln((CAST((SELECT n FROM agg) AS DOUBLE) - df_t + 0.5)
+                                 / (df_t + 0.5) + 1.0) * 1000000.0 + 0.5)
+                        AS BIGINT) AS idf_micro
+            FROM dft
+        ),
         w AS (
             SELECT q.doc_id,
-                   CAST(ROUND(
-                       ROUND(ln((CAST((SELECT n FROM agg) AS DOUBLE) - df_t + 0.5)
-                                / (df_t + 0.5) + 1.0), 6)
-                       * (tf * 2.2)
-                       / (tf + 1.2 * (0.25 + (0.75 * dl)
-                          / ((SELECT tot FROM agg) * 1.0 / (SELECT n FROM agg))))
-                       * 1000000.0, 0) AS BIGINT) AS w_micro
-            FROM q JOIN dft USING (term) JOIN stats USING (doc_id)
+                   CAST((2 * (idf_micro * tf * 2200 * (SELECT tot FROM agg))
+                         + (1000 * (SELECT tot FROM agg) * tf
+                            + 300 * (SELECT tot FROM agg)
+                            + 900 * (SELECT n FROM agg) * dl))
+                        // (2 * (1000 * (SELECT tot FROM agg) * tf
+                                 + 300 * (SELECT tot FROM agg)
+                                 + 900 * (SELECT n FROM agg) * dl))
+                        AS BIGINT) AS w_micro
+            FROM q JOIN idf USING (term) JOIN stats USING (doc_id)
         )
-        SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(w_micro) AS score_micro
+        SELECT doc_id, COUNT(*) AS n_terms_hit,
+               CAST(SUM(w_micro) AS BIGINT) AS score_micro
         FROM w GROUP BY doc_id
     """
-    # TF-IDF cosine pairs (r5): same fixed-point discipline — int64
-    # milli-unit weights, exact integer dots/norms, one final fixed
-    # double expression; the df-bounded vocabulary (2 <= df_t <= 50)
-    # defines both candidate generation AND the similarity space, so
-    # the oracle applies the identical bound
+    # TF-IDF cosine pairs (r6 hardened like bm25): int64 milli-unit
+    # weights tf * idf_milli where idf_milli = floor(ln(N/df_t)*1000
+    # + 0.5) — exact integer dots/norms, NO cross-engine ROUND. The
+    # final similarity is cosine_micro = floor(dot/(sqrt*sqrt)*1e6 +
+    # 0.5): every op (int64<2^53 -> double, sqrt, *, /, floor) is
+    # IEEE-exactly-rounded so both engines produce the identical
+    # int64. The df-bounded vocabulary (2 <= df_t <= 50) defines both
+    # candidate generation AND the similarity space, so the oracle
+    # applies the identical bound; the gate is an integer compare.
     golden["tfidf_pairs"] = f"""
         WITH toks AS ({_toks} AND doc_id < 400),
         tc AS (
@@ -1732,28 +1761,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         w AS (
             SELECT tc.doc_id, tc.term,
-                   CAST(ROUND(tf * ROUND(ln(CAST((SELECT n FROM agg) AS DOUBLE)
-                                             / df_t), 6) * 1000.0, 0)
+                   CAST(tf * CAST(FLOOR(ln(CAST((SELECT n FROM agg) AS DOUBLE)
+                                           / df_t) * 1000.0 + 0.5) AS BIGINT)
                         AS BIGINT) AS w_milli
             FROM tc JOIN dft USING (term)
         ),
         norms AS (
-            SELECT doc_id, SUM(w_milli * w_milli) AS norm2 FROM w GROUP BY doc_id
+            SELECT doc_id, CAST(SUM(w_milli * w_milli) AS BIGINT) AS norm2
+            FROM w GROUP BY doc_id
         ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    COUNT(*) AS n_shared_terms,
-                   SUM(a.w_milli * b.w_milli) AS dot
+                   CAST(SUM(a.w_milli * b.w_milli) AS BIGINT) AS dot
             FROM w a JOIN w b USING (term)
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT doc_a, doc_b, n_shared_terms,
-               ROUND(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
+               CAST(FLOOR(dot / (sqrt(na.norm2) * sqrt(nb.norm2))
+                          * 1000000.0 + 0.5) AS BIGINT) AS cosine_micro
         FROM pairs
         JOIN norms na ON na.doc_id = doc_a
         JOIN norms nb ON nb.doc_id = doc_b
-        WHERE ROUND(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) >= 0.2
+        WHERE CAST(FLOOR(dot / (sqrt(na.norm2) * sqrt(nb.norm2))
+                         * 1000000.0 + 0.5) AS BIGINT) >= 200000
     """
     # IVF-PQ: the oracle COMPUTES the ADC shortlist (rerank*k=40 by
     # adc desc, p_id asc) and the exact-cosine re-rank (top k=5) in

@@ -27,7 +27,10 @@ def build_lib(name: str, source: str) -> ctypes.CDLL:
     so_path = os.path.join(so_dir, f"{name}_{digest}.so")
     if not os.path.exists(so_path):
         os.makedirs(so_dir, exist_ok=True)
-        with tempfile.TemporaryDirectory() as td:
+        # build INSIDE so_dir so the final os.replace is a same-filesystem
+        # atomic rename (a /tmp tempdir raises EXDEV on tmpfs hosts, which
+        # available() would swallow and silently disable every C path)
+        with tempfile.TemporaryDirectory(dir=so_dir) as td:
             src = os.path.join(td, f"{name}.c")
             with open(src, "w") as f:
                 f.write(source)

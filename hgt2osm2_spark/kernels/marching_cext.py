@@ -237,7 +237,7 @@ def run(P: np.ndarray, d: int, fake: float, c0: int, c1: int, yb: int,
         cap_hint: int):
     """March over the padded SW-origin float64 grid P ((H+2) x (W+2)).
     Returns (y, level, x1, y1, x2, y2) arrays in emission order, or
-    None if the C path declined. Retries with a doubled buffer on
+    None if the C path declined. Retries with a 4x-grown buffer on
     capacity overflow."""
     Hp, Wp = P.shape
     H, W = Hp - 2, Wp - 2

@@ -169,7 +169,12 @@ def pip_join(
     # _PIP_UNROLL_MAX fall back to the vectorized numpy ray cast via a
     # pandas UDF.
     max_n = polygons.agg(F.max(F.size("xs"))).first()[0] or 0
-    if max_n <= _PIP_UNROLL_MAX:
+    if max_n == 0:
+        # empty polygon side: no ring can contain anything; short-circuit
+        # before the unrolled loop (which would otherwise build no
+        # predicate and pass None to filter)
+        hit = cand.filter(F.lit(False))
+    elif max_n <= _PIP_UNROLL_MAX:
         px, py = F.col("lon"), F.col("lat")
         n = F.size("xs")
         inside = None

@@ -8,6 +8,8 @@ Arrow-vectorized UDF. Operates on the documents table
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
@@ -198,45 +200,83 @@ def bm25_scores(df: DataFrame, query_terms: list[str], k1: float = 1.2,
     """Okapi BM25 of a fixed term query against every document:
     (doc_id, n_terms_hit, score_micro).
 
-    score_micro is the score in FIXED-POINT MICRO-UNITS: each per-term
-    weight is rounded to 1e-6 and cast to int64 BEFORE the per-doc sum,
-    so the aggregation is exact integer arithmetic — invariant to
-    partitioning and addend order (float sums are not associative) and
-    bit-comparable across engines. idf is likewise rounded to 6
-    decimals straight out of ln() so a last-ulp libm difference cannot
-    propagate.
+    score_micro is the score in FIXED-POINT MICRO-UNITS computed by
+    EXACT INT64 RATIONAL arithmetic (r6, after the r5 driver hash
+    failure): with k1 = k1n/10 and b = bn/100,
+
+        w_micro = halfup( idf_micro * tf * (k1n+10)*100 * tot
+                          / (1000*tot*tf + k1n*(100-bn)*tot
+                             + k1n*bn*n*dl) )
+
+    where halfup(p/q) for p,q > 0 is the ONE explicitly-specified
+    integer division rule ``(2p + q) div (2q)`` — floor division in
+    both engines, so no double is ever rounded to produce a weight and
+    Spark's BigDecimal HALF_UP vs DuckDB's float-space ROUND can never
+    diverge. idf_micro itself is PINNED: the |q| df_t values are
+    collected (bounded driver scalars) and idf_micro =
+    floor(ln((N - df_t + 0.5)/(df_t + 0.5) + 1) * 1e6 + 0.5) is
+    computed ONCE in Python and broadcast as a literal lookup, so the
+    JVM's Math.log (documented 1-ulp-allowed error) is out of the
+    chain entirely. The single residual float op in the whole operator
+    is that one ln per query term; its flip window is ~1e-9 wide and
+    tests/test_data_ops.py pins a >=1e-6 margin on the real datasets.
+
+    Overflow: the guard below asserts 2*max_num < 2^63 from driver
+    scalars (Spark int64 wraps silently; DuckDB errors — the guard
+    makes both loud). At 10^12-doc scale move num/den to decimal(38,0)
+    in both engines; the rule itself is width-agnostic.
 
     Scale shape: term stats (df_t per query term, |q| rows) broadcast;
-    doc length comes from the same term_counts pass; N/avgdl are two
-    driver scalars from one bounded agg. The shared term_counts frame
-    is cached (one tokenization pass feeds the scalars job, dl, q and
-    dft); the cache is registered and released on the NEXT call (the
-    knn_join pattern) so repeated calls in a long-lived session don't
-    accumulate storage."""
+    doc length comes from the same term_counts pass; N/tot/max(dl) are
+    three driver scalars from one bounded agg. The shared term_counts
+    frame is cached (one tokenization pass feeds the scalars job, dl,
+    q and dft); the cache is registered and released on the NEXT call
+    (the knn_join pattern) so repeated calls in a long-lived session
+    don't accumulate storage."""
     release_caches()
+    k1n, bn = int(round(k1 * 10)), int(round(b * 100))
+    if abs(k1n / 10.0 - k1) > 1e-12 or abs(bn / 100.0 - b) > 1e-12:
+        raise ValueError("k1 must be a multiple of 0.1 and b of 0.01 "
+                         "for the exact integer-rational weight")
     tc = term_counts(df, text_col, id_col).cache()
     _LIVE_CACHES.append(tc)
     stats = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     row = stats.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("tot")
+        F.count("*").alias("n"), F.sum("dl").alias("tot"),
+        F.max("dl").alias("dl_max"),
     ).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["tot"]) / max(int(row["n"]), 1)
+    n_docs, tot = int(row["n"]), int(row["tot"] or 0)
+    dl_max = int(row["dl_max"] or 0)
 
     q = tc.where(F.col("term").isin([t.lower() for t in query_terms]))
-    dft = q.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
-    idf = F.round(
-        F.log((F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0),
-        6,
-    )
-    w = (
-        idf
-        * (F.col("tf") * (k1 + 1.0))
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-    )
+    dft_rows = q.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")).collect()
+    idf_rows = [
+        (r["term"], int(math.floor(
+            math.log((n_docs - r["df_t"] + 0.5) / (r["df_t"] + 0.5) + 1.0)
+            * 1_000_000.0 + 0.5)))
+        for r in dft_rows
+    ]
+    if not idf_rows:
+        return (df.sparkSession.createDataFrame(
+            [], "doc_id long, n_terms_hit long, score_micro long"))
+    idf_max = max(i for _t, i in idf_rows)
+    if 2 * idf_max * dl_max * (k1n + 10) * 100 * tot >= 2 ** 63:
+        raise OverflowError(
+            "bm25 int64 rational would overflow; use decimal(38,0)")
+    idf_tbl = df.sparkSession.createDataFrame(
+        idf_rows, "term string, idf_micro long")
+    num = (F.col("idf_micro") * F.col("tf")
+           * F.lit((k1n + 10) * 100) * F.lit(tot))
+    den = (F.lit(1000 * tot) * F.col("tf")
+           + F.lit(k1n * (100 - bn) * tot)
+           + F.lit(k1n * bn * n_docs) * F.col("dl"))
     return (
-        q.join(F.broadcast(dft), "term")
+        q.join(F.broadcast(idf_tbl), "term")
         .join(stats, "doc_id")
-        .withColumn("w_micro", F.round(w * 1_000_000.0, 0).cast("long"))
+        .withColumn("w_num", num.cast("long"))
+        .withColumn("w_den", den.cast("long"))
+        .withColumn("w_micro", F.expr("(2 * w_num + w_den) div (2 * w_den)"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_terms_hit"),
@@ -249,19 +289,31 @@ def tfidf_cosine_pairs(df: DataFrame, min_sim: float = 0.2, min_df: int = 2,
                        max_df: int | None = None, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Sparse TF-IDF cosine similarity pairs over the df-bounded
-    vocabulary: (doc_a, doc_b, n_shared_terms, cosine) for doc_a <
-    doc_b with cosine >= min_sim. The text-family bridge into the
-    similarity family — semantic near-dup candidates without an
-    embedding model.
+    vocabulary: (doc_a, doc_b, n_shared_terms, cosine_micro) for
+    doc_a < doc_b with cosine_micro >= round(min_sim * 1e6). The
+    text-family bridge into the similarity family — semantic near-dup
+    candidates without an embedding model.
 
-    Exactness (the BM25 fixed-point pattern): per-(doc, term) weights
-    are tf * round(ln(N / df_t), 6) rounded to 1e-3 MILLI-UNITS and
-    cast to int64, so dot products and squared norms are EXACT integer
-    sums — invariant to partitioning and addend order, and the DuckDB
-    oracle re-derives the whole thing bit-comparably. The only float
-    step is the final dot / (sqrt(norm_a) * sqrt(norm_b)), a fixed
-    expression over exactly-representable int64s (milli-units keep
-    norms < 2^53).
+    Exactness (the r6 hardened fixed-point pattern — no cross-engine
+    ROUND anywhere): per-(doc, term) weights are tf * idf_milli where
+    idf_milli = floor(ln(N / df_t) * 1000 + 0.5) is an int64, so
+    weights, dot products and squared norms are EXACT integer sums —
+    invariant to partitioning and addend order, and the DuckDB oracle
+    re-derives the whole thing bit-comparably. When max_df is set,
+    df_t ranges over the CLOSED interval [min_df, max_df], so the
+    idf_milli lookup is computed ONCE in Python over those <=
+    (max_df - min_df + 1) values and broadcast — like bm25, the JVM's
+    1-ulp-allowed Math.log leaves the chain (with max_df=None the
+    vocabulary is unbounded and the floor(ln*1000 + 0.5) expression
+    runs in-engine; documented residual). The final similarity is
+    emitted as cosine_micro = floor(dot / (sqrt(norm2_a) *
+    sqrt(norm2_b)) * 1e6 + 0.5), an int64: every op in that expression
+    (int64->double conversion < 2^53, sqrt, *, /, floor) is
+    IEEE-exactly-rounded and therefore bit-identical across engines —
+    `+ 0.5` then floor gives half-up at the DOUBLE level, sidestepping
+    Spark's BigDecimal-vs-float ROUND divergence that killed bm25 in
+    r5. The min_sim gate compares cosine_micro against an integer
+    threshold.
 
     Scale shape: candidate pairs come from the postings self-join on
     term — O(sum df_t^2), which is exactly what `max_df` bounds
@@ -279,13 +331,24 @@ def tfidf_cosine_pairs(df: DataFrame, min_sim: float = 0.2, min_df: int = 2,
     dft = dft.where(F.col("df_t") >= int(min_df))
     if max_df is not None:
         dft = dft.where(F.col("df_t") <= int(max_df))
-    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df_t")), 6)
-    w = (
-        tc.join(F.broadcast(dft), "term")
-        .withColumn(
-            "w_milli",
-            F.round(F.col("tf") * idf * 1000.0, 0).cast("long"),
+        idf_rows = [
+            (d_, int(math.floor(
+                math.log(float(n_docs) / float(d_)) * 1000.0 + 0.5)))
+            for d_ in range(max(int(min_df), 1), int(max_df) + 1)
+            if d_ <= n_docs
+        ]
+        idf_tbl = df.sparkSession.createDataFrame(
+            idf_rows or [(1, 0)], "df_t long, idf_milli long")
+        dft = dft.join(F.broadcast(idf_tbl), "df_t")
+    else:
+        dft = dft.withColumn(
+            "idf_milli",
+            F.floor(F.log(F.lit(float(n_docs)) / F.col("df_t"))
+                    * 1000.0 + 0.5).cast("long"),
         )
+    w = (
+        tc.join(F.broadcast(dft.select("term", "idf_milli")), "term")
+        .withColumn("w_milli", (F.col("tf") * F.col("idf_milli")).cast("long"))
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w_milli") * F.col("w_milli")).alias("norm2")
@@ -307,13 +370,15 @@ def tfidf_cosine_pairs(df: DataFrame, min_sim: float = 0.2, min_df: int = 2,
                       F.col("norm2").alias("norm2_a"))
     nb = norms.select(F.col("doc_id").alias("doc_b"),
                       F.col("norm2").alias("norm2_b"))
-    cos = F.round(
-        F.col("dot") / (F.sqrt(F.col("norm2_a")) * F.sqrt(F.col("norm2_b"))), 6
-    )
+    cos_micro = F.floor(
+        F.col("dot") / (F.sqrt(F.col("norm2_a")) * F.sqrt(F.col("norm2_b")))
+        * 1_000_000.0 + 0.5
+    ).cast("long")
+    threshold = int(round(float(min_sim) * 1_000_000))
     return (
         pairs.join(na, "doc_a")
         .join(nb, "doc_b")
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= float(min_sim))
-        .select("doc_a", "doc_b", "n_shared_terms", "cosine")
+        .withColumn("cosine_micro", cos_micro)
+        .where(F.col("cosine_micro") >= threshold)
+        .select("doc_a", "doc_b", "n_shared_terms", "cosine_micro")
     )

@@ -1,5 +1,7 @@
 """Dedup / text / similarity / multimodal ops on the driver testdata."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -704,6 +706,55 @@ def test_inverted_index_postings_cap_at_scale_shape(docs, spark):
             assert r["postings"] == full["postings"]
 
 
+def test_ln_fixed_point_flip_margins():
+    """The single residual float op in the r6-hardened bm25 /
+    tfidf_pairs is one ln() per pinned idf value: idf is
+    floor(ln(x)*scale + 0.5), which flips only if ln(x)*scale + 0.5
+    lands within ~1e-9 (a few ulps) of an integer. Pin a >=1e-6 margin
+    (1000x headroom) for every (N, df_t) the driver datasets can
+    produce, so a different libm/DuckDB build on the driver cannot flip
+    any pinned integer."""
+    import duckdb
+    import math
+
+    def margin(y: float) -> float:
+        return min(y - math.floor(y), math.floor(y) + 1 - y)
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+            continue
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        toks = ("SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),"
+                " '\\s+')) AS term FROM documents WHERE trim(text) <> ''")
+        # bm25: N over all docs, df_t per query term
+        n_docs, = con.execute(
+            f"WITH t AS ({toks}) SELECT COUNT(DISTINCT doc_id) FROM t"
+        ).fetchone()
+        rows = con.execute(
+            f"WITH t AS ({toks}) SELECT term, COUNT(DISTINCT doc_id) FROM t "
+            "WHERE term IN ('join','hash','scan') GROUP BY term"
+        ).fetchall()
+        assert rows
+        for term, df_t in rows:
+            y = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) * 1e6 + 0.5
+            assert margin(y) > 1e-6, (sf_dir, "bm25", term, y)
+        # tfidf_pairs: N over doc_id<400 docs; df_t ranges over [2, 50]
+        n4, = con.execute(
+            f"WITH t AS ({toks} AND doc_id < 400) "
+            "SELECT COUNT(DISTINCT doc_id) FROM t"
+        ).fetchone()
+        for d in range(2, 51):
+            if d > n4:
+                break
+            y = math.log(float(n4) / float(d)) * 1000.0 + 0.5
+            assert margin(y) > 1e-6, (sf_dir, "tfidf", d, y)
+        con.close()
+
+
 def test_int8_quantization_error_bound(embs, spark):
     """Reconstruction code*scale stays within scale/2 of the source
     elementwise, and the max-magnitude element always hits ±127."""
@@ -729,22 +780,24 @@ def test_tfidf_cosine_pairs_exactness_and_sanity(docs, spark):
     import pandas as pd
 
     d = docs.limit(150)
-    a = {(r["doc_a"], r["doc_b"]): (r["n_shared_terms"], r["cosine"])
+    a = {(r["doc_a"], r["doc_b"]): (r["n_shared_terms"], r["cosine_micro"])
          for r in text.tfidf_cosine_pairs(d, min_sim=0.1, max_df=60).collect()}
-    b = {(r["doc_a"], r["doc_b"]): (r["n_shared_terms"], r["cosine"])
+    b = {(r["doc_a"], r["doc_b"]): (r["n_shared_terms"], r["cosine_micro"])
          for r in text.tfidf_cosine_pairs(
              d.repartition(13), min_sim=0.1, max_df=60).collect()}
     assert a == b and len(a) > 0
-    for (da, db), (_ns, cos) in a.items():
+    for (da, db), (_ns, cm) in a.items():
         assert da < db
-        assert 0.1 <= cos <= 1.000001
+        assert isinstance(cm, int)
+        assert 100_000 <= cm <= 1_000_000  # half-up keeps exact 1.0 at 1e6
 
-    # exact duplicate doc -> cosine 1.0 with its source
+    # exact duplicate doc -> cosine_micro exactly 1_000_000 with its
+    # source (half-up at the double level absorbs the sqrt(x)^2 ulp)
     src = d.limit(1).collect()[0]
     dup = spark.createDataFrame(pd.DataFrame([{
         "doc_id": 10_000_000, "text": src["text"], "lang": src["lang"],
         "source": src["source"], "n_chars": src["n_chars"]}]))
     both = d.unionByName(dup.select(*d.columns))
-    pairs = {(r["doc_a"], r["doc_b"]): r["cosine"]
+    pairs = {(r["doc_a"], r["doc_b"]): r["cosine_micro"]
              for r in text.tfidf_cosine_pairs(both, min_sim=0.5).collect()}
-    assert pairs[(src["doc_id"], 10_000_000)] == 1.0
+    assert pairs[(src["doc_id"], 10_000_000)] == 1_000_000

@@ -369,3 +369,14 @@ def test_pip_jvm_fold_matches_raycast_on_star_polygons(spark):
                               np.array(xs), np.array(ys))[0]:
                 want.add((qid, pid))
     assert got == want and len(want) > 0
+
+
+def test_pip_join_empty_polygons(spark):
+    """ADVICE r5: an empty polygon side must short-circuit to an empty
+    result (the unrolled-expression path built no predicate and passed
+    None to filter)."""
+    pts = spark.createDataFrame([(1, 0.5, 0.5)], "q_id long, lat double, lon double")
+    polys = spark.createDataFrame([], "poly_id long, xs array<double>, ys array<double>")
+    out = spatial.pip_join(pts, polys)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "poly_id", "lat", "lon"]

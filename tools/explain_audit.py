@@ -30,9 +30,10 @@ AUDITED = {
     "pip_join": [
         ("polygon-cell cover broadcast", r"BroadcastHashJoin|BroadcastExchange"),
         ("cell id computed JVM-side (no UDF before join)", r"FLOOR|floor"),
-        # r5: the even-odd ray cast is a JVM aggregate() fold — the
-        # whole join is Python-free (no Arrow transfer of ring arrays)
-        ("exact test is a JVM fold (NO Python eval)",
+        # r5: the even-odd ray cast is an unrolled JVM CaseWhen/element_at
+        # chain (aggregate() lambdas run interpreted and trip a pushdown
+        # bug) — the whole join is Python-free (no ring-array Arrow xfer)
+        ("exact test is an unrolled JVM expression (NO Python eval)",
          r"ArrowEvalPython|BatchEvalPython", "absent"),
     ],
     "knn_join": [
