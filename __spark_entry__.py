@@ -1443,30 +1443,20 @@ def q_tile_pip_flagship(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver gate evaluates only the FIRST
-    # 50 entries of this dict (VERDICT r2 finding #2). Round-5 rotation
-    # (VERDICT r4 "Next round" #2): the 13 queries that have never had a
-    # driver hash-check — the 7 r3-tail residents (dedup_clusters,
-    # phash_near_dup, zorder_layout, domain_cap, pack_sequences,
-    # stream_image_stats, haversine_bands) and the 6 r4 additions
-    # (contour_nodes_banded, pyfiles_contour, term_counts,
-    # inverted_index, bm25, quantize_int8) — move INSIDE the window;
-    # 13 four-times-driver-green queries rotate out. After this round,
-    # every query in the registry has at least one driver hash-check on
-    # record. Everything past the boundary stays value-checked every
+    # 50 entries of this dict (VERDICT r2 finding #2). Round-6 rotation
+    # (VERDICT r5 "Next round" #2 and #7): 14 swaps — the r6-hardened
+    # tfidf_pairs (the one registry entry never driver-checked) moves
+    # INSIDE the window together with the 13 residents whose last driver
+    # check is r1-r4 (cell_index ... salted_skew_agg); 14 freshly
+    # r5-green entries rotate out (the 5-round-green contour family,
+    # decode_stats, the multimodal plumbing trio, decorations/crop and
+    # two raster sinks). bm25 STAYS in-window: its r5 row was the one
+    # hash FAIL, and the r6 integer-rational rewrite needs a green row
+    # on record. Everything past the boundary stays value-checked every
     # round by tools/check_entry.py (the gate mirror) + tests/.
     return {
-        # engine core: flagship + contour pipeline + decode (golden-oracled)
+        # engine core flagship (always in-window)
         "tile_pip_flagship": q_tile_pip_flagship,
-        "contour_nodes": q_contour_nodes,
-        "contour_ways": q_contour_ways,
-        "contour_metrics": q_contour_metrics,
-        "contour_geometry": q_contour_geometry,
-        "contour_readme_profile": q_contour_readme_profile,
-        "decode_stats": q_decode_stats,
-        # multimodal plumbing (golden-oracled)
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "frame_sample": q_frame_sample,
         # spatial layer (J3, J4)
         "knn_join": q_knn_join,
         "pip_join": q_pip_join,
@@ -1474,14 +1464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real-file ingestion (S2/S4) + robustness
         "hgt_zip_scan": q_hgt_zip_scan,
         "decode_quarantine": q_decode_quarantine,
-        # decorations + cross-tile stitch + crop
-        "show_points": q_show_points,
-        "show_areas": q_show_areas,
+        # cross-tile stitch + OSM sink + checkpoint/lineage
         "cross_tile_stitch": q_cross_tile_stitch,
-        "crop_stats": q_crop_stats,
-        # sinks + checkpoint/lineage (golden-oracled)
-        "arcinfo_sink": q_arcinfo_sink,
-        "geopng_sink": q_geopng_sink,
         "osm_xml_tiles": q_osm_xml_tiles,
         "checkpoint_lineage": q_checkpoint_lineage,
         # sketches / ANN (golden-oracled)
@@ -1490,7 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         # custom stateful streaming op (applyInPandasWithState)
         "stream_dedup": q_stream_dedup,
-        # r3 extension surface (first driver-checked in r4)
+        # r3 extension surface (driver-checked r4+r5)
         "image_stats": q_image_stats,
         "image_quarantine": q_image_quarantine,
         "audio_features": q_audio_features,
@@ -1501,8 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "compaction": q_compaction,
         "doc_split_sample": q_doc_split_sample,
-        # r3-tail residents, rotated INSIDE the window for round 5
-        # (never driver-hash-checked before)
+        # first driver-checked in r5, kept for a second consecutive row
         "dedup_clusters": q_dedup_clusters,
         "phash_near_dup": q_phash_near_dup,
         "zorder_layout": q_zorder_layout,
@@ -1510,17 +1493,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stream_image_stats": q_stream_image_stats,
         "haversine_bands": q_haversine,
-        # r4 additions, rotated INSIDE the window for round 5
-        # (never driver-hash-checked before)
         "contour_nodes_banded": q_contour_nodes_banded,
         "pyfiles_contour": q_pyfiles_contour,
         "term_counts": q_term_counts,
         "inverted_index": q_inverted_index,
+        # the r5 hash FAIL, r6-hardened to exact integer rationals —
+        # this round's green row is the fix's acceptance gate
         "bm25": q_bm25,
         "quantize_int8": q_quantize_int8,
-        # ---- driver window boundary (entry 50 ends above) ----
-        # rotated out in r5 (all four-times-driver-green r1-r4; still
-        # gate-mirror-checked + tested every round)
+        # rotated IN for r6: the only never-driver-checked entry,
+        # hardened alongside bm25 (int64 cosine_micro, pinned idf)
+        "tfidf_pairs": q_tfidf_pairs,
+        # rotated IN for r6: last driver check r1-r4 (stale residents)
         "cell_index": q_cell_index,
         "point_store": q_point_store,
         "tsv_sink": q_tsv_sink,
@@ -1534,6 +1518,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
         "salted_skew_agg": q_salted_skew_agg,
+        # ---- driver window boundary (entry 50 ends above) ----
+        # rotated out in r6 (fresh r5-green rows; contour family is
+        # 5-rounds-green; still gate-mirror-checked + golden/pytest
+        # value-checked every round)
+        "contour_nodes": q_contour_nodes,
+        "contour_ways": q_contour_ways,
+        "contour_metrics": q_contour_metrics,
+        "contour_geometry": q_contour_geometry,
+        "contour_readme_profile": q_contour_readme_profile,
+        "decode_stats": q_decode_stats,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "frame_sample": q_frame_sample,
+        "show_points": q_show_points,
+        "show_areas": q_show_areas,
+        "crop_stats": q_crop_stats,
+        "arcinfo_sink": q_arcinfo_sink,
+        "geopng_sink": q_geopng_sink,
         # rotated out in r4 (all driver-green in r1-r3; built-ins only
         # or event-time windows; still gate-mirror-checked every round)
         "pricing_summary": q_pricing_summary,
@@ -1557,8 +1559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "time_functions": q_time_functions,
         "percentiles": q_percentiles,
-        # r5 addition (tail; mirror-checked + tested this round)
-        "tfidf_pairs": q_tfidf_pairs,
     }
 
 

@@ -240,6 +240,220 @@ def stitch_polylines(segments: DataFrame, shuffle_partitions: int | None = None)
     return seg.groupBy("image_id", "level").applyInPandas(do_stitch, schema=POLYLINES_SCHEMA)
 
 
+# ------------------------------------------------- salted (skew-spread) stitch
+
+def _canonical_polyline(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Orientation/rotation-canonical form of one polyline: closed loops
+    rotate to start at the lexicographically smallest (x, y) vertex and
+    run toward the smaller neighbor; open chains run from the smaller
+    endpoint. Pure relabeling — vertex VALUES are untouched, so the
+    canonical form is engine- and decomposition-invariant."""
+    closed = bool(len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1])
+    if closed:
+        cx, cy = xs[:-1], ys[:-1]
+        n = len(cx)
+        keys = np.lexsort((cy, cx))
+        k = int(keys[0])
+        nxt, prv = (k + 1) % n, (k - 1) % n
+        fwd = (cx[nxt], cy[nxt]) <= (cx[prv], cy[prv])
+        idx = (np.arange(n) * (1 if fwd else -1) + k) % n
+        ox, oy = cx[idx], cy[idx]
+        ox, oy = np.append(ox, ox[0]), np.append(oy, oy[0])
+        return ox, oy, True
+    if (xs[0], ys[0]) > (xs[-1], ys[-1]):
+        return xs[::-1].copy(), ys[::-1].copy(), False
+    return xs.copy(), ys.copy(), False
+
+
+_CHAINS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("level", T.IntegerType(), False),
+        T.StructField("xs", T.ArrayType(T.DoubleType()), False),
+        T.StructField("ys", T.ArrayType(T.DoubleType()), False),
+        T.StructField("closed", T.BooleanType(), False),
+    ]
+)
+
+
+def salted_stitch_polylines(
+    segments: DataFrame,
+    band_h: int,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-spread variant of stitch_polylines (SURVEY §4.2 / VERDICT r5
+    #6): a hot (image_id, level) group — a mountain tile's busiest level
+    at SRTM-1 grain — no longer lands in ONE task.
+
+    Stage 1 stitches within (image_id, level, band) where band =
+    row_y div band_h, spreading the segment-heavy work over
+    ceil(tile_rows / band_h) tasks. Stage 2 merges ONLY the still-open
+    chains per (image_id, level) — marching-squares isolines are
+    degree-<=2 paths, so chains broken at band boundaries share interned
+    endpoint doubles and an endpoint-dict walk reassembles them; closed
+    (intra-band) chains never re-shuffle their vertex arrays into the
+    hot group. poly_ord is assigned by a window over a PROJECTED key
+    frame (first vertex, length, content hash) joined back, so the hot
+    group's task only ever sorts tiny rows.
+
+    Contract: the same polyline SET as stitch_polylines, in CANONICAL
+    orientation and order (pinned by property test) — NOT the
+    reference's surviving-list order. Callers that feed OSM ID
+    assignment (W1/W2 parity) must keep stitch_polylines, whose group is
+    bounded by one tile; this operator is the latency-tail fix when one
+    (tile, level) dominates."""
+    if band_h <= 0:
+        raise ValueError("band_h must be positive")
+
+    def stitch_band(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, level, _band = key
+        pdf = pdf.sort_values(["row_y", "seg_ord"])
+        seg = np.empty(len(pdf), dtype=marching.SEG_DTYPE)
+        seg["y"] = pdf["row_y"].to_numpy()
+        seg["level"] = pdf["level"].to_numpy()
+        for c in ("x1", "y1", "x2", "y2"):
+            seg[c] = pdf[c].to_numpy()
+        lvls, offs, fx, fy = stitch.stitch_tile_arrays(seg)
+        rows = []
+        for j, lv in enumerate(lvls.tolist()):
+            if lv != int(level):
+                continue
+            s, e = offs[j], offs[j + 1]
+            ox, oy, closed = _canonical_polyline(fx[s:e], fy[s:e])
+            rows.append({"image_id": image_id, "level": int(level),
+                         "xs": ox.tolist(), "ys": oy.tolist(),
+                         "closed": closed})
+        return pd.DataFrame(rows, columns=[f.name for f in _CHAINS_SCHEMA.fields])
+
+    seg = segments.withColumn(
+        "band", (F.col("row_y") / F.lit(int(band_h))).cast("int")
+    )
+    if shuffle_partitions:
+        seg = seg.repartition(shuffle_partitions, "image_id", "level", "band")
+    chains = seg.groupBy("image_id", "level", "band").applyInPandas(
+        stitch_band, schema=_CHAINS_SCHEMA
+    )
+    closed_chains = chains.where(F.col("closed"))
+    open_chains = chains.where(~F.col("closed"))
+
+    def merge_open(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, level = key
+        pieces = [(np.asarray(r.xs, np.float64), np.asarray(r.ys, np.float64))
+                  for r in pdf.itertuples(index=False)]
+        # endpoint -> [(piece, side)] incidence; degree <= 2 by the
+        # isoline path property, so maximal-path reassembly is unique
+        inc: dict[tuple, list[tuple[int, int]]] = {}
+        for i, (xs, ys) in enumerate(pieces):
+            for side in (0, -1):
+                inc.setdefault((xs[side], ys[side]), []).append((i, side))
+        used = [False] * len(pieces)
+
+        def walk(start: int, start_side: int) -> tuple[list, list]:
+            xs, ys = pieces[start]
+            if start_side == -1:
+                xs, ys = xs[::-1], ys[::-1]
+            out_x, out_y = list(xs), list(ys)
+            used[start] = True
+            while True:
+                tail = (out_x[-1], out_y[-1])
+                nxt = [(i, s) for i, s in inc.get(tail, []) if not used[i]]
+                if not nxt:
+                    return out_x, out_y
+                i, s = nxt[0]
+                px, py = pieces[i]
+                if s == -1:
+                    px, py = px[::-1], py[::-1]
+                out_x += list(px[1:])
+                out_y += list(py[1:])
+                used[i] = True
+
+        rows = []
+        # seed at free (degree-1) endpoints first: true open chains
+        for i, (xs, ys) in enumerate(pieces):
+            for side in (0, -1):
+                if used[i]:
+                    break
+                if len(inc[(xs[side], ys[side])]) == 1:
+                    ox, oy = walk(i, side)
+                    cx, cy, closed = _canonical_polyline(
+                        np.asarray(ox), np.asarray(oy))
+                    rows.append({"image_id": image_id, "level": int(level),
+                                 "xs": cx.tolist(), "ys": cy.tolist(),
+                                 "closed": closed})
+                    break
+        # leftovers are cycles assembled entirely from open pieces
+        # (a loop that crossed band boundaries on both sides)
+        for i in range(len(pieces)):
+            if not used[i]:
+                ox, oy = walk(i, 0)
+                if (ox[0], oy[0]) != (ox[-1], oy[-1]):
+                    ox.append(ox[0]); oy.append(oy[0])
+                cx, cy, closed = _canonical_polyline(
+                    np.asarray(ox), np.asarray(oy))
+                rows.append({"image_id": image_id, "level": int(level),
+                             "xs": cx.tolist(), "ys": cy.tolist(),
+                             "closed": closed})
+        return pd.DataFrame(rows, columns=[f.name for f in _CHAINS_SCHEMA.fields])
+
+    merged = open_chains.groupBy("image_id", "level").applyInPandas(
+        merge_open, schema=_CHAINS_SCHEMA
+    )
+    final = closed_chains.unionByName(merged)
+
+    # canonical poly_ord without concentrating vertex arrays: rank a
+    # PROJECTED key frame (tiny rows) per (image_id, level), join back
+    keyed = final.withColumn("x0", F.element_at("xs", 1)) \
+                 .withColumn("y0", F.element_at("ys", 1)) \
+                 .withColumn("n_pts", F.size("xs")) \
+                 .withColumn("chash", F.hash("xs", "ys"))
+    from pyspark.sql import Window
+
+    small = keyed.select("image_id", "level", "x0", "y0", "n_pts", "chash").distinct()
+    w = Window.partitionBy("image_id", "level").orderBy("x0", "y0", "n_pts", "chash")
+    ranked = small.withColumn("poly_ord", (F.row_number().over(w) - 1).cast("int"))
+    return (
+        keyed.join(ranked, ["image_id", "level", "x0", "y0", "n_pts", "chash"])
+        .select("image_id", "level", "poly_ord", "xs", "ys", "closed")
+    )
+
+
+def auto_stitch_polylines(
+    segments: DataFrame,
+    shuffle_partitions: int | None = None,
+    counts: DataFrame | None = None,
+    target_ratio: float = 4.0,
+    max_salt: int = 64,
+) -> tuple[DataFrame, int]:
+    """Metric-driven stitch dispatch (the §4.2 wiring): measure the
+    per-(image_id, level) segment histogram — or consume a PREVIOUS
+    run's checkpoint-lineage counts — plan a salt count with
+    ops.skew.plan_salt_count, and stitch plain (salt 1: bit-faithful
+    reference order, the parity path) or banded (hot groups spread over
+    ~n_salt row bands, canonical order). Returns (polylines, n_salt) so
+    callers and tests can assert which plan ran. The order contract
+    changes with the plan, so this is an explicit OPT-IN entry point —
+    ID-assignment parity consumers call stitch_polylines directly."""
+    from .skew import plan_salt_count, skew_stats
+
+    key_counts = counts if counts is not None else (
+        segments.groupBy("image_id", "level").agg(F.count("*").alias("n_rows"))
+    )
+    hmax_col = None
+    if counts is None:
+        # same measurement job also yields the row span for band sizing
+        row = segments.agg(
+            F.max("row_y").alias("hmax")).collect()[0]
+        hmax_col = int(row["hmax"] or 0)
+    n_salt = plan_salt_count(skew_stats(key_counts), target_ratio, max_salt)
+    if n_salt <= 1:
+        return stitch_polylines(segments, shuffle_partitions), 1
+    if hmax_col is None:
+        row = segments.agg(F.max("row_y").alias("hmax")).collect()[0]
+        hmax_col = int(row["hmax"] or 0)
+    band_h = max(1, -(-(hmax_col + 1) // n_salt))
+    return salted_stitch_polylines(segments, band_h, shuffle_partitions), n_salt
+
+
 def postprocess_polylines(
     polylines: DataFrame, tiles_dims: DataFrame, opt: ContourOptions | None = None,
     strict_reference: bool = True,

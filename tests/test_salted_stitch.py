@@ -1,0 +1,107 @@
+"""Salted (skew-spread) stitch — VERDICT r5 #6.
+
+A hot (image_id, level) group is the stitch shuffle's latency tail at
+SRTM-1 grain. salted_stitch_polylines stitches within row bands and
+merges boundary-crossing chains in a second, tiny group; the contract
+is SET equality with stitch_polylines under canonical orientation.
+auto_stitch_polylines plans the salt from the measured level histogram
+(ops.skew.plan_salt_count) and keeps the bit-faithful plain path for
+balanced data.
+"""
+
+import numpy as np
+import pytest
+
+from hgt2osm2_spark.kernels import codecs
+from hgt2osm2_spark.ops import contours
+from hgt2osm2_spark.sources.synthetic import tiles_df
+
+
+def _skewed_tile_df(spark, n=65):
+    """Left half: a +/-4 checkerboard around elevation 100 — every cell
+    crosses level 100 (the deliberately hot level). Right half: a
+    smooth ramp 5..60 crossing levels 20/40 once each (cold levels)."""
+    yy, xx = np.mgrid[0:n, 0:n]
+    grid = np.zeros((n, n), np.float64)
+    left = xx < n // 2
+    grid[left] = 100.0 + 4.0 * (((xx + yy) % 2)[left] * 2 - 1)
+    grid[~left] = 5.0 + 55.0 * (yy[~left] / (n - 1))
+    g16 = np.rint(grid).astype(np.int16)
+    row = {
+        "image_id": "n00e000_0",
+        "bytes": codecs.encode(g16, "hgt"),
+        "w": n,
+        "h": n,
+        "fmt": "hgt",
+        "caption": "skewed fixture",
+        "phash": 0,
+    }
+    return spark.createDataFrame([row])
+
+
+def _canon_set(rows):
+    out = []
+    for r in rows:
+        xs, ys, closed = contours._canonical_polyline(
+            np.asarray(r["xs"], np.float64), np.asarray(r["ys"], np.float64)
+        )
+        out.append((r["level"], closed, tuple(xs.tolist()), tuple(ys.tolist())))
+    assert len(out) == len(set(out)), "duplicate polyline in canonical set"
+    return set(out)
+
+
+def test_fixture_is_actually_skewed(spark):
+    seg = contours.extract_contour_segments(_skewed_tile_df(spark))
+    hist = {r["level"]: r["n"] for r in
+            seg.groupBy("level").count().withColumnRenamed("count", "n").collect()}
+    hot = hist[100]
+    cold = max(v for k, v in hist.items() if k != 100)
+    assert hot > 10 * cold
+
+
+def test_salted_stitch_matches_plain_on_skewed(spark):
+    seg = contours.extract_contour_segments(_skewed_tile_df(spark)).cache()
+    plain = contours.stitch_polylines(seg).collect()
+    salted = contours.salted_stitch_polylines(seg, band_h=8).collect()
+    assert _canon_set(salted) == _canon_set(plain)
+    assert len(plain) > 0
+    # poly_ord is dense and unique per (image_id, level)
+    per_group = {}
+    for r in salted:
+        per_group.setdefault((r["image_id"], r["level"]), []).append(r["poly_ord"])
+    for ords in per_group.values():
+        assert sorted(ords) == list(range(len(ords)))
+    seg.unpersist(blocking=False)
+
+
+@pytest.mark.parametrize("band_h", [1, 7, 64])
+def test_salted_stitch_matches_plain_random_tiles(spark, band_h):
+    tiles = tiles_df(spark, n_tiles=3, size=49, partitions=2)
+    seg = contours.extract_contour_segments(tiles).cache()
+    plain = contours.stitch_polylines(seg).collect()
+    salted = contours.salted_stitch_polylines(seg, band_h=band_h).collect()
+    assert _canon_set(salted) == _canon_set(plain) and len(plain) > 0
+    seg.unpersist(blocking=False)
+
+
+def test_auto_stitch_salts_hot_histogram_only(spark):
+    # skewed fixture -> the planner salts and the result still matches
+    seg_hot = contours.extract_contour_segments(_skewed_tile_df(spark)).cache()
+    out_hot, n_salt_hot = contours.auto_stitch_polylines(seg_hot)
+    assert n_salt_hot > 1
+    assert _canon_set(out_hot.collect()) == _canon_set(
+        contours.stitch_polylines(seg_hot).collect())
+    seg_hot.unpersist(blocking=False)
+
+    # balanced tiles -> plain plan, output IDENTICAL to stitch_polylines
+    # (bit-faithful reference order, not just canonical-set equal)
+    tiles = tiles_df(spark, n_tiles=2, size=33, partitions=2)
+    seg = contours.extract_contour_segments(tiles).cache()
+    out, n_salt = contours.auto_stitch_polylines(seg)
+    assert n_salt == 1
+    a = {(r["image_id"], r["level"], r["poly_ord"], tuple(r["xs"]), tuple(r["ys"]))
+         for r in out.collect()}
+    b = {(r["image_id"], r["level"], r["poly_ord"], tuple(r["xs"]), tuple(r["ys"]))
+         for r in contours.stitch_polylines(seg).collect()}
+    assert a == b and len(a) > 0
+    seg.unpersist(blocking=False)

@@ -187,6 +187,10 @@ def main() -> None:
     ap.add_argument("--arrow-sweep", action="store_true",
                     help="sweep Arrow maxRecordsPerBatch at local[8]/local[32]")
     ap.add_argument("--batches", type=int, nargs="+", default=(1024, 8192, 65536))
+    ap.add_argument("--suffix", default="",
+                    help="write BENCH/scaling<suffix>.json + "
+                         "BENCH/BASELINE<suffix>.md instead of the default "
+                         "files (e.g. _srtm1 for the native-grain pair)")
     args = ap.parse_args()
 
     if args.child is not None:
@@ -246,7 +250,7 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling.json", "w") as f:
+    with open(f"BENCH/scaling{args.suffix}.json", "w") as f:
         json.dump(summary, f, indent=2)
 
     level_rows = "\n".join(
@@ -258,9 +262,29 @@ def main() -> None:
         f" | {p['cpu_ratio']} | {'PASS' if p['pass'] else 'FAIL'} |"
         for p in pairs
     )
-    with open("BENCH/BASELINE.md", "w") as f:
+    # C-kernel on/off A/B (VERDICT r5 #8): recorded by tools/ckernel_ab.py
+    # into BENCH/ckernel_ab.json; surfaced here so the fallback's price
+    # tag lives in the main bench record
+    ab_section = ""
+    try:
+        with open("BENCH/ckernel_ab.json") as f:
+            ab = json.load(f)
+        ab_section = (
+            "\n## C-kernel fast path on/off A/B "
+            f"({ab['tiles']} tiles x {ab['tile_size']}^2, local[{ab['cores']}])\n\n"
+            "| kernels | wall (s) | throughput (images/sec) |\n|---|---|---|\n"
+            f"| C fast paths ON | {ab['on']['sec']} | {ab['on']['images_per_sec']} |\n"
+            f"| pure-Python fallback (HGT2OSM2_NO_CKERNEL=1) | "
+            f"{ab['off']['sec']} | {ab['off']['images_per_sec']} |\n\n"
+            f"The automatic fallback costs {ab['slowdown']}x on the headline "
+            "job — correct by the bit-equality property pins, but the C "
+            "build (lazy gcc, ~1 s once per host) is the production path.\n"
+        )
+    except (OSError, KeyError, ValueError):
+        pass
+    with open(f"BENCH/BASELINE{args.suffix}.md", "w") as f:
         f.write(
-            f"""# BENCH/BASELINE — measured numbers
+            f"""# BENCH/BASELINE{args.suffix} — measured numbers
 
 Headline stage (BASELINE.json metric): synthetic image tiles
 (input_hint schema) -> Arrow decode + marching-squares isolines ->
