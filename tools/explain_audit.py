@@ -154,17 +154,28 @@ def tfidf_candidate_bound(spark, sf_dir: str) -> str:
         F.sum(F.col("df_t") * (F.col("df_t") - 1) / 2).alias("cand"),
         F.max("df_t").alias("max_df_t"),
     ).collect()[0]
+    # the volume the gate EXCLUDES: the same sum over the >max_df
+    # (stopword-like) terms that leave candidate generation
+    hot = (text.term_counts(d)
+           .groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
+           .where(F.col("df_t") > 50)
+           .agg(F.count("*").alias("terms"),
+                F.sum(F.col("df_t") * (F.col("df_t") - 1) / 2).alias("cand"))
+           .collect()[0])
     n_docs = d.count()
     all_pairs = n_docs * (n_docs - 1) // 2
-    cand = int(row["cand"] or 0)
+    cand, hot_cand = int(row["cand"] or 0), int(hot["cand"] or 0)
     return (
         f"**Candidate bound (measured at {sf_dir}, max_df=50):** "
-        f"{row['terms']} vocabulary terms generate {cand:,} candidate "
-        f"rows (sum of C(df_t,2), max df_t {row['max_df_t']}) vs "
-        f"{all_pairs:,} all-pairs for {n_docs} docs — the max_df gate "
-        f"caps the self-join at {cand / max(all_pairs, 1):.1%} of "
-        f"quadratic, and the cap is a per-term constant, so candidate "
-        f"volume grows linearly in corpus size at fixed max_df."
+        f"{row['terms']} in-gate vocabulary terms generate {cand:,} "
+        f"candidate rows (sum of C(df_t,2), max df_t {row['max_df_t']}); "
+        f"the gate EXCLUDES {hot['terms']} stopword-like terms worth "
+        f"{hot_cand:,} candidates ({all_pairs:,} all-pairs for {n_docs} "
+        f"docs). Candidate volume at fixed max_df is sum-of-per-term "
+        f"constants — linear in corpus size, never quadratic. (The "
+        f"synthetic corpus has a deliberately tiny ~31-term vocabulary, "
+        f"so the in-gate band is small here; the excluded-volume number "
+        f"is what shows the valve working.)"
     )
 
 

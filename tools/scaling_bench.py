@@ -323,7 +323,7 @@ executors; the 8 -> 32 pair is reported as the worst-case bound.
 
 Reproduce: `python tools/scaling_bench.py`
 (env: SCALE_TILES={N_TILES}, SCALE_TILE_SIZE={TILE_SIZE}).
-"""
+{ab_section}"""
         )
     print("wrote BENCH/BASELINE.md, BENCH/scaling.json")
 
