@@ -717,6 +717,56 @@ def q_quantize_int8(spark, sf_dir):
     return similarity.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_int8(spark, sf_dir):
+    """Symmetric-SQ8 top-k search (r6) — searching IN the int8
+    compressed tier: codes are floor(x*127/max|x| + 0.5) (every op
+    IEEE-exactly-rounded, identical in both engines; SURVEY §9), and
+    ranking is by pure int64 code dot with p_id tiebreak — no float
+    ever enters the comparator. Codes/dots are single array HOF
+    expressions (the ops/similarity._dot precedent; an unrolled
+    element_at chain inflated the task binary to 9.5 MiB). Oracle:
+    codes + exact integer dots + window rank re-derived in DuckDB."""
+    from hgt2osm2_spark.ops import quantized_search
+
+    return quantized_search.ann_int8_search(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5)
+
+
+#: deterministic probe points for elevation_at_points: 4 fixed
+#: fractional offsets inside each of the 6 standard gate tiles, in
+#: degree space — the same list is consumed by the scalar twin
+#: (tools/make_golden.g_elevation_hits), so engine and oracle answer
+#: the identical queries
+ELEVATION_PROBE_FRACS = tuple(
+    (round(0.1 + 0.2 * i, 1), round(0.1 + 0.2 * j, 1))
+    for i in range(5) for j in range(5)
+)
+
+
+def elevation_probe_points() -> list[tuple[str, float, float]]:
+    pts = []
+    for idx in range(6):
+        lat0, lon0, k = synthetic.tile_key(idx)
+        img = f"n{lat0:02d}e{lon0:03d}_{k}"
+        for j, (fx, fy) in enumerate(ELEVATION_PROBE_FRACS):
+            pts.append((f"{img}/{j}", lat0 + fy, lon0 + fx))
+    return pts
+
+
+def q_elevation_at_points(spark, sf_dir):
+    """Elevation-band lookup (r6) — the raster -> vector -> query
+    chain: closed kept contour rings in degree space, PIP against a
+    fixed probe grid, innermost band = max enclosed level. Oracle:
+    per-(point, ring) enclosure pairs from the scalar twin golden
+    (tools/make_golden), with the aggregation re-derived in SQL."""
+    from hgt2osm2_spark.ops import elevation
+
+    res = _contour_result(spark)
+    pts = spark.createDataFrame(
+        elevation_probe_points(), "q_id string, lat double, lon double")
+    return elevation.elevation_at_points(pts, res.post.filter("kept"))
+
+
 def q_pyfiles_contour(spark, sf_dir):
     """spark-submit --py-files packaging proof (north rule): build the
     deterministic zip artifact, launch a REAL spark-submit (separate
@@ -1464,10 +1514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real-file ingestion (S2/S4) + robustness
         "hgt_zip_scan": q_hgt_zip_scan,
         "decode_quarantine": q_decode_quarantine,
-        # cross-tile stitch + OSM sink + checkpoint/lineage
-        "cross_tile_stitch": q_cross_tile_stitch,
-        "osm_xml_tiles": q_osm_xml_tiles,
+        # checkpoint/lineage
         "checkpoint_lineage": q_checkpoint_lineage,
+        # r6 NEW operators — in-window from day one (the tfidf_pairs
+        # lesson: new registry entries must not wait outside the window)
+        "elevation_at_points": q_elevation_at_points,
+        "ann_int8": q_ann_int8,
         # sketches / ANN (golden-oracled)
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
@@ -1522,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out in r6 (fresh r5-green rows; contour family is
         # 5-rounds-green; still gate-mirror-checked + golden/pytest
         # value-checked every round)
+        "cross_tile_stitch": q_cross_tile_stitch,
+        "osm_xml_tiles": q_osm_xml_tiles,
         "contour_nodes": q_contour_nodes,
         "contour_ways": q_contour_ways,
         "contour_metrics": q_contour_metrics,
@@ -1695,6 +1749,56 @@ def oracle_sql() -> dict[str, str]:
                            -127), 127) AS INT)), '/')
                END AS codes
         FROM m
+    """
+    # SQ8 search (r6): codes via floor(x*127/max|x| + 0.5) — every op
+    # IEEE-exactly-rounded so both engines derive identical codes; the
+    # ranking comparator is a pure int64 dot (parallel unnests zip
+    # row-wise in DuckDB), so the hash cannot diverge
+    golden["ann_int8"] = """
+        WITH m AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+            FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id,
+                   CASE WHEN max_abs = 0 THEN
+                       list_transform(embedding, x -> CAST(0 AS BIGINT))
+                   ELSE
+                       list_transform(embedding, x ->
+                           CAST(LEAST(GREATEST(
+                               FLOOR(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5),
+                               -127), 127) AS BIGINT))
+                   END AS codes
+            FROM m
+        ),
+        qid AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+        pairs AS (
+            SELECT q.vec_id AS q_id, p.vec_id AS p_id,
+                   CAST((SELECT SUM(u.pa * u.qa)
+                         FROM (SELECT unnest(p.codes) AS pa,
+                                      unnest(q.codes) AS qa) u) AS BIGINT) AS dot
+            FROM c p, c q
+            WHERE q.vec_id IN (SELECT vec_id FROM qid)
+              AND p.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, p_id, dot,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY dot DESC, p_id ASC
+                   ) AS INT) AS rnk
+            FROM pairs
+        )
+        SELECT q_id, p_id, rnk, dot FROM ranked WHERE rnk <= 5
+    """
+    # elevation lookup (r6): per-(probe, ring) enclosure pairs come
+    # from the scalar twin golden (PIP re-derived with no Spark); the
+    # innermost-band aggregation is re-derived in SQL
+    golden["elevation_at_points"] = f"""
+        SELECT q_id, COUNT(*) AS n_rings, MAX(level) AS band_level
+        FROM read_parquet('{golden_dir}/elevation_hits.parquet')
+        GROUP BY q_id
     """
     # BM25 (r6 hardened): the weight is an exact int64 rational —
     # with k1=1.2, b=0.75: num = idf_micro*tf*2200*tot, den =

@@ -136,6 +136,9 @@ def main():
         "quantize_int8",
         # r5: tf-idf cosine pairs (postings self-join, fixed-point)
         "tfidf_pairs",
+        # r6: SQ8 search + elevation lookup
+        "ann_int8",
+        "elevation_at_points",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the

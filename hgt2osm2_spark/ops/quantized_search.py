@@ -18,6 +18,14 @@ documented convention of THIS operator), and ranking is by pure int64
 dot with p_id tiebreak — no float ever enters the comparator, so the
 result hash cannot diverge between engines.
 
+Implementation note: codes and dots are ARRAY higher-order expressions
+(transform / zip_with+aggregate, the ops/similarity._dot precedent).
+HOF lambdas run interpreted, but each is ONE expression — an unrolled
+64-wide element_at chain was tried first and inflated the task binary
+to 9.5 MiB (4096-node projections after CollapseProject inlining);
+the array form keeps the plan small, and the integer aggregate is
+strict left-to-right in array order, hence deterministic.
+
 Scale shape: the gate query uses the broadcast brute-force baseline
 (the documented exception, like ann_bruteforce); at 10^12 vectors the
 same scorer runs inside IVF cluster buckets (equi-join candidates,
@@ -27,30 +35,41 @@ composes with any candidate generator.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
-def _codes_cols(vec: Column, dim: int) -> list[Column]:
-    """Unrolled int8 codes for a fixed-dim array column: 64-element
-    chains stay inside whole-stage codegen (HOF lambdas run interpreted
-    and hide attributes from the optimizer — SURVEY §9 / r5 lesson)."""
-    elems = [F.element_at(vec, i + 1).cast("double") for i in range(dim)]
-    max_abs = F.greatest(*[F.abs(e) for e in elems]) if dim > 1 else F.abs(elems[0])
-    def code(e: Column) -> Column:
-        raw = F.floor(e * 127.0 / max_abs + 0.5).cast("int")
+def int8_codes_expr(vec: Column, max_abs: Column) -> Column:
+    """array<int> SQ8 codes: floor(x*127/max_abs + 0.5) clamped."""
+    def code(v: Column) -> Column:
+        raw = F.floor(v.cast("double") * 127.0 / max_abs + 0.5).cast("int")
         return F.least(F.greatest(raw, F.lit(-127)), F.lit(127))
-    zero = max_abs == 0.0
-    return [F.when(zero, F.lit(0)).otherwise(code(e)).alias(f"c{i}")
-            for i, e in enumerate(elems)]
+    return F.when(
+        max_abs == 0.0, F.transform(vec, lambda v: F.lit(0))
+    ).otherwise(F.transform(vec, code))
 
 
-def quantize_codes(embeddings: DataFrame, dim: int,
+def int_dot_expr(a: Column, b: Column) -> Column:
+    """Exact int64 dot of two int-code arrays (strict left-to-right
+    integer accumulation — order-deterministic, engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantize_codes(embeddings: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, c0..c{dim-1}) — flat int8 code columns (narrow map)."""
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"), *_codes_cols(F.col(vec_col), dim)
+    """(vec_id, codes array<int>) — a narrow map, no shuffle."""
+    vec = F.col(vec_col)
+    max_abs = F.aggregate(
+        vec, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    )
+    d = embeddings.select(
+        F.col(id_col).alias("vec_id"), vec.alias("v"), max_abs.alias("max_abs")
+    )
+    return d.select(
+        "vec_id", int8_codes_expr(F.col("v"), F.col("max_abs")).alias("codes")
     )
 
 
@@ -64,26 +83,17 @@ def ann_int8_search(
     """Top-k symmetric-SQ8 search of the first n_queries vectors (by
     id) against the whole table: (q_id, p_id, rnk, dot). Rank by int64
     code dot desc, p_id asc; self-matches excluded."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    codes = quantize_codes(embeddings, dim, id_col, vec_col)
+    codes = quantize_codes(embeddings, id_col, vec_col)
     qids = (embeddings.select(F.col(id_col).alias("vec_id"))
             .orderBy("vec_id").limit(int(n_queries)))
     q = codes.join(F.broadcast(qids), "vec_id").select(
-        F.col("vec_id").alias("q_id"),
-        *[F.col(f"c{i}").alias(f"q{i}") for i in range(dim)],
+        F.col("vec_id").alias("q_id"), F.col("codes").alias("qcodes")
     )
-    p = codes.select(
-        F.col("vec_id").alias("p_id"),
-        *[F.col(f"c{i}") for i in range(dim)],
-    )
-    dot = reduce(
-        lambda a, b: a + b,
-        [(F.col(f"q{i}").cast("long") * F.col(f"c{i}")) for i in range(dim)],
-    )
+    p = codes.select(F.col("vec_id").alias("p_id"), "codes")
     scored = (
         p.crossJoin(F.broadcast(q))
         .where(F.col("p_id") != F.col("q_id"))
-        .withColumn("dot", dot)
+        .withColumn("dot", int_dot_expr(F.col("qcodes"), F.col("codes")))
     )
     w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("p_id").asc())
     return (

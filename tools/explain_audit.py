@@ -119,6 +119,21 @@ AUDITED = {
          r"Exchange", "absent"),
         ("no Python eval in the plan", r"EvalPython", "absent"),
     ],
+    # r6 new operators
+    "ann_int8": [
+        ("query side broadcast (documented brute baseline, like "
+         "ann_bruteforce)", r"BroadcastNestedLoop|BroadcastExchange"),
+        ("per-query top-k window", r"Window"),
+        ("no Python eval (codes/dots are JVM array expressions)",
+         r"EvalPython", "absent"),
+    ],
+    "elevation_at_points": [
+        ("ring cover + levels broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+        ("cell prefilter equi-join, never all-pairs against rings",
+         r"CartesianProduct", "absent"),
+        ("partial aggregation before the per-point shuffle",
+         r"HashAggregate .*partial|partial_"),
+    ],
     # r6 (VERDICT r5 #4): the one shuffle-heavy r5 plan that had no
     # audit entry. The O(sum df_t^2) candidate bound is measured and
     # appended to the PLANS.md section by main().

@@ -1427,6 +1427,37 @@ def g_ann_ivf_pq():
 
 # ======================================================================
 
+def g_elevation_hits():
+    """(q_id, poly_id, level) enclosure pairs for elevation_at_points
+    (r6): closed kept rings reconstructed from the scalar twin's node
+    stream, probed with the SAME fixed points the Spark query uses
+    (__spark_entry__.elevation_probe_points) via the scalar ray cast —
+    the oracle re-derives the per-point aggregation in SQL."""
+    import __spark_entry__ as entrymod
+
+    res = scalar_contours(_synth_tile_rows(6, 33))
+    closed = {(img, lvl, i)
+              for (img, lvl, i, _npts, cl, kept, _reason) in res["post"]
+              if kept and cl}
+    rings: dict = {}
+    for img, lvl, i, _nid, lat, lon in res["nodes"]:
+        key = (img, lvl, i)
+        if key in closed:
+            lons, lats = rings.setdefault(key, ([], []))
+            lons.append(lon)
+            lats.append(lat)
+    rows = []
+    for qid, lat, lon in entrymod.elevation_probe_points():
+        for (img, lvl, i), (lons, lats) in sorted(rings.items()):
+            if _pip_inside(lon, lat, lons + [lons[0]], lats + [lats[0]]):
+                rows.append((qid, f"{img}/{lvl}/{i}", int(lvl)))
+    df = pd.DataFrame(rows, columns=["q_id", "poly_id", "level"])
+    _write("elevation_hits", df, pa.schema([
+        ("q_id", pa.string()), ("poly_id", pa.string()),
+        ("level", pa.int32()),
+    ]))
+
+
 GENERATORS = {
     "contour_nodes": g_contour_nodes,
     "contour_readme_profile": g_contour_readme_profile,
@@ -1462,6 +1493,7 @@ GENERATORS = {
     "ann_ivf": g_ann_ivf,
     "ann_ivf_pq": g_ann_ivf_pq,
     "tile_clip": g_tile_clip,
+    "elevation_hits": g_elevation_hits,
 }
 
 
