@@ -722,10 +722,10 @@ def q_ann_int8(spark, sf_dir):
     compressed tier: codes are floor(x*127/max|x| + 0.5) (every op
     IEEE-exactly-rounded, identical in both engines; SURVEY §9), and
     ranking is by pure int64 code dot with p_id tiebreak — no float
-    ever enters the comparator. Codes/dots are single array HOF
-    expressions (the ops/similarity._dot precedent; an unrolled
-    element_at chain inflated the task binary to 9.5 MiB). Oracle:
-    codes + exact integer dots + window rank re-derived in DuckDB."""
+    ever enters the comparator. Scoring is the broadcast-matrix Arrow
+    kernel (all nq dots per row in one exact numpy int64 matmul; no
+    crossJoin). Oracle: codes + exact integer dots + window rank
+    re-derived in DuckDB."""
     from hgt2osm2_spark.ops import quantized_search
 
     return quantized_search.ann_int8_search(

@@ -18,24 +18,28 @@ documented convention of THIS operator), and ranking is by pure int64
 dot with p_id tiebreak — no float ever enters the comparator, so the
 result hash cannot diverge between engines.
 
-Implementation note: codes and dots are ARRAY higher-order expressions
-(transform / zip_with+aggregate, the ops/similarity._dot precedent).
-HOF lambdas run interpreted, but each is ONE expression — an unrolled
-64-wide element_at chain was tried first and inflated the task binary
-to 9.5 MiB (4096-node projections after CollapseProject inlining);
-the array form keeps the plan small, and the integer aggregate is
-strict left-to-right in array order, hence deterministic.
+Implementation note: codes are a single array higher-order expression
+(transform); the scorer is the broadcast-matrix Arrow kernel (the
+ann_ivf precedent) — all nq dots per row in one numpy int64 matmul.
+Two rejected cuts, kept on record: an unrolled 64-wide element_at
+chain inflated the task binary to 9.5 MiB (4096-node projections
+after CollapseProject inlining, 23.6 s at the gate), and the
+zip_with+aggregate interpreted form ran 7 s; the Arrow matmul runs
+the same pairs in one vectorized pass. int_dot_expr stays exported as
+the column-expression building block for JVM-only compositions.
 
-Scale shape: the gate query uses the broadcast brute-force baseline
-(the documented exception, like ann_bruteforce); at 10^12 vectors the
-same scorer runs inside IVF cluster buckets (equi-join candidates,
-ops/similarity.ann_ivf) — the scorer is a plain column expression and
-composes with any candidate generator.
+Scale shape: the gate query scores the full table per query (the
+brute baseline, like ann_bruteforce, but with no crossJoin — each row
+computes all nq dots in its own batch); at 10^12 vectors the same
+kernel runs inside IVF cluster buckets (equi-join candidates,
+ops/similarity.ann_ivf) and composes with any candidate generator.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 
 def int8_codes_expr(vec: Column, max_abs: Column) -> Column:
@@ -82,18 +86,43 @@ def ann_int8_search(
 ) -> DataFrame:
     """Top-k symmetric-SQ8 search of the first n_queries vectors (by
     id) against the whole table: (q_id, p_id, rnk, dot). Rank by int64
-    code dot desc, p_id asc; self-matches excluded."""
+    code dot desc, p_id asc; self-matches excluded.
+
+    Scoring is the broadcast-matrix Arrow kernel (the ann_ivf
+    precedent, ops/similarity.py): the nq query code vectors are
+    collected (bounded driver scalars) and every Arrow batch computes
+    all nq exact int64 dots in ONE numpy matmul — no crossJoin, no
+    per-pair interpreted lambda (the zip_with/aggregate form spent
+    ~7 s at sf0.01; this runs the same pairs in one vectorized pass).
+    numpy int64 matmul is exact and order-free, so determinism is
+    untouched."""
     codes = quantize_codes(embeddings, id_col, vec_col)
     qids = (embeddings.select(F.col(id_col).alias("vec_id"))
             .orderBy("vec_id").limit(int(n_queries)))
-    q = codes.join(F.broadcast(qids), "vec_id").select(
-        F.col("vec_id").alias("q_id"), F.col("codes").alias("qcodes")
+    q_rows = sorted(
+        codes.join(F.broadcast(qids), "vec_id").collect(),
+        key=lambda r: r["vec_id"],
     )
-    p = codes.select(F.col("vec_id").alias("p_id"), "codes")
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "q_id long, p_id long, rnk int, dot long")
+    q_ids = [r["vec_id"] for r in q_rows]
+    q_mat = np.array([r["codes"] for r in q_rows], dtype=np.int64).T  # (dim, nq)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def all_dots(codes_s: pd.Series) -> pd.Series:
+        P = np.vstack(codes_s.to_numpy()).astype(np.int64)  # (batch, dim)
+        D = P @ q_mat  # exact int64, (batch, nq)
+        return pd.Series(list(D))
+
+    q_id_arr = F.array(*[F.lit(int(i)) for i in q_ids])
     scored = (
-        p.crossJoin(F.broadcast(q))
+        codes.select(
+            F.col("vec_id").alias("p_id"),
+            F.posexplode(all_dots(F.col("codes"))).alias("qi", "dot"),
+        )
+        .withColumn("q_id", F.element_at(q_id_arr, F.col("qi") + 1))
         .where(F.col("p_id") != F.col("q_id"))
-        .withColumn("dot", int_dot_expr(F.col("qcodes"), F.col("codes")))
     )
     w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("p_id").asc())
     return (

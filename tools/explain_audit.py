@@ -121,11 +121,11 @@ AUDITED = {
     ],
     # r6 new operators
     "ann_int8": [
-        ("query side broadcast (documented brute baseline, like "
-         "ann_bruteforce)", r"BroadcastNestedLoop|BroadcastExchange"),
+        ("all-queries dots in ONE Arrow matmul kernel (no crossJoin)",
+         r"ArrowEvalPython"),
+        ("never all-pairs", r"CartesianProduct|BroadcastNestedLoop", "absent"),
         ("per-query top-k window", r"Window"),
-        ("no Python eval (codes/dots are JVM array expressions)",
-         r"EvalPython", "absent"),
+        ("no per-row Python eval", r"BatchEvalPython", "absent"),
     ],
     "elevation_at_points": [
         ("ring cover + levels broadcast", r"BroadcastHashJoin|BroadcastExchange"),
