@@ -1466,6 +1466,61 @@ def q_stream_image_stats(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_contour_nodes(spark, sf_dir):
+    """Streaming contour engine (r6): the SAME 6 gate tiles arrive as a
+    file stream in three micro-batches and the FULL contour pipeline
+    (decode -> marching -> stitch -> post -> IDs) runs under Structured
+    Streaming via the window-free fused path (fused_tile_nodes — per-
+    tile ID counters are bit-identical to the window formulation, which
+    streams cannot use). Exactly-once parquet sink; output must
+    hash-equal the BATCH contour_nodes golden — streaming execution is
+    an engine detail, never a semantic one."""
+    import os
+    import shutil
+    import tempfile
+
+    from hgt2osm2_spark.ops.contours import fused_tile_nodes
+
+    rows = (
+        _synth_tiles(spark, n_tiles=6, size=33)
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="stream_tiles_")
+    src, out, ckpt = (os.path.join(root, p) for p in ("in", "out", "ckpt"))
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate(((0, 2), (2, 4), (4, 6))):
+        path = os.path.join(src, f"b{i}.parquet")
+        rows.iloc[lo:hi].to_parquet(path)
+        os.utime(path, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "image_id string, bytes binary, w long, h long, fmt string, "
+            "caption string, phash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        fused_tile_nodes(stream, ContourOptions())
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_contour_nodes: query did not drain in 300s")
+        res = spark.read.parquet(out)
+        return spark.createDataFrame(res.collect(), schema=res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     """S11/J7: run the checkpointed pipeline twice (second run resumes);
     returns the lineage metrics table — one row per (stage, tile), and
@@ -1510,7 +1565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spatial layer (J3, J4)
         "knn_join": q_knn_join,
         "pip_join": q_pip_join,
-        "rasterize": q_rasterize,
         # real-file ingestion (S2/S4) + robustness
         "hgt_zip_scan": q_hgt_zip_scan,
         "decode_quarantine": q_decode_quarantine,
@@ -1520,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lesson: new registry entries must not wait outside the window)
         "elevation_at_points": q_elevation_at_points,
         "ann_int8": q_ann_int8,
+        "stream_contour_nodes": q_stream_contour_nodes,
         # sketches / ANN (golden-oracled)
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
@@ -1576,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-checked every round)
         "cross_tile_stitch": q_cross_tile_stitch,
         "osm_xml_tiles": q_osm_xml_tiles,
+        "rasterize": q_rasterize,
         "contour_nodes": q_contour_nodes,
         "contour_ways": q_contour_ways,
         "contour_metrics": q_contour_metrics,
@@ -1709,6 +1765,9 @@ def oracle_sql() -> dict[str, str]:
     golden["contour_nodes_banded"] = _golden_sql("contour_nodes")
     # the --py-files spark-submit run must too (same job, zip imports)
     golden["pyfiles_contour"] = _golden_sql("contour_nodes")
+    # the streaming fused run must hash-equal the same batch golden
+    # (r6): streaming execution is an engine detail, never semantic
+    golden["stream_contour_nodes"] = _golden_sql("contour_nodes")
     # text relevance family (r4): tokenization + aggregates re-derived
     # entirely in SQL; BM25 compares fixed-point micro-unit scores so
     # float summation order cannot differ between engines

@@ -105,3 +105,34 @@ def test_auto_stitch_salts_hot_histogram_only(spark):
          for r in contours.stitch_polylines(seg).collect()}
     assert a == b and len(a) > 0
     seg.unpersist(blocking=False)
+
+
+def test_auto_stitch_consumes_lineage_counts(spark):
+    """The 'previous run's observation' path (SURVEY §4.2): pass a
+    counts table (the checkpoint-lineage shape: one n_rows per key)
+    instead of measuring — a hot key in the SUPPLIED counts triggers
+    salting even though measurement is skipped entirely."""
+    tiles = tiles_df(spark, n_tiles=2, size=33, partitions=2)
+    seg = contours.extract_contour_segments(tiles).cache()
+    # realistic lineage shape: many typical keys + one hot one (the
+    # planner's `typical` uses max(p50, mean), so a 3-row toy table
+    # would let the hot key drag the mean up and mask itself)
+    hot = spark.createDataFrame(
+        [("t0", 100, 1_000_000)]
+        + [(f"t{i % 4}", 20 * j, 10 + i) for i, j in
+           ((i, j) for i in range(4) for j in range(1, 9)) if (i, j) != (0, 5)],
+        "image_id string, level int, n_rows long",
+    )
+    out, n_salt = contours.auto_stitch_polylines(seg, counts=hot)
+    assert n_salt > 1
+    # supplied-counts salting must still produce the right SET
+    assert _canon_set(out.collect()) == _canon_set(
+        contours.stitch_polylines(seg).collect())
+    # balanced supplied counts -> plain path, no measurement either
+    flat = spark.createDataFrame(
+        [("t0", 100, 10), ("t1", 100, 11)],
+        "image_id string, level int, n_rows long",
+    )
+    _out2, n2 = contours.auto_stitch_polylines(seg, counts=flat)
+    assert n2 == 1
+    seg.unpersist(blocking=False)
