@@ -732,11 +732,11 @@ def q_ann_int8(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), n_queries=8, k=5)
 
 
-#: deterministic probe points for elevation_at_points: 4 fixed
-#: fractional offsets inside each of the 6 standard gate tiles, in
-#: degree space — the same list is consumed by the scalar twin
-#: (tools/make_golden.g_elevation_hits), so engine and oracle answer
-#: the identical queries
+#: deterministic probe points for elevation_at_points: a fixed 5x5
+#: fractional grid (25 offsets) inside each of the 6 standard gate
+#: tiles, in degree space — the same list is consumed by the scalar
+#: twin (tools/make_golden.g_elevation_hits), so engine and oracle
+#: answer the identical 150 queries
 ELEVATION_PROBE_FRACS = tuple(
     (round(0.1 + 0.2 * i, 1), round(0.1 + 0.2 * j, 1))
     for i in range(5) for j in range(5)
@@ -1923,11 +1923,16 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50
         ),
         w AS (
+            -- zero-weight (df_t == N) terms are excluded from the
+            -- vocabulary on both engines: they contribute nothing to
+            -- dots/norms but would allow norm2 = 0 -> 0/0 = NaN
             SELECT tc.doc_id, tc.term,
                    CAST(tf * CAST(FLOOR(ln(CAST((SELECT n FROM agg) AS DOUBLE)
                                            / df_t) * 1000.0 + 0.5) AS BIGINT)
                         AS BIGINT) AS w_milli
             FROM tc JOIN dft USING (term)
+            WHERE CAST(FLOOR(ln(CAST((SELECT n FROM agg) AS DOUBLE)
+                              / df_t) * 1000.0 + 0.5) AS BIGINT) > 0
         ),
         norms AS (
             SELECT doc_id, CAST(SUM(w_milli * w_milli) AS BIGINT) AS norm2

@@ -195,6 +195,28 @@ def extract_contour_segments_banded(
     return bands.mapInPandas(gen, schema=SEGMENTS_SCHEMA)
 
 
+def _stitch_group(pdf: pd.DataFrame, level: int):
+    """Sort one (image_id, level[, band]) segment group in whole-tile
+    emission order, run the stitch kernel, and yield this level's
+    (fx, fy) polyline slices — the single body shared by the plain and
+    salted paths so reference-order subtleties cannot drift apart.
+
+    (row_y, seg_ord): for whole-tile segments seg_ord is already
+    y-primary so this equals the old seg_ord sort; for banded segments
+    (band-local seg_ord) it reconstructs the whole-tile emission order
+    because bands partition the data rows."""
+    pdf = pdf.sort_values(["row_y", "seg_ord"])
+    seg = np.empty(len(pdf), dtype=marching.SEG_DTYPE)
+    seg["y"] = pdf["row_y"].to_numpy()
+    seg["level"] = pdf["level"].to_numpy()
+    for c in ("x1", "y1", "x2", "y2"):
+        seg[c] = pdf[c].to_numpy()
+    lvls, offs, fx, fy = stitch.stitch_tile_arrays(seg)
+    for j, lv in enumerate(lvls.tolist()):
+        if lv == int(level):
+            yield fx[offs[j]:offs[j + 1]], fy[offs[j]:offs[j + 1]]
+
+
 def stitch_polylines(segments: DataFrame, shuffle_partitions: int | None = None) -> DataFrame:
     """groupBy(image_id, level) -> order-faithful stitching (J1).
 
@@ -204,34 +226,18 @@ def stitch_polylines(segments: DataFrame, shuffle_partitions: int | None = None)
 
     def do_stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
         image_id, level = key
-        # (row_y, seg_ord): for whole-tile segments seg_ord is already
-        # y-primary so this equals the old seg_ord sort; for banded
-        # segments (band-local seg_ord) it reconstructs the whole-tile
-        # emission order because bands partition the data rows
-        pdf = pdf.sort_values(["row_y", "seg_ord"])
-        seg = np.empty(len(pdf), dtype=marching.SEG_DTYPE)
-        seg["y"] = pdf["row_y"].to_numpy()
-        seg["level"] = pdf["level"].to_numpy()
-        for c in ("x1", "y1", "x2", "y2"):
-            seg[c] = pdf[c].to_numpy()
-        lvls, offs, fx, fy = stitch.stitch_tile_arrays(seg)
         rows = []
-        i = 0
-        for j, lv in enumerate(lvls.tolist()):
-            if lv != int(level):
-                continue
-            s, e = offs[j], offs[j + 1]
+        for i, (fx, fy) in enumerate(_stitch_group(pdf, level)):
             rows.append(
                 {
                     "image_id": image_id,
                     "level": int(level),
                     "poly_ord": i,
-                    "xs": fx[s:e].tolist(),
-                    "ys": fy[s:e].tolist(),
-                    "closed": bool(fx[s] == fx[e - 1] and fy[s] == fy[e - 1]),
+                    "xs": fx.tolist(),
+                    "ys": fy.tolist(),
+                    "closed": bool(fx[0] == fx[-1] and fy[0] == fy[-1]),
                 }
             )
-            i += 1
         return pd.DataFrame(rows, columns=[f.name for f in POLYLINES_SCHEMA.fields])
 
     seg = segments
@@ -241,6 +247,20 @@ def stitch_polylines(segments: DataFrame, shuffle_partitions: int | None = None)
 
 
 # ------------------------------------------------- salted (skew-spread) stitch
+
+#: caches created by the previous salted-stitch call; released on the
+#: next call so a long-lived session never accumulates executor storage
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+
 
 def _canonical_polyline(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray, bool]:
     """Orientation/rotation-canonical form of one polyline: closed loops
@@ -307,19 +327,9 @@ def salted_stitch_polylines(
 
     def stitch_band(key, pdf: pd.DataFrame) -> pd.DataFrame:
         image_id, level, _band = key
-        pdf = pdf.sort_values(["row_y", "seg_ord"])
-        seg = np.empty(len(pdf), dtype=marching.SEG_DTYPE)
-        seg["y"] = pdf["row_y"].to_numpy()
-        seg["level"] = pdf["level"].to_numpy()
-        for c in ("x1", "y1", "x2", "y2"):
-            seg[c] = pdf[c].to_numpy()
-        lvls, offs, fx, fy = stitch.stitch_tile_arrays(seg)
         rows = []
-        for j, lv in enumerate(lvls.tolist()):
-            if lv != int(level):
-                continue
-            s, e = offs[j], offs[j + 1]
-            ox, oy, closed = _canonical_polyline(fx[s:e], fy[s:e])
+        for fx, fy in _stitch_group(pdf, level):
+            ox, oy, closed = _canonical_polyline(fx, fy)
             rows.append({"image_id": image_id, "level": int(level),
                          "xs": ox.tolist(), "ys": oy.tolist(),
                          "closed": closed})
@@ -330,9 +340,17 @@ def salted_stitch_polylines(
     )
     if shuffle_partitions:
         seg = seg.repartition(shuffle_partitions, "image_id", "level", "band")
+    # cache the band-stitch output: the closed/open split plus the
+    # poly_ord key-frame join-back would otherwise re-execute the
+    # expensive stage-1 applyInPandas 2-4x per action (Python subtrees
+    # are not deduplicated by ReuseExchange) — multiplying exactly the
+    # hot-group work this operator exists to spread. Registered and
+    # released on the NEXT call (the text.py/knn pattern).
+    release_caches()
     chains = seg.groupBy("image_id", "level", "band").applyInPandas(
         stitch_band, schema=_CHAINS_SCHEMA
-    )
+    ).cache()
+    _LIVE_CACHES.append(chains)
     closed_chains = chains.where(F.col("closed"))
     open_chains = chains.where(~F.col("closed"))
 
@@ -438,19 +456,14 @@ def auto_stitch_polylines(
     key_counts = counts if counts is not None else (
         segments.groupBy("image_id", "level").agg(F.count("*").alias("n_rows"))
     )
-    hmax_col = None
-    if counts is None:
-        # same measurement job also yields the row span for band sizing
-        row = segments.agg(
-            F.max("row_y").alias("hmax")).collect()[0]
-        hmax_col = int(row["hmax"] or 0)
     n_salt = plan_salt_count(skew_stats(key_counts), target_ratio, max_salt)
     if n_salt <= 1:
         return stitch_polylines(segments, shuffle_partitions), 1
-    if hmax_col is None:
-        row = segments.agg(F.max("row_y").alias("hmax")).collect()[0]
-        hmax_col = int(row["hmax"] or 0)
-    band_h = max(1, -(-(hmax_col + 1) // n_salt))
+    # the row span (band sizing) is only measured once the plan says
+    # salt — the common balanced path pays zero extra scans
+    row = segments.agg(F.max("row_y").alias("hmax")).collect()[0]
+    hmax = int(row["hmax"] or 0)
+    band_h = max(1, -(-(hmax + 1) // n_salt))
     return salted_stitch_polylines(segments, band_h, shuffle_partitions), n_salt
 
 

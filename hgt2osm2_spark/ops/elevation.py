@@ -26,6 +26,19 @@ from pyspark.sql import DataFrame, functions as F
 from .ids import with_tile_key
 from . import spatial
 
+#: caches created by the previous call; released on the next call so a
+#: long-lived session never accumulates executor storage
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+
 
 def closed_ring_polygons(post_kept: DataFrame) -> DataFrame:
     """Kept CLOSED polylines -> (poly_id, level, xs, ys) rings in
@@ -51,12 +64,20 @@ def elevation_at_points(
 
     Points outside every ring are NOT emitted (their band is the tile
     base level, derivable from decode_stats; emitting only hits keeps
-    the join semi-join-shaped at scale)."""
-    rings = closed_ring_polygons(post_kept)
+    the join semi-join-shaped at scale).
+
+    The rings frame is cached (released on the NEXT call, the knn_join
+    pattern): pip_join's max-ring-size driver agg and the join
+    candidates would otherwise re-run the whole upstream contour
+    pipeline per action. The ring's level rides in poly_id
+    (image/level/ord), so no third lineage is needed to recover it."""
+    release_caches()
+    rings = closed_ring_polygons(post_kept).cache()
+    _LIVE_CACHES.append(rings)
     hits = spatial.pip_join(points, rings, res=res)
-    ring_levels = rings.select("poly_id", "level")
+    level = F.split(F.col("poly_id"), "/").getItem(1).cast("int")
     return (
-        hits.join(F.broadcast(ring_levels), "poly_id")
+        hits.withColumn("level", level)
         .groupBy("q_id")
         .agg(
             F.count("*").alias("n_rings"),

@@ -261,7 +261,13 @@ def bm25_scores(df: DataFrame, query_terms: list[str], k1: float = 1.2,
         return (df.sparkSession.createDataFrame(
             [], "doc_id long, n_terms_hit long, score_micro long"))
     idf_max = max(i for _t, i in idf_rows)
-    if 2 * idf_max * dl_max * (k1n + 10) * 100 * tot >= 2 ** 63:
+    # guard the FULL dividend (2*num + den) and divisor (2*den) at
+    # their per-row maxima (tf <= dl <= dl_max), not just 2*num — and
+    # den can overflow on its own even when idf_max == 0
+    max_num = idf_max * dl_max * (k1n + 10) * 100 * tot
+    max_den = (1000 * tot * dl_max + k1n * (100 - bn) * tot
+               + k1n * bn * n_docs * dl_max)
+    if 2 * max_num + max_den >= 2 ** 63 or 2 * max_den >= 2 ** 63:
         raise OverflowError(
             "bm25 int64 rational would overflow; use decimal(38,0)")
     idf_tbl = df.sparkSession.createDataFrame(
@@ -305,7 +311,11 @@ def tfidf_cosine_pairs(df: DataFrame, min_sim: float = 0.2, min_df: int = 2,
     (max_df - min_df + 1) values and broadcast — like bm25, the JVM's
     1-ulp-allowed Math.log leaves the chain (with max_df=None the
     vocabulary is unbounded and the floor(ln*1000 + 0.5) expression
-    runs in-engine; documented residual). The final similarity is
+    runs in-engine; documented residual). Zero-weight terms (df_t ==
+    N) are excluded from the vocabulary in both engines: they add
+    nothing to any dot or norm, and keeping them would admit norm2 = 0
+    docs whose 0/0 cosine is NaN — floored to 0 by Spark but an ERROR
+    in DuckDB's CAST. The final similarity is
     emitted as cosine_micro = floor(dot / (sqrt(norm2_a) *
     sqrt(norm2_b)) * 1e6 + 0.5), an int64: every op in that expression
     (int64->double conversion < 2^53, sqrt, *, /, floor) is
@@ -346,6 +356,13 @@ def tfidf_cosine_pairs(df: DataFrame, min_sim: float = 0.2, min_df: int = 2,
             F.floor(F.log(F.lit(float(n_docs)) / F.col("df_t"))
                     * 1000.0 + 0.5).cast("long"),
         )
+    # idf_milli == 0 terms (df_t == N stopwords) contribute nothing to
+    # any dot or norm, but a doc whose ONLY vocab terms are such gets
+    # norm2 = 0 and 0/0 = NaN — which Spark's floor sends to 0 while
+    # DuckDB's CAST(FLOOR(NaN)) ERRORS. Excluding zero-weight terms
+    # from the vocabulary removes the 0-norm case in both engines
+    # (docs with no positive-weight term simply form no pairs).
+    dft = dft.where(F.col("idf_milli") > 0)
     w = (
         tc.join(F.broadcast(dft.select("term", "idf_milli")), "term")
         .withColumn("w_milli", (F.col("tf") * F.col("idf_milli")).cast("long"))

@@ -38,8 +38,13 @@ def run_once(no_ckernel: bool) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    rec = json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+        raise SystemExit(
+            f"bench child failed (rc={out.returncode}, "
+            f"no_ckernel={no_ckernel})")
+    rec = json.loads(lines[-1])
     return {
         "sec": rec["queries"]["tile_encode_pip"],
         "images_per_sec": rec["value"],

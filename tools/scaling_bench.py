@@ -325,7 +325,8 @@ Reproduce: `python tools/scaling_bench.py`
 (env: SCALE_TILES={N_TILES}, SCALE_TILE_SIZE={TILE_SIZE}).
 {ab_section}"""
         )
-    print("wrote BENCH/BASELINE.md, BENCH/scaling.json")
+    print(f"wrote BENCH/BASELINE{args.suffix}.md, "
+          f"BENCH/scaling{args.suffix}.json")
 
 
 if __name__ == "__main__":
