@@ -136,3 +136,33 @@ def test_auto_stitch_consumes_lineage_counts(spark):
     _out2, n2 = contours.auto_stitch_polylines(seg, counts=flat)
     assert n2 == 1
     seg.unpersist(blocking=False)
+
+
+def test_canonical_polyline_is_representation_invariant():
+    """_canonical_polyline must be a true canonical form: any rotation
+    (closed) or reversal (either) of the same polyline canonicalizes to
+    the identical vertex sequence — the property the salted-stitch SET
+    contract rests on."""
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n = int(rng.integers(3, 12))
+        xs = rng.uniform(-5, 5, n).round(3)
+        ys = rng.uniform(-5, 5, n).round(3)
+        # open chain: reversal-invariant
+        a = contours._canonical_polyline(xs, ys)
+        b = contours._canonical_polyline(xs[::-1].copy(), ys[::-1].copy())
+        assert (a[0].tolist(), a[1].tolist(), a[2]) == \
+               (b[0].tolist(), b[1].tolist(), b[2])
+        # closed ring: rotation- and reversal-invariant
+        cx, cy = np.append(xs, xs[0]), np.append(ys, ys[0])
+        ref = contours._canonical_polyline(cx, cy)
+        assert ref[2] is True
+        for k in range(1, n):
+            rx = np.append(np.roll(xs, k), np.roll(xs, k)[0])
+            ry = np.append(np.roll(ys, k), np.roll(ys, k)[0])
+            for flip in (False, True):
+                tx = rx[::-1].copy() if flip else rx
+                ty = ry[::-1].copy() if flip else ry
+                got = contours._canonical_polyline(tx, ty)
+                assert (got[0].tolist(), got[1].tolist()) == \
+                       (ref[0].tolist(), ref[1].tolist()), (k, flip)
