@@ -267,7 +267,11 @@ def _canonical_polyline(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.
     rotate to start at the lexicographically smallest (x, y) vertex and
     run toward the smaller neighbor; open chains run from the smaller
     endpoint. Pure relabeling — vertex VALUES are untouched, so the
-    canonical form is engine- and decomposition-invariant."""
+    canonical form is engine- and decomposition-invariant
+    (property-pinned in test_salted_stitch). Assumes the ring visits no
+    vertex twice — true for marching-squares isolines (degree <= 2
+    paths); a duplicated minimum vertex would make the rotation anchor
+    depend on input order."""
     closed = bool(len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1])
     if closed:
         cx, cy = xs[:-1], ys[:-1]

@@ -56,6 +56,7 @@ def elevation_at_points(
     points: DataFrame,
     post_kept: DataFrame,
     res: int = 6,
+    broadcast_rings: bool = True,
 ) -> DataFrame:
     """points(q_id, lat, lon) x kept post polylines ->
     (q_id, n_rings, band_level) for every point inside at least one
@@ -74,7 +75,11 @@ def elevation_at_points(
     release_caches()
     rings = closed_ring_polygons(post_kept).cache()
     _LIVE_CACHES.append(rings)
-    hits = spatial.pip_join(points, rings, res=res)
+    # broadcast_rings=False is the planet-scale path: a 10^12-tile
+    # store's rings are not broadcast-small, so the cell-cover join
+    # shuffles on cell instead (pip_join handles both)
+    hits = spatial.pip_join(points, rings, res=res,
+                            broadcast_polygons=broadcast_rings)
     level = F.split(F.col("poly_id"), "/").getItem(1).cast("int")
     return (
         hits.withColumn("level", level)
