@@ -1521,6 +1521,32 @@ def q_stream_contour_nodes(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_salted_stitch(spark, sf_dir):
+    """Skew-spread stitch (r6, VERDICT r5 #6) driver-checked: band-
+    decomposed stitching + open-chain boundary merge over the 6 gate
+    tiles at band_h=8, emitted per-vertex (arrays crash the driver
+    canonicalizer). The oracle golden re-derives the CANONICAL contract
+    with the scalar stitcher + pure-numpy canonicalization and the same
+    geometric poly_ord rank — no band decomposition, which is the
+    point: decomposition must not be observable in the result."""
+    from hgt2osm2_spark.ops import contours as cont
+
+    seg = cont.extract_contour_segments(_synth_tiles(spark, n_tiles=6, size=33))
+    pl = cont.salted_stitch_polylines(seg, band_h=8, shuffle_partitions=16)
+    return (
+        pl.select(
+            "image_id", "level", "poly_ord", "closed",
+            F.posexplode(F.arrays_zip("xs", "ys")).alias("pt_ord", "pt"),
+        )
+        .select(
+            "image_id", "level", "poly_ord",
+            F.col("pt_ord").cast("int").alias("pt_ord"),
+            F.col("pt.xs").alias("x"), F.col("pt.ys").alias("y"),
+            "closed",
+        )
+    )
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     """S11/J7: run the checkpointed pipeline twice (second run resumes);
     returns the lineage metrics table — one row per (stage, tile), and
@@ -1567,7 +1593,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         # real-file ingestion (S2/S4) + robustness
         "hgt_zip_scan": q_hgt_zip_scan,
-        "decode_quarantine": q_decode_quarantine,
         # checkpoint/lineage
         "checkpoint_lineage": q_checkpoint_lineage,
         # r6 NEW operators — in-window from day one (the tfidf_pairs
@@ -1575,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elevation_at_points": q_elevation_at_points,
         "ann_int8": q_ann_int8,
         "stream_contour_nodes": q_stream_contour_nodes,
+        "salted_stitch": q_salted_stitch,
         # sketches / ANN (golden-oracled)
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
@@ -1632,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_tile_stitch": q_cross_tile_stitch,
         "osm_xml_tiles": q_osm_xml_tiles,
         "rasterize": q_rasterize,
+        "decode_quarantine": q_decode_quarantine,
         "contour_nodes": q_contour_nodes,
         "contour_ways": q_contour_ways,
         "contour_metrics": q_contour_metrics,
@@ -1768,6 +1795,13 @@ def oracle_sql() -> dict[str, str]:
     # the streaming fused run must hash-equal the same batch golden
     # (r6): streaming execution is an engine detail, never semantic
     golden["stream_contour_nodes"] = _golden_sql("contour_nodes")
+    # salted stitch: the canonical contract re-derived by the scalar
+    # stitcher with NO band decomposition — decomposition must not be
+    # observable in the result
+    golden["salted_stitch"] = f"""
+        SELECT image_id, level, poly_ord, pt_ord, x, y, closed
+        FROM read_parquet('{golden_dir}/salted_stitch.parquet')
+    """
     # text relevance family (r4): tokenization + aggregates re-derived
     # entirely in SQL; BM25 compares fixed-point micro-unit scores so
     # float summation order cannot differ between engines

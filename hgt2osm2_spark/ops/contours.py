@@ -423,18 +423,29 @@ def salted_stitch_polylines(
     final = closed_chains.unionByName(merged)
 
     # canonical poly_ord without concentrating vertex arrays: rank a
-    # PROJECTED key frame (tiny rows) per (image_id, level), join back
+    # PROJECTED key frame (tiny rows) per (image_id, level), join back.
+    # The ORDER key is purely geometric (first/second vertex + length)
+    # so a no-Spark scalar twin can reproduce poly_ord exactly (the
+    # driver-gate golden); chash (Murmur3 of the arrays) participates
+    # only in the JOIN to keep the row match unique — distinct
+    # canonical polylines sharing first two vertices AND length would
+    # imply a shared endpoint, which stitching would have merged.
     keyed = final.withColumn("x0", F.element_at("xs", 1)) \
                  .withColumn("y0", F.element_at("ys", 1)) \
+                 .withColumn("x1", F.element_at("xs", 2)) \
+                 .withColumn("y1", F.element_at("ys", 2)) \
                  .withColumn("n_pts", F.size("xs")) \
                  .withColumn("chash", F.hash("xs", "ys"))
     from pyspark.sql import Window
 
-    small = keyed.select("image_id", "level", "x0", "y0", "n_pts", "chash").distinct()
-    w = Window.partitionBy("image_id", "level").orderBy("x0", "y0", "n_pts", "chash")
+    small = keyed.select("image_id", "level", "x0", "y0", "x1", "y1",
+                         "n_pts", "chash").distinct()
+    w = Window.partitionBy("image_id", "level").orderBy(
+        "x0", "y0", "n_pts", "x1", "y1")
     ranked = small.withColumn("poly_ord", (F.row_number().over(w) - 1).cast("int"))
     return (
-        keyed.join(ranked, ["image_id", "level", "x0", "y0", "n_pts", "chash"])
+        keyed.join(ranked, ["image_id", "level", "x0", "y0", "x1", "y1",
+                            "n_pts", "chash"])
         .select("image_id", "level", "poly_ord", "xs", "ys", "closed")
     )
 

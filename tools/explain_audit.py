@@ -120,6 +120,15 @@ AUDITED = {
         ("no Python eval in the plan", r"EvalPython", "absent"),
     ],
     # r6 new operators
+    "salted_stitch": [
+        ("bands spread across tasks via hash repartition",
+         r"hashpartitioning\(image_id[^\n)]*band"),
+        ("band stitch + boundary merge run Arrow-grouped",
+         r"FlatMapGroupsInPandas"),
+        ("poly_ord ranked by a window over the projected key frame",
+         r"Window"),
+        ("never all-pairs", r"CartesianProduct", "absent"),
+    ],
     "ann_int8": [
         ("all-queries dots in ONE Arrow matmul kernel (no crossJoin)",
          r"ArrowEvalPython"),

@@ -1458,6 +1458,43 @@ def g_elevation_hits():
     ]))
 
 
+def g_salted_stitch():
+    """Per-vertex rows of the CANONICAL stitch output (r6): the salted
+    stitch's contract is set-equality with plain stitching under
+    canonical orientation plus a purely geometric poly_ord rank
+    (x0, y0, n_pts, x1, y1) — all reproducible here with the scalar
+    stitcher + ops.contours._canonical_polyline (pure numpy), no band
+    decomposition needed."""
+    from hgt2osm2_spark.ops.contours import _canonical_polyline
+
+    opt = ContourOptions()
+    rows = []
+    for img, grid, _w, _h in _synth_tile_rows(6, 33):
+        arr = scalar_segments(grid, opt)
+        if len(arr) == 0:
+            continue
+        bags = stitch.stitch_tile(arr)
+        for level in sorted(bags):
+            polys = []
+            for pts in bags[level]:
+                xs = np.asarray([p[0] for p in pts], np.float64)
+                ys = np.asarray([p[1] for p in pts], np.float64)
+                cx, cy, closed = _canonical_polyline(xs, ys)
+                polys.append((cx, cy, closed))
+            polys.sort(key=lambda t: (t[0][0], t[1][0], len(t[0]),
+                                      t[0][1], t[1][1]))
+            for i, (cx, cy, closed) in enumerate(polys):
+                for j, (x, y) in enumerate(zip(cx.tolist(), cy.tolist())):
+                    rows.append((img, int(level), i, j, x, y, closed))
+    df = pd.DataFrame(rows, columns=[
+        "image_id", "level", "poly_ord", "pt_ord", "x", "y", "closed"])
+    _write("salted_stitch", df, pa.schema([
+        ("image_id", pa.string()), ("level", pa.int32()),
+        ("poly_ord", pa.int32()), ("pt_ord", pa.int32()),
+        ("x", pa.float64()), ("y", pa.float64()), ("closed", pa.bool_()),
+    ]))
+
+
 GENERATORS = {
     "contour_nodes": g_contour_nodes,
     "contour_readme_profile": g_contour_readme_profile,
@@ -1494,6 +1531,7 @@ GENERATORS = {
     "ann_ivf_pq": g_ann_ivf_pq,
     "tile_clip": g_tile_clip,
     "elevation_hits": g_elevation_hits,
+    "salted_stitch": g_salted_stitch,
 }
 
 
