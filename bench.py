@@ -136,9 +136,10 @@ def main():
         "quantize_int8",
         # r5: tf-idf cosine pairs (postings self-join, fixed-point)
         "tfidf_pairs",
-        # r6: SQ8 search + elevation lookup
+        # r6: SQ8 search + elevation lookup + skew-spread stitch
         "ann_int8",
         "elevation_at_points",
+        "salted_stitch",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the
