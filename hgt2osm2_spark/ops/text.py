@@ -241,16 +241,27 @@ def bm25_scores(df: DataFrame, query_terms: list[str], k1: float = 1.2,
     tc = term_counts(df, text_col, id_col).cache()
     _LIVE_CACHES.append(tc)
     stats = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    row = stats.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("tot"),
-        F.max("dl").alias("dl_max"),
-    ).collect()[0]
-    n_docs, tot = int(row["n"]), int(row["tot"] or 0)
-    dl_max = int(row["dl_max"] or 0)
-
     q = tc.where(F.col("term").isin([t.lower() for t in query_terms]))
-    dft_rows = q.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df_t")).collect()
+    # ONE driver job for every bounded scalar (r6 review follow-up):
+    # the corpus stats row and the |q| df_t rows collect together via a
+    # schema-harmonized union, so the cached tc materializes during the
+    # same action instead of across two
+    srow = stats.agg(
+        F.count("*").alias("a"), F.sum("dl").alias("b"),
+        F.max("dl").alias("c"),
+    ).select(F.lit("stats").alias("kind"),
+             F.lit(None).cast("string").alias("term"), "a", "b", "c")
+    drows = q.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("a")
+    ).select(F.lit("dft").alias("kind"), "term", "a",
+             F.lit(None).cast("long").alias("b"),
+             F.lit(None).cast("long").alias("c"))
+    collected = srow.unionByName(drows).collect()
+    stats_row = next(r for r in collected if r["kind"] == "stats")
+    n_docs, tot = int(stats_row["a"]), int(stats_row["b"] or 0)
+    dl_max = int(stats_row["c"] or 0)
+    dft_rows = [{"term": r["term"], "df_t": int(r["a"])}
+                for r in collected if r["kind"] == "dft"]
     idf_rows = [
         (r["term"], int(math.floor(
             math.log((n_docs - r["df_t"] + 0.5) / (r["df_t"] + 0.5) + 1.0)
