@@ -532,6 +532,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Sub-document (sequence-level) exact dedup — VERDICT r6 #1: the
+    removal list of repeated 10-word spans over the documents table;
+    max_df=2 routes chunks shared by >2 docs through the boilerplate
+    (remove-everywhere) path so BOTH reasons are driver-checked. The
+    DuckDB oracle re-derives chunk hashes + spans from scratch
+    (md5 over the same normalized token windows)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.substring_dedup_spans(d, chunk_words=10, max_df=2)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the n-gram
     Jaccard pair graph via iterative min-label propagation; the DuckDB
@@ -1601,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": q_ann_int8,
         "stream_contour_nodes": q_stream_contour_nodes,
         "salted_stitch": q_salted_stitch,
+        # r7 NEW operator — in-window from day one (standing policy)
+        "substring_dedup": q_substring_dedup,
         # sketches / ANN (golden-oracled)
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
@@ -2295,6 +2308,40 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1
+        """,
+        # r7: sub-document span dedup — the oracle re-derives chunk
+        # hashes and spans from scratch (same normalize -> 10-word
+        # non-overlapping windows -> md5 -> keep-first / boilerplate
+        # routing); engine and oracle share only the SPEC
+        "substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, i AS chunk_ord,
+                     md5(array_to_string(t[i*10+1 : i*10+10], ' ')) AS chunk_hash
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(
+                  0, CAST(floor(len(t)/10) AS INT) - 1)) AS i) g
+            ),
+            stats AS (
+              SELECT chunk_hash, count(*) AS n_occ,
+                     count(DISTINCT doc_id) AS n_docs,
+                     min(struct_pack(doc_id := doc_id,
+                                     chunk_ord := chunk_ord)) AS first
+              FROM occ GROUP BY chunk_hash HAVING count(*) >= 2
+            )
+            SELECT o.doc_id,
+                   o.chunk_ord*10 AS span_start,
+                   o.chunk_ord*10+10 AS span_end,
+                   o.chunk_hash,
+                   CASE WHEN s.n_docs > 2 THEN 'boilerplate'
+                        ELSE 'duplicate' END AS reason
+            FROM occ o JOIN stats s USING (chunk_hash)
+            WHERE NOT (s.n_docs <= 2 AND o.doc_id = s.first.doc_id
+                       AND o.chunk_ord = s.first.chunk_ord)
         """,
         "stream_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text

@@ -100,7 +100,10 @@ def main():
     # BENCH_HEADLINE_ONLY=1: run just the headline tile-encode+PIP job
     # (the C-kernel on/off A/B and quick format smokes don't need the
     # 33-query sweep)
-    bench_queries = [] if os.environ.get("BENCH_HEADLINE_ONLY") else [
+    headline_only = os.environ.get("BENCH_HEADLINE_ONLY", "").strip().lower() not in (
+        "", "0", "false", "no",
+    )
+    bench_queries = [] if headline_only else [
         "pricing_summary",
         "top_revenue_orders",
         "running_window",
@@ -187,6 +190,8 @@ def main():
     except OSError:
         pass  # a read-only checkout still gets the stdout record
     print(json.dumps(out))
+    from hgt2osm2_spark.cache import release_all
+    release_all()  # drop the final operator-family caches before stop
     spark.stop()
 
 

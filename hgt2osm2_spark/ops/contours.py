@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from ..cache import scope as _cache_scope
+
 from ..config import ContourOptions
 from ..kernels import codecs, marching, postprocess, stitch
 
@@ -250,16 +252,7 @@ def stitch_polylines(segments: DataFrame, shuffle_partitions: int | None = None)
 
 #: caches created by the previous salted-stitch call; released on the
 #: next call so a long-lived session never accumulates executor storage
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def release_caches() -> None:
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist(blocking=False)
-        except Exception:
-            pass
+_CACHES = _cache_scope("contours")
 
 
 def _canonical_polyline(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray, bool]:
@@ -350,11 +343,11 @@ def salted_stitch_polylines(
     # are not deduplicated by ReuseExchange) — multiplying exactly the
     # hot-group work this operator exists to spread. Registered and
     # released on the NEXT call (the text.py/knn pattern).
-    release_caches()
+    _CACHES.release()
     chains = seg.groupBy("image_id", "level", "band").applyInPandas(
         stitch_band, schema=_CHAINS_SCHEMA
     ).cache()
-    _LIVE_CACHES.append(chains)
+    _CACHES.hold(chains)
     closed_chains = chains.where(F.col("closed"))
     open_chains = chains.where(~F.col("closed"))
 
@@ -421,15 +414,23 @@ def salted_stitch_polylines(
         merge_open, schema=_CHAINS_SCHEMA
     )
     final = closed_chains.unionByName(merged)
+    return rank_poly_ord(final)
 
-    # canonical poly_ord without concentrating vertex arrays: rank a
-    # PROJECTED key frame (tiny rows) per (image_id, level), join back.
-    # The ORDER key is purely geometric (first/second vertex + length)
-    # so a no-Spark scalar twin can reproduce poly_ord exactly (the
-    # driver-gate golden); chash (Murmur3 of the arrays) participates
-    # only in the JOIN to keep the row match unique — distinct
-    # canonical polylines sharing first two vertices AND length would
-    # imply a shared endpoint, which stitching would have merged.
+
+def rank_poly_ord(final: DataFrame) -> DataFrame:
+    """Canonical poly_ord without concentrating vertex arrays: rank a
+    PROJECTED key frame (tiny rows) per (image_id, level), join back.
+    The ORDER key is purely geometric (first/second vertex + length)
+    so a no-Spark scalar twin can reproduce poly_ord exactly (the
+    driver-gate golden); chash (Murmur3 of the arrays) participates
+    only in the JOIN to keep the row match unique. For marching-squares
+    isolines distinct canonical polylines sharing first two vertices
+    AND length would imply a shared endpoint, which stitching would
+    have merged — but this is a public operator over arbitrary chain
+    frames, so the assumption is ENFORCED, not assumed: a lazy
+    raise_error fires if two distinct chains (different chash) tie on
+    the full 5-key order tuple, instead of handing them
+    nondeterministic ranks (ADVICE r6 #2)."""
     keyed = final.withColumn("x0", F.element_at("xs", 1)) \
                  .withColumn("y0", F.element_at("ys", 1)) \
                  .withColumn("x1", F.element_at("xs", 2)) \
@@ -442,7 +443,29 @@ def salted_stitch_polylines(
                          "n_pts", "chash").distinct()
     w = Window.partitionBy("image_id", "level").orderBy(
         "x0", "y0", "n_pts", "x1", "y1")
-    ranked = small.withColumn("poly_ord", (F.row_number().over(w) - 1).cast("int"))
+    w_tie = Window.partitionBy("image_id", "level",
+                               "x0", "y0", "n_pts", "x1", "y1")
+    # the guard lives INSIDE the consumed poly_ord expression — a
+    # separate dropped column would be pruned by Catalyst and never
+    # evaluated; If() is lazy, so raise_error fires only on violation
+    ranked = (
+        small
+        .withColumn("_tie", F.count("*").over(w_tie))
+        .withColumn(
+            "poly_ord",
+            F.when(
+                F.col("_tie") > 1,
+                F.raise_error(F.concat(
+                    F.lit("rank_poly_ord: distinct polylines tie on the "
+                          "(x0, y0, n_pts, x1, y1) order key in group ("),
+                    F.col("image_id"), F.lit(", "),
+                    F.col("level").cast("string"),
+                    F.lit(") — poly_ord would be nondeterministic"),
+                )).cast("int"),
+            ).otherwise((F.row_number().over(w) - 1).cast("int")),
+        )
+        .drop("_tie")
+    )
     return (
         keyed.join(ranked, ["image_id", "level", "x0", "y0", "x1", "y1",
                             "n_pts", "chash"])

@@ -23,21 +23,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..cache import scope as _cache_scope
+
 from .ids import with_tile_key
 from . import spatial
 
 #: caches created by the previous call; released on the next call so a
 #: long-lived session never accumulates executor storage
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def release_caches() -> None:
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist(blocking=False)
-        except Exception:
-            pass
+_CACHES = _cache_scope("elevation")
 
 
 def closed_ring_polygons(post_kept: DataFrame) -> DataFrame:
@@ -72,9 +65,9 @@ def elevation_at_points(
     candidates would otherwise re-run the whole upstream contour
     pipeline per action. The ring's level rides in poly_id
     (image/level/ord), so no third lineage is needed to recover it."""
-    release_caches()
+    _CACHES.release()
     rings = closed_ring_polygons(post_kept).cache()
-    _LIVE_CACHES.append(rings)
+    _CACHES.hold(rings)
     # broadcast_rings=False is the planet-scale path: a 10^12-tile
     # store's rings are not broadcast-small, so the cell-cover join
     # shuffles on cell instead (pip_join handles both)

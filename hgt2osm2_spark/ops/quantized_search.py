@@ -121,7 +121,7 @@ def ann_int8_search(
             F.col("vec_id").alias("p_id"),
             F.posexplode(all_dots(F.col("codes"))).alias("qi", "dot"),
         )
-        .withColumn("q_id", F.element_at(q_id_arr, F.col("qi") + 1))
+        .withColumn("q_id", F.element_at(q_id_arr, F.col("qi") + 1).cast("long"))
         .where(F.col("p_id") != F.col("q_id"))
     )
     w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("p_id").asc())

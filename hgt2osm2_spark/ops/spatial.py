@@ -29,6 +29,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
+from ..cache import scope as _cache_scope
+
 
 # ------------------------------------------------------------- cell index
 
@@ -210,25 +212,16 @@ def pip_join(
 # ------------------------------------------------------------- kNN join
 
 #: caches created by the previous knn_join call; released on the next
-#: call (or via release_caches) so a long-lived session never
+#: call (or via cache.release_all) so a long-lived session never
 #: accumulates executor storage. A caller that lazily re-materializes
 #: an OLD knn result after a new call recomputes instead of reading
 #: cache — correct, just slower.
-_LIVE_CACHES: list[DataFrame] = []
+_CACHES = _cache_scope("knn")
 
 #: telemetry of the most recent knn_join call — settled vs fallback
 #: query counts, so a skewed dataset can't silently degrade to the
 #: broadcast-scan fallback ("no silent caps").
 LAST_KNN_METRICS: dict = {}
-
-
-def release_caches() -> None:
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist(blocking=False)
-        except Exception:
-            pass
 
 
 #: per-key memo of {n, lat0, lat1, lon0, lon1, n_queries} — the local
@@ -272,7 +265,7 @@ def knn_join(
     ring ONLY: the pass-2 gate and telemetry are always derived from the
     data (cached settled markers + an anti-join count over the small
     query side), so a stale hint can never drop unsettled queries."""
-    release_caches()
+    _CACHES.release()
     # pts is NOT cached: in the common all-settled case it is scanned
     # exactly once (pass-1 join); caching 100 TB of points to maybe
     # serve a rare fallback re-scan is the wrong trade at scale and was
@@ -342,7 +335,7 @@ def knn_join(
         .withColumn("_settled", (F.col("_n") == k) & (F.col("_maxd") <= F.lit(guard)))
         .cache()
     )
-    _LIVE_CACHES.append(topk1)
+    _CACHES.hold(topk1)
     settled = topk1.filter("_settled").select(out_cols)
 
     # fallback gate + telemetry — both DATA-DERIVED (ADVICE r3: the

@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+from ..cache import scope as _cache_scope
+
 #: tiny per-language stopword marker sets for the n-gram/stopword
 #: language-ID heuristic (public-knowledge common words)
 LANG_MARKERS = {
@@ -144,18 +146,10 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 16) -> Data
 
 # ------------------------------------------------- relevance / indexing
 
-#: caches created by bm25_scores, released on the next call (or via
-#: release_caches) so a long-lived session never accumulates storage
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def release_caches() -> None:
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist(blocking=False)
-        except Exception:
-            pass
+#: caches created by the text family, released on the next call (or
+#: via cache.release_all) so a long-lived session never accumulates
+#: storage — one shared scope, see hgt2osm2_spark/cache.py
+_CACHES = _cache_scope("text")
 
 def term_counts(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -233,13 +227,13 @@ def bm25_scores(df: DataFrame, query_terms: list[str], k1: float = 1.2,
     q and dft); the cache is registered and released on the NEXT call
     (the knn_join pattern) so repeated calls in a long-lived session
     don't accumulate storage."""
-    release_caches()
+    _CACHES.release()
     k1n, bn = int(round(k1 * 10)), int(round(b * 100))
     if abs(k1n / 10.0 - k1) > 1e-12 or abs(bn / 100.0 - b) > 1e-12:
         raise ValueError("k1 must be a multiple of 0.1 and b of 0.01 "
                          "for the exact integer-rational weight")
     tc = term_counts(df, text_col, id_col).cache()
-    _LIVE_CACHES.append(tc)
+    _CACHES.hold(tc)
     stats = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     q = tc.where(F.col("term").isin([t.lower() for t in query_terms]))
     # ONE driver job for every bounded scalar (r6 review follow-up):
@@ -343,10 +337,25 @@ def tfidf_cosine_pairs(df: DataFrame, min_sim: float = 0.2, min_df: int = 2,
     and oracle — bounded, not silently truncated). The df table is
     broadcast; one bounded driver scalar (N). term_counts is computed
     once and cached; released on the next text-family call."""
-    release_caches()
+    _CACHES.release()
     tc = term_counts(df, text_col, id_col).cache()
-    _LIVE_CACHES.append(tc)
-    n_docs = int(tc.select(F.countDistinct("doc_id")).collect()[0][0])
+    _CACHES.hold(tc)
+    # ONE driver job for every bounded scalar (the bm25 pattern): N,
+    # max tf, and max distinct-terms-per-doc together — the last two
+    # feed the overflow guard below (ADVICE r6 #1). Computed over the
+    # UNFILTERED term frame, a superset of the vocabulary, so the
+    # bound is conservative.
+    srow = tc.agg(
+        F.countDistinct("doc_id").alias("a"), F.max("tf").alias("b"),
+    ).select(F.lit("n").alias("kind"), "a", "b")
+    prow = (tc.groupBy("doc_id").agg(F.count("*").alias("a"))
+            .agg(F.max("a").alias("a"))
+            .select(F.lit("npd").alias("kind"), "a",
+                    F.lit(None).cast("long").alias("b")))
+    collected = srow.unionByName(prow).collect()
+    nrow = next(r for r in collected if r["kind"] == "n")
+    n_docs, tf_max = int(nrow["a"]), int(nrow["b"] or 0)
+    npd_max = int(next(r["a"] for r in collected if r["kind"] == "npd") or 0)
 
     dft = tc.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
     dft = dft.where(F.col("df_t") >= int(min_df))
@@ -374,6 +383,25 @@ def tfidf_cosine_pairs(df: DataFrame, min_sim: float = 0.2, min_df: int = 2,
     # from the vocabulary removes the 0-norm case in both engines
     # (docs with no positive-weight term simply form no pairs).
     dft = dft.where(F.col("idf_milli") > 0)
+    # overflow / exactness guard (ADVICE r6 #1, mirrors bm25): the
+    # bit-exactness contract needs dot and norm2 to be EXACT when
+    # converted int64 -> double, i.e. < 2^53. Bound them from driver
+    # scalars: norm2 <= npd_max * (tf_max * idf_max)^2 and
+    # dot <= sqrt(norm2_a * norm2_b) <= the same bound. Spark (non-
+    # ANSI) would wrap int64 silently while DuckDB errors — the guard
+    # makes both loud before any mismatch can reach the gate.
+    if max_df is not None:
+        idf_max = max((m for _d, m in idf_rows), default=0)
+    else:
+        idf_max = int(math.floor(
+            math.log(float(n_docs) / float(max(int(min_df), 1)))
+            * 1000.0 + 0.5)) if n_docs >= max(int(min_df), 1) else 0
+    norm2_bound = npd_max * (tf_max * idf_max) ** 2
+    if norm2_bound >= 2 ** 53:
+        raise OverflowError(
+            "tfidf_cosine_pairs int64 fixed-point bound exceeded "
+            f"(norm2 bound {norm2_bound} >= 2^53); escalate w_milli "
+            "sums to decimal(38,0) in both engines")
     w = (
         tc.join(F.broadcast(dft.select("term", "idf_milli")), "term")
         .withColumn("w_milli", (F.col("tf") * F.col("idf_milli")).cast("long"))

@@ -166,3 +166,34 @@ def test_canonical_polyline_is_representation_invariant():
                 got = contours._canonical_polyline(tx, ty)
                 assert (got[0].tolist(), got[1].tolist()) == \
                        (ref[0].tolist(), ref[1].tolist()), (k, flip)
+
+
+def test_rank_poly_ord_tie_guard_raises(spark):
+    """ADVICE r6 #2: rank_poly_ord is public over arbitrary chain
+    frames; two DISTINCT chains tying on the full (x0, y0, n_pts,
+    x1, y1) order key must fail loudly instead of getting
+    nondeterministic ranks."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    rows = [
+        ("t0", 100, [0.0, 1.0, 2.0], [0.0, 0.0, 0.0], False),
+        ("t0", 100, [0.0, 1.0, 2.0], [0.0, 0.0, 1.0], False),  # same 5-key
+    ]
+    final = spark.createDataFrame(
+        rows, "image_id string, level int, xs array<double>, "
+              "ys array<double>, closed boolean")
+    with pytest.raises(Exception, match="nondeterministic"):
+        contours.rank_poly_ord(final).collect()
+
+
+def test_rank_poly_ord_distinct_keys_ok(spark):
+    rows = [
+        ("t0", 100, [0.0, 1.0, 2.0], [0.0, 0.0, 0.0], False),
+        ("t0", 100, [0.0, 1.0], [0.5, 0.5], False),          # n_pts differs
+        ("t0", 200, [0.0, 1.0, 2.0], [0.0, 0.0, 1.0], False),  # other level
+    ]
+    final = spark.createDataFrame(
+        rows, "image_id string, level int, xs array<double>, "
+              "ys array<double>, closed boolean")
+    got = {(r["level"], r["poly_ord"]) for r in
+           contours.rank_poly_ord(final).collect()}
+    assert got == {(100, 0), (100, 1), (200, 0)}
