@@ -664,6 +664,30 @@ def q_ann_ivf_pq(spark, sf_dir):
     return similarity.ivf_pq_ann_topk(e, q, k=KNN_K).select("q_id", "p_id", "rnk")
 
 
+def q_ann_codebook(spark, sf_dir):
+    """IVF-PQ search from the PERSISTED codebook artifact (VERDICT r6
+    #2 — fit()/transform() split): loads golden/ann_model/ (parquet
+    centroids + PQ codebooks written once by the trainer), encodes the
+    embeddings table with the stored model, and searches entirely from
+    that artifact. The golden twin consumes the SAME parquet files and
+    re-derives encode/ADC/re-rank with scalar loops; with identical
+    params the result must also equal ann_ivf_pq's inline-fit golden —
+    both invariants are asserted at golden-generation time."""
+    import os as _os
+
+    from hgt2osm2_spark.ops import ann_model as _am
+
+    model = _am.load_ann_model(_os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "golden", "ann_model"))
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    enc = _am.encode_vectors(e, model)
+    return _am.search_topk(e, q, model, k=KNN_K, encoded=enc) \
+        .select("q_id", "p_id", "rnk")
+
+
 def _contour_result(spark):
     # band_rows=None here and in the other 33px-tile gate queries: the
     # auto-grain peek (plans/pipeline.py) can never band tiles this
@@ -1612,8 +1636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": q_ann_int8,
         "stream_contour_nodes": q_stream_contour_nodes,
         "salted_stitch": q_salted_stitch,
-        # r7 NEW operator — in-window from day one (standing policy)
+        # r7 NEW operators — in-window from day one (standing policy)
         "substring_dedup": q_substring_dedup,
+        "ann_codebook": q_ann_codebook,
         # sketches / ANN (golden-oracled)
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
@@ -1758,7 +1783,7 @@ GOLDEN_ORACLES = [
     "multimodal_features", "multimodal_resize", "frame_sample",
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
-    "ann_lsh", "ann_ivf", "phash_near_dup", "audio_features",
+    "ann_lsh", "ann_ivf", "ann_codebook", "phash_near_dup", "audio_features",
     "image_stats", "tile_clip",
 ]
 

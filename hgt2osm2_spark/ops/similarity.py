@@ -307,21 +307,13 @@ def ivf_ann_topk(
     At 10^12 scale the assignment is a write-once partition/bucket key
     (Iceberg partition on `cluster`), so a query touches n_probe/n_c of
     the data; training stays O(sample x iters) on the driver."""
-    e = embeddings.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("pvec"))
-    q = queries.select("q_id", "qvec")
+    from .ann_model import AnnModel, search_topk
 
     cent, _ = _train_coarse(embeddings, id_col, vec_col, n_centroids,
                             train_sample, iters, seed)
-    eb = e.withColumn("cluster", assign_cluster_col(F.col("pvec"), cent))
-    qb = _probe_clusters(q, cent, n_probe)
-    cand = F.broadcast(qb).join(eb, "cluster").select("q_id", "qvec", "p_id", "pvec")
-    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("p_id").asc())
-    return (
-        cand.withColumn("sim", cosine_expr(F.col("qvec"), F.col("pvec")))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "p_id", "rnk", "sim")
-    )
+    model = AnnModel(cent=cent, books=None)
+    return search_topk(embeddings, queries, model, k=k, n_probe=n_probe,
+                       id_col=id_col, vec_col=vec_col)
 
 
 def embedding_near_dup(
@@ -417,78 +409,14 @@ def ivf_pq_ann_topk(
          uncompressed scoring finds in the same probed lists with
          4-bit sub-codebooks (ksub=16); raise it (or ksub) for more.
     """
-    e = embeddings.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("pvec"))
-    q = queries.select("q_id", "qvec")
+    from .ann_model import AnnModel, search_topk
 
     cent, sample = _train_coarse(embeddings, id_col, vec_col, n_centroids,
                                  train_sample, iters, seed)
     books = train_pq(sample, m, ksub, iters, seed + 1000)
-    dsub = books.shape[2]
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def encode(vecs: pd.Series) -> pd.Series:
-        vs = np.array(vecs.tolist(), dtype=np.float64)
-        vs /= np.maximum(np.linalg.norm(vs, axis=1, keepdims=True), 1e-12)
-        codes = np.empty((len(vs), m), dtype=np.int32)
-        for j in range(m):
-            sub = vs[:, j * dsub : (j + 1) * dsub]
-            # direct (a-b)^2 with a last-axis np.sum: for dsub < 128
-            # numpy reduces SEQUENTIALLY, so the scalar golden twin's
-            # plain loop is bit-identical (the cancellation-prone
-            # ||a||^2-2ab+||b||^2 expansion through BLAS is not)
-            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = d2.argmin(axis=1)
-        return pd.Series(list(codes))
-
-    eb = e.withColumn("cluster", assign_cluster_col(F.col("pvec"), cent)) \
-          .withColumn("codes", encode(F.col("pvec")))
-    qb = _probe_clusters(q, cent, n_probe)
-
-    @F.pandas_udf(T.DoubleType())
-    def adc(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
-        qs = np.array(qvecs.tolist(), dtype=np.float64)
-        qs /= np.maximum(np.linalg.norm(qs, axis=1, keepdims=True), 1e-12)
-        cs = np.array(codes.tolist(), dtype=np.int64)
-        # LUTs are per-distinct-query within the batch; batches carry few
-        # distinct queries (candidates arrive grouped off the join)
-        out = np.empty(len(qs))
-        luts: dict[bytes, np.ndarray] = {}
-        for i in range(len(qs)):
-            key = qs[i].tobytes()
-            lut = luts.get(key)
-            if lut is None:
-                # elementwise product + last-axis np.sum: sequential
-                # accumulation (dsub < 128), bit-identical to the
-                # twin's plain-loop dot — BLAS @ is not
-                lut = np.stack([
-                    (books[j] * qs[i, j * dsub : (j + 1) * dsub][None, :]).sum(axis=1)
-                    for j in range(m)
-                ])  # (m, ksub)
-                luts[key] = lut
-            out[i] = lut[np.arange(m), cs[i]].sum()
-        return pd.Series(out)
-
-    cand = F.broadcast(qb).join(eb, "cluster")
-    scored = cand.withColumn("adc_sim", adc(F.col("qvec"), F.col("codes")))
-    w = W.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("p_id").asc())
-    if not rerank:
-        return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("q_id", "p_id", "rnk", F.col("adc_sim").alias("sim"))
-        )
-    short = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= int(rerank) * k)
-        .drop("rnk")
-    )
-    w2 = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("p_id").asc())
-    return (
-        short.withColumn("sim", cosine_expr(F.col("qvec"), F.col("pvec")))
-        .withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "p_id", "rnk", "sim")
-    )
+    model = AnnModel(cent=cent, books=books)
+    return search_topk(embeddings, queries, model, k=k, n_probe=n_probe,
+                       rerank=rerank, id_col=id_col, vec_col=vec_col)
 
 
 # ------------------------------------------- int8 scalar quantization

@@ -1425,6 +1425,109 @@ def g_ann_ivf_pq():
     ]))
 
 
+
+def g_ann_codebook():
+    """Persisted-codebook search twin (VERDICT r6 #2): trains the SAME
+    deterministic model as fit_ann_model (shared trainers — the
+    artifact IS the contract), WRITES it to golden/ann_model/ as the
+    parquet codebook artifact, then RELOADS it from those files and
+    re-derives encode + ADC + re-rank with plain scalar loops over the
+    reloaded arrays — so the golden provably consumes the persisted
+    artifact, not in-memory state. Same params as g_ann_ivf_pq, so the
+    result must equal golden/ann_ivf_pq.parquet row-for-row (asserted:
+    a free cross-twin invariant)."""
+    from hgt2osm2_spark.ops.ann_model import (
+        AnnModel, load_ann_model, save_ann_model,
+    )
+    from hgt2osm2_spark.ops.similarity import _kmeans, train_pq
+
+    embs = _embs().sort_values("vec_id")
+    ids = embs.vec_id.tolist()
+    vecs = [np.asarray(v, dtype=np.float64) for v in embs.embedding]
+    sample = np.array(vecs[:2048])
+    cent = _kmeans(sample, 16, 10, 42)
+    books = train_pq(sample, 8, 16, 10, 1042)
+    model = AnnModel(cent=cent, books=books, params={
+        "version": 1, "n_centroids": 16, "dim": int(sample.shape[1]),
+        "m": 8, "ksub": 16, "train_sample": 2048, "iters": 10, "seed": 42,
+    })
+    save_ann_model(model, os.path.join(GOLDEN_DIR, "ann_model"))
+    loaded = load_ann_model(os.path.join(GOLDEN_DIR, "ann_model"))
+    assert np.array_equal(loaded.cent, cent)
+    assert np.array_equal(loaded.books, books)
+    cent, books = loaded.cent, loaded.books  # search FROM the artifact
+    m, ksub, dsub = books.shape
+
+    def norm(v):
+        n = 0.0
+        for x in v:
+            n += x * x
+        n = max(n ** 0.5, 1e-12)
+        return [x / n for x in v]
+
+    def assign(v):
+        best_s, best_c = None, None
+        for c in range(len(cent)):
+            s = _seq_dot(v, cent[c])
+            if best_s is None or s > best_s:
+                best_s, best_c = s, c
+        return best_c
+
+    def encode(v):
+        nv = norm(v)
+        codes = []
+        for j in range(m):
+            sub = nv[j * dsub : (j + 1) * dsub]
+            best_d, best_i = None, None
+            for i in range(ksub):
+                d = 0.0
+                for a, b in zip(sub, books[j][i]):
+                    d += (a - b) * (a - b)
+                if best_d is None or d < best_d:
+                    best_d, best_i = d, i
+            codes.append(best_i)
+        return codes
+
+    clusters: dict[int, list[int]] = {}
+    codes_of = {}
+    for i, v in enumerate(vecs):
+        clusters.setdefault(assign(v), []).append(i)
+        codes_of[i] = encode(v)
+
+    rows = []
+    for qi, vid in enumerate(ids):
+        if vid >= 20:
+            continue
+        nq = norm(vecs[qi])
+        scores = [(_seq_dot(vecs[qi], cent[c]), c) for c in range(len(cent))]
+        probes = [c for _s, c in sorted(scores, reverse=True)[:4]]
+        cands = {i for c in probes for i in clusters.get(c, [])}
+        lut = [[_seq_dot(np.asarray(nq[j * dsub : (j + 1) * dsub]), books[j][i])
+                for i in range(ksub)] for j in range(m)]
+        adc = sorted(
+            ((-sum(lut[j][codes_of[i][j]] for j in range(m)), ids[i], i)
+             for i in cands)
+        )[: 8 * 5]
+        rerank = sorted(
+            ((-_seq_cos(vecs[i_], vecs[qi]), pid)
+             for _neg, pid, i_ in adc)
+        )[:5]
+        for rnk, (_neg, pid) in enumerate(rerank, 1):
+            rows.append((vid, pid, rnk))
+    df = pd.DataFrame(rows, columns=["q_id", "p_id", "rnk"])
+    # cross-twin invariant: identical params => identical result
+    prior = os.path.join(GOLDEN_DIR, "ann_ivf_pq.parquet")
+    if os.path.exists(prior):
+        ref = pd.read_parquet(prior).sort_values(["q_id", "rnk"])
+        got = df.sort_values(["q_id", "rnk"])
+        assert ref[["q_id", "p_id", "rnk"]].values.tolist() == \
+            got[["q_id", "p_id", "rnk"]].values.tolist(), \
+            "ann_codebook twin diverged from ann_ivf_pq twin"
+    _write("ann_codebook", df, pa.schema([
+        ("q_id", pa.int64()), ("p_id", pa.int64()), ("rnk", pa.int32()),
+    ]))
+
+
 # ======================================================================
 
 def g_elevation_hits():
@@ -1529,6 +1632,7 @@ GENERATORS = {
     "ann_lsh": g_ann_lsh,
     "ann_ivf": g_ann_ivf,
     "ann_ivf_pq": g_ann_ivf_pq,
+    "ann_codebook": g_ann_codebook,
     "tile_clip": g_tile_clip,
     "elevation_hits": g_elevation_hits,
     "salted_stitch": g_salted_stitch,
