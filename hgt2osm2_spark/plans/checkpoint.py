@@ -65,12 +65,42 @@ class CheckpointStore:
     def lineage_path(self) -> str:
         return f"{self.root}/lineage"
 
+    @property
+    def level_metrics_path(self) -> str:
+        return f"{self.root}/level_metrics"
+
     # -- lineage -----------------------------------------------------
     def lineage(self) -> DataFrame:
         try:
             return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_path)
         except Exception:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    def level_metrics(self) -> DataFrame | None:
+        """Per-(image_id, level) segment counts — the level-grain
+        metrics sink written at the segments commit (VERDICT r6 #8).
+        The salt planner consumes these on a LATER run instead of
+        re-scanning segments for a histogram. None when no run has
+        written them yet (older stores stay readable)."""
+        try:
+            return self.spark.read.parquet(self.level_metrics_path)
+        except Exception:
+            return None
+
+    def commit_level_metrics(self, counts: DataFrame, run_id: str) -> None:
+        """Partition-overwrite by image_id (same commit protocol as
+        stage data): one row set per tile, newest run wins."""
+        (
+            counts.select(
+                "image_id", "level",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.lit(run_id).alias("run_id"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("image_id")
+            .parquet(self.level_metrics_path)
+        )
 
     def completed_ids(self, stage: str) -> DataFrame:
         return (
@@ -153,6 +183,10 @@ class ResumableResult:
     store: CheckpointStore
     run_id: str
     computed: dict[str, int]  # stage -> #tiles computed this run
+    #: stitch plan of this run's polylines stage (auto_salt only):
+    #: {"n_salt": int, "counts_source": "lineage" | "measured"} — so
+    #: tests can assert the decision came from the stored metrics
+    salt_plan: dict | None = None
 
     def nodes(self) -> DataFrame:
         return self.store.load_stage("nodes")
@@ -172,17 +206,31 @@ def run_checkpointed(
     strict_reference: bool = True,
     shuffle_partitions: int | None = None,
     stop_after: str | None = None,
+    auto_salt: bool = False,
 ) -> ResumableResult:
     """Run the contour pipeline stage-by-stage with per-stage commits.
 
     ``stop_after`` simulates a mid-run kill after the named stage (for
     resume tests); a subsequent call with the same root picks up where
     it stopped without recomputing committed (stage, tile) pairs.
+
+    ``auto_salt`` closes the lineage->plan loop (VERDICT r6 #8): the
+    segments commit also writes per-(image_id, level) counts to the
+    level-metrics table, and the polylines stage feeds THOSE to
+    auto_stitch_polylines — so a resumed run dispatches plain-vs-salted
+    stitch from run 1's metrics with ZERO histogram jobs over the
+    segment store, and at 10^12-tile scale the planner reads a KB-scale
+    metrics partition instead of re-scanning the hot tile. The salted
+    plan's polylines carry the CANONICAL order contract (not the
+    reference's surviving-list order), so auto_salt is opt-in; the
+    decomposition itself is result-invariant (r6 golden: salted ==
+    scalar no-band twin).
     """
     opt = opt or ContourOptions()
     store = CheckpointStore(spark, root)
     run_id = uuid.uuid4().hex[:12]
     computed: dict[str, int] = {}
+    salt_plan: dict | None = None
     dims = tiles.select("image_id", "w", "h")
 
     def count_pending(p: DataFrame) -> int:
@@ -195,6 +243,16 @@ def run_checkpointed(
     if n:
         store.commit_stage(contours.extract_contour_segments(p, opt), "segments", run_id,
                            pending_ids=p.select("image_id"))
+        if auto_salt:
+            # level-grain metrics from the COMMITTED store (one narrow
+            # agg over the just-written parquet, no recompute of the
+            # Python extract stage), scoped to this commit's tiles
+            fresh = store.load_stage("segments", p)
+            store.commit_level_metrics(
+                fresh.groupBy("image_id", "level").agg(
+                    F.count("*").alias("n_rows")),
+                run_id,
+            )
     if stop_after == "segments":
         return ResumableResult(store, run_id, computed)
 
@@ -204,12 +262,23 @@ def run_checkpointed(
     computed["polylines"] = n
     if n:
         segs = store.load_stage("segments", p)
+        if auto_salt:
+            counts = store.level_metrics()
+            source = "lineage" if counts is not None else "measured"
+            if counts is not None:
+                counts = counts.join(
+                    F.broadcast(p.select("image_id").distinct()), "image_id")
+            polylines, n_salt = contours.auto_stitch_polylines(
+                segs, shuffle_partitions, counts=counts)
+            salt_plan = {"n_salt": n_salt, "counts_source": source}
+        else:
+            polylines = contours.stitch_polylines(segs, shuffle_partitions)
         store.commit_stage(
-            contours.stitch_polylines(segs, shuffle_partitions), "polylines", run_id,
+            polylines, "polylines", run_id,
             pending_ids=p.select("image_id"),
         )
     if stop_after == "polylines":
-        return ResumableResult(store, run_id, computed)
+        return ResumableResult(store, run_id, computed, salt_plan)
 
     # stage 5: post-production
     p = store.pending(tiles, "post")
@@ -222,7 +291,7 @@ def run_checkpointed(
             pending_ids=p.select("image_id"),
         )
     if stop_after == "post":
-        return ResumableResult(store, run_id, computed)
+        return ResumableResult(store, run_id, computed, salt_plan)
 
     # stage 6: IDs + node/way outputs
     for stage, builder, id_col in (
@@ -237,6 +306,6 @@ def run_checkpointed(
             store.commit_stage(builder(ids.assign_ids(kept, opt)), stage, run_id, id_col,
                                pending_ids=p.select("image_id"))
         if stop_after == stage:
-            return ResumableResult(store, run_id, computed)
+            return ResumableResult(store, run_id, computed, salt_plan)
 
-    return ResumableResult(store, run_id, computed)
+    return ResumableResult(store, run_id, computed, salt_plan)
