@@ -282,6 +282,94 @@ def _canonical_polyline(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.
     return xs.copy(), ys.copy(), False
 
 
+def _canonical_batch(
+    xs: np.ndarray, ys: np.ndarray, offs: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """_canonical_polyline over a FLAT chain batch (values xs/ys, chain
+    i spans offs[i]:offs[i+1]) without a per-chain Python loop — the
+    r7 stage-1 hot-path fix: a checkerboard-hot band yields ~20k+ tiny
+    chains per task and the per-chain canonicalize/dict tail cost 3x
+    the C stitch itself. Returns (out_xs, out_ys, out_offs, closed):
+    same flat layout, canonical orientation/rotation, bit-identical to
+    the scalar twin (property-pinned in test_salted_stitch).
+
+    Vectorization scheme: per-chain argmin of the lexicographic (x, y)
+    ring vertex via two minimum.reduceat passes (unique by the
+    degree-<=2 no-repeated-vertex property), direction choice from the
+    ring neighbors, and one global gather index built from segment
+    arithmetic — every step O(total points), no Python per chain."""
+    n_chain = len(offs) - 1
+    if n_chain == 0:
+        return xs[:0], ys[:0], offs.copy(), np.zeros(0, bool)
+    lens = np.diff(offs)
+    starts = offs[:-1]
+    closed = (
+        (lens > 1)
+        & (xs[starts] == xs[offs[1:] - 1])
+        & (ys[starts] == ys[offs[1:] - 1])
+    )
+    total = int(offs[-1])
+    g = np.arange(total, dtype=np.int64)
+    pos = g - np.repeat(starts, lens)
+
+    # ---- open chains: flip when (x0,y0) > (xn,yn) lexicographically
+    last = offs[1:] - 1
+    flip_open = (~closed) & (
+        (xs[starts] > xs[last])
+        | ((xs[starts] == xs[last]) & (ys[starts] > ys[last]))
+    )
+    # reversed gather: src = off[i] + (off[i+1]-1) - g
+    rev_src = np.repeat(starts.astype(np.int64) + offs[1:] - 1, lens) - g
+    src = np.where(np.repeat(flip_open, lens), rev_src, g)
+
+    # ---- closed chains: ring = span without the duplicate last vertex
+    if closed.any():
+        ring_lens = lens - 1  # valid where closed
+        # per-chain argmin of (x, then y) over the ring: mask the
+        # duplicate last vertex to +inf so reduceat sees the ring only
+        INF = np.inf
+        is_last = g == np.repeat(last, lens)
+        cmask = np.repeat(closed, lens)
+        x_m = np.where(cmask & is_last, INF, xs)
+        minx = np.minimum.reduceat(x_m, starts)
+        at_minx = x_m == np.repeat(minx, lens)
+        y_m = np.where(at_minx, ys, INF)
+        miny = np.minimum.reduceat(y_m, starts)
+        is_min = at_minx & (y_m == np.repeat(miny, lens))
+        # unique min per chain (no repeated ring vertex): first hit
+        # per chain in ascending flatnonzero order IS the hit
+        k_global = np.zeros(n_chain, dtype=np.int64)
+        hits = np.flatnonzero(is_min)
+        # one hit per chain, chains contiguous -> hits aligns with
+        # chain index of each hit
+        chain_of_hit = np.searchsorted(offs, hits, side="right") - 1
+        # keep the FIRST hit per chain (defensive; property says unique)
+        first_mask = np.ones(len(hits), bool)
+        first_mask[1:] = chain_of_hit[1:] != chain_of_hit[:-1]
+        hits = hits[first_mask]
+        chain_of_hit = chain_of_hit[first_mask]
+        k_global[chain_of_hit] = hits
+        k = k_global - starts  # ring-local anchor index
+        nL = ring_lens
+        nxt = starts + (k + 1) % np.maximum(nL, 1)
+        prv = starts + (k - 1) % np.maximum(nL, 1)
+        fwd = (xs[nxt] < xs[prv]) | (
+            (xs[nxt] == xs[prv]) & (ys[nxt] <= ys[prv]))
+        # gather src for closed spans: pos' = pos for pos < len;
+        # ring index = (k ± pos) mod nL, and the final position
+        # (pos == len-1, the re-appended first vertex) maps to the
+        # anchor itself ((k ± 0) mod nL = k)
+        sgn = np.where(fwd, 1, -1)
+        kr = np.repeat(k, lens)
+        nr = np.repeat(np.maximum(nL, 1), lens)
+        sr = np.repeat(sgn, lens)
+        ring_pos = np.where(pos == np.repeat(lens - 1, lens), 0, pos)
+        csrc = np.repeat(starts, lens) + (kr + sr * ring_pos) % nr
+        src = np.where(cmask, csrc, src)
+
+    return xs[src], ys[src], offs.copy(), closed
+
+
 _CHAINS_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),
@@ -324,13 +412,27 @@ def salted_stitch_polylines(
 
     def stitch_band(key, pdf: pd.DataFrame) -> pd.DataFrame:
         image_id, level, _band = key
-        rows = []
-        for fx, fy in _stitch_group(pdf, level):
-            ox, oy, closed = _canonical_polyline(fx, fy)
-            rows.append({"image_id": image_id, "level": int(level),
-                         "xs": ox.tolist(), "ys": oy.tolist(),
-                         "closed": closed})
-        return pd.DataFrame(rows, columns=[f.name for f in _CHAINS_SCHEMA.fields])
+        # flat-array fast path (r7): a hot checkerboard band yields
+        # ~20k+ tiny chains per task, and the old per-chain
+        # canonicalize + dict + tolist tail cost 3x the C stitch
+        # itself. The group key pins the level, so every stitched
+        # chain is this level — no filter loop needed.
+        pdf = pdf.sort_values(["row_y", "seg_ord"])
+        seg = np.empty(len(pdf), dtype=marching.SEG_DTYPE)
+        seg["y"] = pdf["row_y"].to_numpy()
+        seg["level"] = pdf["level"].to_numpy()
+        for c in ("x1", "y1", "x2", "y2"):
+            seg[c] = pdf[c].to_numpy()
+        _lvls, offs, fx, fy = stitch.stitch_tile_arrays(seg)
+        ox, oy, oo, cl = _canonical_batch(fx, fy, offs)
+        nc = len(oo) - 1
+        return pd.DataFrame({
+            "image_id": np.repeat(image_id, nc),
+            "level": np.full(nc, int(level), np.int32),
+            "xs": pd.Series(np.split(ox, oo[1:-1]), dtype=object),
+            "ys": pd.Series(np.split(oy, oo[1:-1]), dtype=object),
+            "closed": cl,
+        }, columns=[f.name for f in _CHAINS_SCHEMA.fields])
 
     seg = segments.withColumn(
         "band", (F.col("row_y") / F.lit(int(band_h))).cast("int")

@@ -74,6 +74,11 @@ def main() -> None:
     band_h = max((N - 1) // (2 * CORES), 64)
     salted_sec, salted_samples = best_of(
         lambda: contours.salted_stitch_polylines(seg, band_h, CORES * 2).count())
+    # decomposition (r7): the bare grouping-shuffle floor both variants
+    # share, measured as the same exchange with a trivial agg
+    shuffle_sec, _sh = best_of(
+        lambda: seg.withColumn("band", (F.col("row_y") / band_h).cast("int"))
+        .groupBy("image_id", "level", "band").count().count())
 
     rec = {
         "metric": "salted_vs_plain_stitch_wall_sec",
@@ -86,13 +91,14 @@ def main() -> None:
         "plain_sec": plain_sec, "plain_samples": plain_samples,
         "salted_sec": salted_sec, "salted_samples": salted_samples,
         "band_h": band_h,
+        "shuffle_floor_sec": shuffle_sec,
         "speedup": round(plain_sec / max(salted_sec, 1e-9), 2),
     }
     print(json.dumps(rec))
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/SALTED_STITCH_AB.md", "w") as f:
         f.write(
-            "# Salted vs plain stitch — skewed-workload A/B (r6)\n\n"
+            "# Salted vs plain stitch — skewed-workload A/B (r7)\n\n"
             f"{N_TILES} tiles x {N}^2, local[{CORES}]; each tile's left half is a\n"
             "checkerboard around ONE level, so nearly all of a tile's segments\n"
             "land in one (image_id, level) stitch group — the VERDICT r5 #6\n"
@@ -104,8 +110,14 @@ def main() -> None:
             "| variant | wall (s) | samples |\n|---|---|---|\n"
             f"| plain `stitch_polylines` (1 task per hot group) | {plain_sec} | {plain_samples} |\n"
             f"| `salted_stitch_polylines` (band_h={band_h}) | {salted_sec} | {salted_samples} |\n\n"
-            f"**Speedup {rec['speedup']}x.** The salted path's contract is the\n"
-            "canonical polyline SET (driver-gated, golden `salted_stitch`);\n"
+            f"**Speedup {rec['speedup']}x** (r6: 1.44x; the r7 stage-1 fix\n"
+            "replaced the per-chain canonicalize/dict/tolist tail — 3x the\n"
+            "cost of the C stitch on a hot band — with the vectorized\n"
+            "_canonical_batch over flat chain arrays). Decomposition: the\n"
+            f"grouping-shuffle floor both variants share is {shuffle_sec} s —\n"
+            "NOT the bound; the r6 'bounded by the shared segment shuffle'\n"
+            "claim is retracted by measurement. The salted path's contract is\n"
+            "the canonical polyline SET (driver-gated, golden `salted_stitch`);\n"
             "reference-order parity consumers keep the plain path, whose group\n"
             "is bounded by one tile.\n\n"
             "Reproduce: `python tools/salted_stitch_ab.py`.\n"
