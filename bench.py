@@ -143,6 +143,9 @@ def main():
         "ann_int8",
         "elevation_at_points",
         "salted_stitch",
+        # r7: sequence-level dedup + persisted-codebook ANN search
+        "substring_dedup",
+        "ann_codebook",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the
