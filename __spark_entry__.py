@@ -1609,29 +1609,28 @@ def q_tile_pip_flagship(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver gate evaluates only the FIRST
-    # 50 entries of this dict (VERDICT r2 finding #2). Round-6 rotation
-    # (VERDICT r5 "Next round" #2 and #7): 14 swaps — the r6-hardened
-    # tfidf_pairs (the one registry entry never driver-checked) moves
-    # INSIDE the window together with the 13 residents whose last driver
-    # check is r1-r4 (cell_index ... salted_skew_agg); 14 freshly
-    # r5-green entries rotate out (the 5-round-green contour family,
-    # decode_stats, the multimodal plumbing trio, decorations/crop and
-    # two raster sinks). bm25 STAYS in-window: its r5 row was the one
-    # hash FAIL, and the r6 integer-rational rewrite needs a green row
-    # on record. Everything past the boundary stays value-checked every
-    # round by tools/check_entry.py (the gate mirror) + tests/.
+    # 50 entries of this dict (VERDICT r2 finding #2). Round-7 rotation
+    # (VERDICT r6 "Next round" #4): 37 swaps — with 50/50 green in r6
+    # everything freshly checked rotates OUT and the window becomes
+    # maximally stale-first: the 5 always-in core entries, the four r6
+    # operators and hardened bm25/tfidf (second consecutive row), the
+    # two r7-born operators (substring_dedup, ann_codebook — in-window
+    # from day one per the standing policy), the COMPLETE r5-stale
+    # block (contour family, sinks, crop/decode, multimodal trio,
+    # decorations, cross-tile, osm_xml, rasterize — 18 entries), and
+    # the 19-entry r1-r4 relational tail, whose driver rows are the
+    # oldest in the registry. After r7 no entry's last driver check
+    # predates r5. Everything past the boundary stays value-checked
+    # every round by tools/check_entry.py (the gate mirror) + tests/.
     return {
-        # engine core flagship (always in-window)
+        # ---- r7 driver window (first 50; see rotation note above) ----
+        # engine core flagship + spatial + ingestion + lineage
         "tile_pip_flagship": q_tile_pip_flagship,
-        # spatial layer (J3, J4)
         "knn_join": q_knn_join,
         "pip_join": q_pip_join,
-        # real-file ingestion (S2/S4) + robustness
         "hgt_zip_scan": q_hgt_zip_scan,
-        # checkpoint/lineage
         "checkpoint_lineage": q_checkpoint_lineage,
-        # r6 NEW operators — in-window from day one (the tfidf_pairs
-        # lesson: new registry entries must not wait outside the window)
+        # r6 new operators: second consecutive driver row
         "elevation_at_points": q_elevation_at_points,
         "ann_int8": q_ann_int8,
         "stream_contour_nodes": q_stream_contour_nodes,
@@ -1639,13 +1638,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 NEW operators — in-window from day one (standing policy)
         "substring_dedup": q_substring_dedup,
         "ann_codebook": q_ann_codebook,
-        # sketches / ANN (golden-oracled)
+        # r6-hardened fixed-point pair: second consecutive green row
+        # (bm25 bench watch, VERDICT r6 'what's wrong' #1)
+        "bm25": q_bm25,
+        "tfidf_pairs": q_tfidf_pairs,
+        # rotated IN for r7: the complete r5-stale block (contour
+        # family, sinks, crops, decode, multimodal, decorations)
+        "contour_nodes": q_contour_nodes,
+        "contour_ways": q_contour_ways,
+        "contour_metrics": q_contour_metrics,
+        "contour_geometry": q_contour_geometry,
+        "contour_readme_profile": q_contour_readme_profile,
+        "decode_stats": q_decode_stats,
+        "decode_quarantine": q_decode_quarantine,
+        "crop_stats": q_crop_stats,
+        "arcinfo_sink": q_arcinfo_sink,
+        "geopng_sink": q_geopng_sink,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "frame_sample": q_frame_sample,
+        "show_points": q_show_points,
+        "show_areas": q_show_areas,
+        "cross_tile_stitch": q_cross_tile_stitch,
+        "osm_xml_tiles": q_osm_xml_tiles,
+        "rasterize": q_rasterize,
+        # rotated IN for r7: the r1-r4 relational tail — the OLDEST
+        # rows in the registry (3+ rounds since a driver check)
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "running_window": q_running_window,
+        "value_band_rangejoin": q_value_band_rangejoin,
+        "asof_join": q_asof_join,
+        "array_functions": q_array_functions,
+        "windowed_stats": q_windowed_stats,
+        "session_windows": q_session_windows,
+        "continuous_rollup": q_continuous_rollup,
+        "nation_intersect": q_nation_intersect,
+        "small_order_revenue": q_small_order_revenue,
+        "rollup_events": q_rollup_events,
+        "cube_events": q_cube_events,
+        "pivot_events": q_pivot_events,
+        "orders_except": q_orders_except,
+        "json_extract": q_json_extract,
+        "time_functions": q_time_functions,
+        "percentiles": q_percentiles,
+        # ---- driver window boundary (entry 50 ends above) ----
+        # rotated out in r7: every entry below is fresh r6-green
+        # (driver rows in CORRECTNESS_r06), still checked every
+        # round by tools/check_entry.py + goldens/pytest
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        # custom stateful streaming op (applyInPandasWithState)
         "stream_dedup": q_stream_dedup,
-        # r3 extension surface (driver-checked r4+r5)
         "image_stats": q_image_stats,
         "image_quarantine": q_image_quarantine,
         "audio_features": q_audio_features,
@@ -1656,7 +1701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "compaction": q_compaction,
         "doc_split_sample": q_doc_split_sample,
-        # first driver-checked in r5, kept for a second consecutive row
         "dedup_clusters": q_dedup_clusters,
         "phash_near_dup": q_phash_near_dup,
         "zorder_layout": q_zorder_layout,
@@ -1668,14 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyfiles_contour": q_pyfiles_contour,
         "term_counts": q_term_counts,
         "inverted_index": q_inverted_index,
-        # the r5 hash FAIL, r6-hardened to exact integer rationals —
-        # this round's green row is the fix's acceptance gate
-        "bm25": q_bm25,
         "quantize_int8": q_quantize_int8,
-        # rotated IN for r6: the only never-driver-checked entry,
-        # hardened alongside bm25 (int64 cosine_micro, pinned idf)
-        "tfidf_pairs": q_tfidf_pairs,
-        # rotated IN for r6: last driver check r1-r4 (stale residents)
         "cell_index": q_cell_index,
         "point_store": q_point_store,
         "tsv_sink": q_tsv_sink,
@@ -1689,51 +1726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
         "salted_skew_agg": q_salted_skew_agg,
-        # ---- driver window boundary (entry 50 ends above) ----
-        # rotated out in r6 (fresh r5-green rows; contour family is
-        # 5-rounds-green; still gate-mirror-checked + golden/pytest
-        # value-checked every round)
-        "cross_tile_stitch": q_cross_tile_stitch,
-        "osm_xml_tiles": q_osm_xml_tiles,
-        "rasterize": q_rasterize,
-        "decode_quarantine": q_decode_quarantine,
-        "contour_nodes": q_contour_nodes,
-        "contour_ways": q_contour_ways,
-        "contour_metrics": q_contour_metrics,
-        "contour_geometry": q_contour_geometry,
-        "contour_readme_profile": q_contour_readme_profile,
-        "decode_stats": q_decode_stats,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "frame_sample": q_frame_sample,
-        "show_points": q_show_points,
-        "show_areas": q_show_areas,
-        "crop_stats": q_crop_stats,
-        "arcinfo_sink": q_arcinfo_sink,
-        "geopng_sink": q_geopng_sink,
-        # rotated out in r4 (all driver-green in r1-r3; built-ins only
-        # or event-time windows; still gate-mirror-checked every round)
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "customers_without_orders": q_customers_without_orders,
-        "running_window": q_running_window,
-        "value_band_rangejoin": q_value_band_rangejoin,
-        "asof_join": q_asof_join,
-        "array_functions": q_array_functions,
-        "windowed_stats": q_windowed_stats,
-        "session_windows": q_session_windows,
-        "continuous_rollup": q_continuous_rollup,
-        # relational tail: thrice-green (r1+r2+r3 via mirror), built-ins
-        # only, still oracle-checked by tools/check_entry.py + tests/
-        "nation_intersect": q_nation_intersect,
-        "small_order_revenue": q_small_order_revenue,
-        "rollup_events": q_rollup_events,
-        "cube_events": q_cube_events,
-        "pivot_events": q_pivot_events,
-        "orders_except": q_orders_except,
-        "json_extract": q_json_extract,
-        "time_functions": q_time_functions,
-        "percentiles": q_percentiles,
     }
 
 
