@@ -543,6 +543,30 @@ def q_substring_dedup(spark, sf_dir):
     return dedup.substring_dedup_spans(d, chunk_words=10, max_df=2)
 
 
+def q_span_clean(spark, sf_dir):
+    """The CONSUMER half of sequence-level dedup: apply the
+    substring_dedup removal list back to the corpus and emit the
+    cleaned training text (doc_id, clean_text, n_tokens,
+    n_tokens_removed). The DuckDB oracle re-derives the spans AND the
+    token filter from scratch (per-token NOT EXISTS against the span
+    list, string_agg ordered by token index) — engine and oracle share
+    only the spec."""
+    d = _t(spark, sf_dir, "documents")
+    spans = dedup.substring_dedup_spans(d, chunk_words=10, max_df=2)
+    return dedup.apply_span_removals(d, spans)
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Shift-robust sequence-level dedup: chunk boundaries are a pure
+    function of the tokens (content-defined chunking), so repeated
+    paragraphs match wherever they sit in the document — the failure
+    mode fixed windows cannot see. Same keep-first + max_df=2
+    boilerplate valve as substring_dedup. The DuckDB oracle re-derives
+    boundaries, chunks, hashes, and routing from scratch."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.cdc_dedup_spans(d, min_words=5, max_df=2)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the n-gram
     Jaccard pair graph via iterative min-label propagation; the DuckDB
@@ -1637,6 +1661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_stitch": q_salted_stitch,
         # r7 NEW operators — in-window from day one (standing policy)
         "substring_dedup": q_substring_dedup,
+        "span_clean": q_span_clean,
+        "cdc_dedup": q_cdc_dedup,
         "ann_codebook": q_ann_codebook,
         # r6-hardened fixed-point pair: second consecutive green row
         # (bm25 bench watch, VERDICT r6 'what's wrong' #1)
@@ -1681,9 +1707,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "orders_except": q_orders_except,
         "json_extract": q_json_extract,
+        # ---- driver window boundary (entry 50 ends above) ----
+        # time_functions and percentiles (each 3-4x driver-green
+        # r1-r4, pure built-ins — the lowest-risk entries in the
+        # registry) yield their seats to the r7-born span_clean and
+        # cdc_dedup per the new-operators-in-window policy; they head
+        # the r8 rotation queue
         "time_functions": q_time_functions,
         "percentiles": q_percentiles,
-        # ---- driver window boundary (entry 50 ends above) ----
         # rotated out in r7: every entry below is fresh r6-green
         # (driver rows in CORRECTNESS_r06), still checked every
         # round by tools/check_entry.py + goldens/pytest
@@ -2330,7 +2361,7 @@ def oracle_sql() -> dict[str, str]:
         # hashes and spans from scratch (same normalize -> 10-word
         # non-overlapping windows -> md5 -> keep-first / boilerplate
         # routing); engine and oracle share only the SPEC
-        "substring_dedup": """
+        "substring_dedup": r"""
             WITH toks AS (
               SELECT doc_id,
                      string_split_regex(trim(lower(text)), '\s+') AS t
@@ -2359,6 +2390,109 @@ def oracle_sql() -> dict[str, str]:
             FROM occ o JOIN stats s USING (chunk_hash)
             WHERE NOT (s.n_docs <= 2 AND o.doc_id = s.first.doc_id
                        AND o.chunk_ord = s.first.chunk_ord)
+        """,
+        # cdc_dedup: content-defined chunking — DuckDB re-derives the
+        # token-hash boundaries (last md5 hex digit < '2'), the
+        # variable-length chunks, their hashes, and the keep-first /
+        # boilerplate routing from scratch
+        "cdc_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+')
+                     END AS t
+              FROM documents
+            ),
+            bounds AS (
+              SELECT doc_id, t,
+                     list_filter(generate_series(1, len(t)),
+                                 i -> substr(md5(t[i]), 32, 1) < '2') AS b
+              FROM toks
+            ),
+            pairs AS (
+              SELECT doc_id, t, g.i AS chunk_ord,
+                     CASE WHEN g.i = 0 THEN 1 ELSE b[g.i] + 1 END AS s,
+                     CASE WHEN g.i = len(b) THEN len(t) ELSE b[g.i + 1] END AS e
+              FROM bounds, LATERAL (
+                SELECT unnest(generate_series(0, len(b))) AS i) g
+            ),
+            occ AS (
+              SELECT doc_id, chunk_ord,
+                     CAST(s - 1 AS BIGINT) AS span_start,
+                     CAST(e AS BIGINT) AS span_end,
+                     md5(array_to_string(t[s:e], ' ')) AS chunk_hash
+              FROM pairs WHERE e - s + 1 >= 5
+            ),
+            stats AS (
+              SELECT chunk_hash, count(*) AS n_occ,
+                     count(DISTINCT doc_id) AS n_docs,
+                     min(struct_pack(doc_id := doc_id,
+                                     chunk_ord := chunk_ord)) AS first
+              FROM occ GROUP BY chunk_hash HAVING count(*) >= 2
+            )
+            SELECT o.doc_id, o.span_start, o.span_end, o.chunk_hash,
+                   CASE WHEN s.n_docs > 2 THEN 'boilerplate'
+                        ELSE 'duplicate' END AS reason
+            FROM occ o JOIN stats s USING (chunk_hash)
+            WHERE NOT (s.n_docs <= 2 AND o.doc_id = s.first.doc_id
+                       AND o.chunk_ord = s.first.chunk_ord)
+        """,
+        # span_clean: the removal list APPLIED — DuckDB re-derives the
+        # spans (same CTEs as substring_dedup) and then the cleaned
+        # text with a per-token NOT EXISTS + ordered string_agg; the
+        # engine's higher-order-function filter shares only the spec
+        "span_clean": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+')
+                     END AS t
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, i AS chunk_ord,
+                     md5(array_to_string(t[i*10+1 : i*10+10], ' ')) AS chunk_hash
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(
+                  0, CAST(floor(len(t)/10) AS INT) - 1)) AS i) g
+            ),
+            stats AS (
+              SELECT chunk_hash, count(*) AS n_occ,
+                     count(DISTINCT doc_id) AS n_docs,
+                     min(struct_pack(doc_id := doc_id,
+                                     chunk_ord := chunk_ord)) AS first
+              FROM occ GROUP BY chunk_hash HAVING count(*) >= 2
+            ),
+            spans AS (
+              SELECT o.doc_id, o.chunk_ord*10 AS span_start,
+                     o.chunk_ord*10+10 AS span_end
+              FROM occ o JOIN stats s USING (chunk_hash)
+              WHERE NOT (s.n_docs <= 2 AND o.doc_id = s.first.doc_id
+                         AND o.chunk_ord = s.first.chunk_ord)
+            ),
+            tok_rows AS (
+              SELECT doc_id, t[i] AS tok, i - 1 AS idx
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t))) AS i) g
+            ),
+            kept AS (
+              SELECT r.doc_id, r.tok, r.idx FROM tok_rows r
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = r.doc_id
+                  AND r.idx >= s.span_start AND r.idx < s.span_end)
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT n.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens,
+                   CAST(len(n.t) - coalesce(a.n_kept, 0) AS BIGINT)
+                     AS n_tokens_removed
+            FROM toks n LEFT JOIN agg a USING (doc_id)
         """,
         "stream_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text

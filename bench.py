@@ -143,8 +143,11 @@ def main():
         "ann_int8",
         "elevation_at_points",
         "salted_stitch",
-        # r7: sequence-level dedup + persisted-codebook ANN search
+        # r7: sequence-level dedup (detect + apply) + persisted-codebook
+        # ANN search
         "substring_dedup",
+        "span_clean",
+        "cdc_dedup",
         "ann_codebook",
     ]
 

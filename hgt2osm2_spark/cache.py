@@ -11,9 +11,9 @@ next call of the same family releases it instead.
 This module is the ONE copy of that boilerplate (VERDICT r6 #7). Each
 operator family gets a named scope whose release semantics stay local
 (releasing the text-family cache never drops the kNN cache), and
-``release_all()`` lets session teardown — the entry module and bench —
-drop the final cache of every family so the last one never outlives
-its use.
+``release_all()`` lets session teardown — bench.py and the gate
+mirror (tools/check_entry.py) — drop the final cache of every family
+so the last one never outlives its use.
 """
 from __future__ import annotations
 

@@ -580,6 +580,19 @@ def substring_dedup_spans(
         .select("doc_id", F.col("c.chunk_ord").alias("chunk_ord"),
                 F.col("c.chunk_hash").alias("chunk_hash"))
     )
+    occ = occ.withColumn(
+        "span_start", (F.col("chunk_ord") * K).cast("long")
+    ).withColumn("span_end", (F.col("chunk_ord") * K + K).cast("long"))
+    return _removals_from_occurrences(occ, max_df)
+
+
+def _removals_from_occurrences(occ: DataFrame, max_df: int | None) -> DataFrame:
+    """Shared tail of the sequence-level dedup family: occurrences
+    (doc_id, chunk_ord, span_start, span_end, chunk_hash) -> removal
+    list. ONE groupBy(chunk_hash) of combinable aggs (no self-join:
+    candidate volume stays linear in corpus chunks), keep-first on
+    min (doc_id, chunk_ord), max_df boilerplate valve re-routes hot
+    chunks to remove-everywhere."""
     stats = occ.groupBy("chunk_hash").agg(
         F.count("*").alias("n_occ"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -597,10 +610,147 @@ def substring_dedup_spans(
         joined.where(~keep_first)
         .select(
             "doc_id",
-            (F.col("chunk_ord") * K).cast("long").alias("span_start"),
-            (F.col("chunk_ord") * K + K).cast("long").alias("span_end"),
+            "span_start",
+            "span_end",
             "chunk_hash",
             F.when(hot, F.lit("boilerplate"))
              .otherwise(F.lit("duplicate")).alias("reason"),
+        )
+    )
+
+
+def cdc_dedup_spans(
+    df: DataFrame,
+    min_words: int = 5,
+    boundary_hex: str = "2",
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined-chunking variant of substring_dedup_spans:
+    SHIFT-ROBUST sequence-level dedup. Fixed windows miss duplicates
+    whose alignment moved — one word inserted ahead of a repeated
+    paragraph shifts every window boundary and no chunk hash matches.
+    Here chunk boundaries are a pure function of the tokens themselves
+    (a boundary falls after token w iff the last hex digit of md5(w)
+    is < ``boundary_hex``, so P(boundary) = int(boundary_hex,16)/16 and
+    the mean chunk is 16/that words): identical paragraphs cut into
+    identical chunks wherever they sit in the document — any shared
+    run long enough to contain one full boundary-to-boundary chunk of
+    >= ``min_words`` words is caught. ``min_words`` suppresses
+    trivially-short chunks (single common words) from candidate
+    generation; spans stay word offsets (end exclusive) into the
+    normalized token stream so apply_span_removals composes unchanged.
+
+    Everything is per-row JVM higher-order expressions until the same
+    linear one-groupBy tail as the fixed-window path
+    (_removals_from_occurrences): no self-join, candidate volume =
+    corpus chunk count. Same keep-first canonical and max_df
+    boilerplate valve, value-identical semantics."""
+    if min_words <= 0:
+        raise ValueError("min_words must be positive")
+    if len(boundary_hex) != 1 or boundary_hex not in "123456789abcdef":
+        raise ValueError("boundary_hex must be one hex digit in [1, f]")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    n = F.size(toks)
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.substring(
+            F.md5(F.element_at(toks, i).cast("binary")), 32, 1
+        ) < F.lit(boundary_hex),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
+    ends = F.concat(bpos, F.array(n))
+    pairs = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    chunks_arr = F.when(~empty, pairs).otherwise(
+        F.array().cast("array<struct<s:int,e:int>>"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        F.posexplode(chunks_arr).alias("chunk_ord", "c"),
+    )
+    occ = (
+        base.where(F.col("c.e") - F.col("c.s") + 1 >= int(min_words))
+        .select(
+            "doc_id",
+            F.col("chunk_ord").cast("int").alias("chunk_ord"),
+            (F.col("c.s") - 1).cast("long").alias("span_start"),
+            F.col("c.e").cast("long").alias("span_end"),
+            F.md5(
+                F.concat_ws(" ", F.slice(
+                    F.col("_t"), F.col("c.s"),
+                    F.col("c.e") - F.col("c.s") + 1,
+                )).cast("binary")
+            ).alias("chunk_hash"),
+        )
+    )
+    return _removals_from_occurrences(occ, max_df)
+
+
+def apply_span_removals(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_spans: bool = False,
+) -> DataFrame:
+    """Consume a substring_dedup_spans removal list and emit the
+    CLEANED corpus: (doc_id, clean_text, n_tokens, n_tokens_removed),
+    where clean_text is the normalized (lowercased, single-space)
+    token stream with every listed [span_start, span_end) word window
+    dropped. The other half of the sequence-level dedup story — the
+    removal list names the spans; this produces the training data.
+
+    Shape: spans fold to one array per doc (groupBy doc_id, a shuffle
+    over the REMOVAL LIST only — sub-linear: most docs have no spans),
+    then left-join to the corpus on doc_id. The token filter itself is
+    a per-row JVM higher-order expression (exists over the doc's own
+    span array) — never a per-token join — and a doc with no spans
+    passes through with zero span comparisons. The join is the only
+    wide step touching the corpus: with ``broadcast_spans=True`` (or
+    AQE's auto-broadcast when the folded list is small) the corpus is
+    not shuffled at all; with a removal list too large to broadcast it
+    degrades to one doc_id equi-join shuffle on both sides — still
+    linear, never quadratic. Overlapping spans compose naturally (a
+    token inside ANY span is dropped)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    per_doc = spans.withColumnRenamed("doc_id", id_col).groupBy(id_col).agg(
+        F.collect_list(F.struct(
+            F.col("span_start").alias("s"), F.col("span_end").alias("e"),
+        )).alias("_spans")
+    )
+    if broadcast_spans:
+        per_doc = F.broadcast(per_doc)
+    indexed = F.zip_with(
+        toks, F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda st: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (st["i"] >= sp["s"]) & (st["i"] < sp["e"]),
+        ),
+    )
+    cleaned = F.when(
+        F.col("_spans").isNull() | (F.length(F.trim(F.col(text_col))) == 0),
+        F.concat_ws(" ", toks),
+    ).otherwise(F.concat_ws(" ", F.transform(kept, lambda st: st["t"])))
+    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+             .otherwise(F.size(toks))
+    n_kept = F.when(
+        F.col("_spans").isNull(), n_tok,
+    ).otherwise(F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+                 .otherwise(F.size(kept)))
+    return (
+        df.join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            cleaned.alias("clean_text"),
+            n_kept.cast("long").alias("n_tokens"),
+            (n_tok - n_kept).cast("long").alias("n_tokens_removed"),
         )
     )

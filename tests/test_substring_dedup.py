@@ -93,3 +93,173 @@ def test_linear_no_join_blowup_plan(spark):
 def test_chunk_words_validation(spark):
     with pytest.raises(ValueError):
         substring_dedup_spans(_docs(spark), chunk_words=0)
+
+# ------------------------------------------------- apply_span_removals
+
+from hgt2osm2_spark.ops.dedup import apply_span_removals
+
+
+def _clean_twin(doc_rows, span_rows):
+    """Independent scalar derivation of the cleaned corpus."""
+    per: dict = {}
+    for r in span_rows:
+        per.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    out = {}
+    for doc_id, text in doc_rows:
+        toks = text.strip().lower().split() if text.strip() else []
+        sp = per.get(doc_id, [])
+        kept = [t for i, t in enumerate(toks)
+                if not any(s <= i < e for s, e in sp)]
+        out[doc_id] = (" ".join(kept), len(kept), len(toks) - len(kept))
+    return out
+
+
+def test_apply_span_removals_matches_scalar_twin(spark):
+    docs = _docs(spark)
+    doc_rows = [(r.doc_id, r.text) for r in docs.collect()]
+    spans = substring_dedup_spans(docs, chunk_words=10, max_df=2)
+    expect = _clean_twin(doc_rows, spans.collect())
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_tokens_removed)
+           for r in apply_span_removals(docs, spans).collect()}
+    assert got == expect
+    # every doc survives with exactly one row (removal never drops docs)
+    assert set(got) == {d for d, _ in doc_rows}
+
+
+def test_apply_span_removals_passthrough_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "  Mixed CASE   spacing   here "), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    empty_spans = spark.createDataFrame(
+        [], "doc_id long, span_start long, span_end long, "
+            "chunk_hash string, reason string")
+    got = {r.doc_id: r for r in
+           apply_span_removals(docs, empty_spans).collect()}
+    # no spans: text passes through NORMALIZED (lower, single-space)
+    assert got[1].clean_text == "mixed case spacing here"
+    assert got[1].n_tokens == 4 and got[1].n_tokens_removed == 0
+    for d in (2, 3):
+        assert got[d].clean_text == "" and got[d].n_tokens == 0
+
+
+def test_apply_span_removals_overlapping_spans_compose(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 1, 4, "h1", "duplicate"), (1, 3, 6, "h2", "duplicate")],
+        "doc_id long, span_start long, span_end long, "
+        "chunk_hash string, reason string")
+    r = apply_span_removals(docs, spans).collect()[0]
+    # union of [1,4) and [3,6) drops words 1..5 -> keep a, g, h
+    assert r.clean_text == "a g h"
+    assert (r.n_tokens, r.n_tokens_removed) == (3, 5)
+
+
+def test_apply_span_removals_broadcast_plan(spark):
+    """broadcast_spans=True must hash-join with the folded span list on
+    the build side — the corpus side carries no Exchange at all."""
+    docs = _docs(spark)
+    spans = substring_dedup_spans(docs, chunk_words=10)
+    plan = apply_span_removals(docs, spans, broadcast_spans=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_clean_roundtrip_is_dry(spark):
+    """End-to-end: after removing the listed spans, re-running the
+    detector over the cleaned corpus finds nothing left to remove."""
+    docs = _docs(spark)
+    spans = substring_dedup_spans(docs, chunk_words=10, max_df=2)
+    cleaned = apply_span_removals(docs, spans).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    assert substring_dedup_spans(cleaned, chunk_words=10, max_df=2).count() == 0
+
+# --------------------------------------------------- cdc_dedup_spans
+
+from hgt2osm2_spark.ops.dedup import cdc_dedup_spans
+
+LONGPARA = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "green bottles hang on the wall and gradually fall down one "
+            "by one until none remain standing anywhere near the old barn")
+
+
+def _shifted_docs(spark, n=2):
+    prefixes = ["", "shifted prefix ", "a much longer three-word ",
+                "x "]
+    rows = [(i + 1, prefixes[i] + LONGPARA + f" tail{i} words here")
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cdc_catches_shifted_duplicates_fixed_windows_miss(spark):
+    """The CDC story in one test: the same paragraph at different word
+    offsets is invisible to fixed windows (every boundary shifted) but
+    cut into identical chunks by content-defined boundaries."""
+    docs = _shifted_docs(spark, n=2)
+    assert substring_dedup_spans(docs, chunk_words=10).count() == 0
+    out = cdc_dedup_spans(docs, min_words=5).collect()
+    assert len(out) > 0
+    # keep-first: every removal is in doc 2; spans sit inside the
+    # shifted paragraph (offset 2 .. 2+len(PARA))
+    npara = len(LONGPARA.split())
+    for r in out:
+        assert r.doc_id == 2 and r.reason == "duplicate"
+        assert 2 <= r.span_start < r.span_end <= 2 + npara
+
+
+def test_cdc_spans_disjoint_and_in_bounds(spark):
+    docs = _shifted_docs(spark, n=4)
+    by_doc: dict = {}
+    for r in cdc_dedup_spans(docs, min_words=5).collect():
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    ntoks = {r.doc_id: len(r.text.split()) for r in docs.collect()}
+    assert by_doc  # something was found
+    for d, sp in by_doc.items():
+        sp.sort()
+        assert all(0 <= s < e <= ntoks[d] for s, e in sp)
+        assert all(a[1] <= b[0] for a, b in zip(sp, sp[1:]))
+
+
+def test_cdc_boilerplate_valve(spark):
+    """A paragraph shared by > max_df docs is boilerplate: ALL its
+    occurrences are removed, including the formerly-canonical first."""
+    docs = _shifted_docs(spark, n=4)
+    out = cdc_dedup_spans(docs, min_words=5, max_df=2).collect()
+    docs_hit = {r.doc_id for r in out}
+    assert 1 in docs_hit  # doc 1's first occurrence no longer protected
+    shared = [r for r in out if r.reason == "boilerplate"]
+    assert {r.doc_id for r in shared} == {1, 2, 3, 4}
+
+
+def test_cdc_clean_roundtrip_is_dry(spark):
+    docs = _shifted_docs(spark, n=3)
+    spans = cdc_dedup_spans(docs, min_words=5, max_df=2)
+    cleaned = apply_span_removals(docs, spans).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    assert cdc_dedup_spans(cleaned, min_words=5, max_df=2).count() == 0
+
+
+def test_cdc_short_and_empty_docs_emit_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "same four words"), (2, "same four words"), (3, ""), (4, "  ")],
+        "doc_id long, text string")
+    assert cdc_dedup_spans(docs, min_words=5).count() == 0
+
+
+def test_cdc_no_join_blowup_plan(spark):
+    plan = cdc_dedup_spans(
+        _shifted_docs(spark, 2), min_words=5, max_df=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_validation(spark):
+    docs = _shifted_docs(spark, 1)
+    with pytest.raises(ValueError):
+        cdc_dedup_spans(docs, min_words=0)
+    with pytest.raises(ValueError):
+        cdc_dedup_spans(docs, boundary_hex="0")
+    with pytest.raises(ValueError):
+        cdc_dedup_spans(docs, boundary_hex="zz")

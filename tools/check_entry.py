@@ -110,6 +110,9 @@ def main():
             print(f"PASS {name}: {len(sc)} rows ({dt:.1f}s)")
 
     print(f"\n{len(names) - len(failed)}/{len(names)} ok; failures: {failed}")
+    from hgt2osm2_spark.cache import release_all
+
+    release_all()  # drop the final operator-family caches before stop
     spark.stop()
     sys.exit(1 if failed else 0)
 

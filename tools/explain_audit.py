@@ -57,6 +57,22 @@ AUDITED = {
         ("gram equi-join, never all-pairs", r"CartesianProduct", "absent"),
         ("partial aggregation before shuffle", r"HashAggregate"),
     ],
+    "substring_dedup": [
+        ("one grouping over chunk_hash, never all-pairs", r"CartesianProduct", "absent"),
+        ("chunking is pure JVM expressions (no Python eval)", r"EvalPython", "absent"),
+        ("combinable partial agg on the chunk stats", r"HashAggregate|ObjectHashAggregate|SortAggregate"),
+        ("occ->stats equi-join on chunk_hash", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    ],
+    "cdc_dedup": [
+        ("content-defined boundaries are JVM higher-order exprs (no Python eval)", r"EvalPython", "absent"),
+        ("never all-pairs", r"CartesianProduct", "absent"),
+        ("occ->stats equi-join on chunk_hash", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    ],
+    "span_clean": [
+        ("token filter is a per-row higher-order expr (no Python eval)", r"EvalPython", "absent"),
+        ("span list folded per doc, ONE corpus join (no per-token join)", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("never all-pairs", r"CartesianProduct", "absent"),
+    ],
     "time_functions": [
         ("column-pruned scan (only o_orderdate read)", r"ReadSchema: [^\n]*o_orderdate"),
         ("whole-stage codegen", r"WholeStageCodegen|codegen id|\*\(\d+\)"),
