@@ -16,9 +16,23 @@ touches candidate pairs.
 
 from __future__ import annotations
 
+from typing import Callable
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
+
+
+def _let(binding: Column, body: Callable[[Column], Column]) -> Column:
+    """Let-binding for higher-order expressions: evaluate ``binding``
+    ONCE and pass the value into ``body`` as a lambda variable.
+    Interpreted lambdas re-evaluate any outer EXPRESSION they
+    reference on every element — e.g. ``element_at(split(text), i)``
+    inside a filter re-splits the document per token, O(n^2) —
+    whereas a lambda VARIABLE holds the computed value. A
+    single-element ``transform(array(binding), body)`` is exactly
+    that binder."""
+    return F.element_at(F.transform(F.array(binding), body), 1)
 
 
 def exact_dedup(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -646,45 +660,66 @@ def cdc_dedup_spans(
     linear one-groupBy tail as the fixed-window path
     (_removals_from_occurrences): no self-join, candidate volume =
     corpus chunk count. Same keep-first canonical and max_df
-    boilerplate valve, value-identical semantics."""
+    boilerplate valve, value-identical semantics.
+
+    Evaluation shape: higher-order lambdas run INTERPRETED, and a
+    lambda body that references an outer EXPRESSION (not a lambda
+    variable) re-evaluates it per element — `element_at(split(text),
+    i)` inside the boundary filter re-splits the whole document for
+    every token, O(words^2) per doc (measured 8x on the sf0.1 gate
+    query). So the token array and boundary list are let-bound via
+    `_let` (single-element transform: the binding is evaluated once,
+    the body sees the VALUE), and the entire chunk array — offsets and
+    hashes — is built in ONE expression, so nothing recomputes across
+    the explode either. Short chunks get a null hash inside the same
+    expression (never hashed) and are dropped after the explode."""
     if min_words <= 0:
         raise ValueError("min_words must be positive")
     if len(boundary_hex) != 1 or boundary_hex not in "123456789abcdef":
         raise ValueError("boundary_hex must be one hex digit in [1, f]")
+    minw = int(min_words)
     toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
-    n = F.size(toks)
     empty = F.length(F.trim(F.col(text_col))) == 0
-    bpos = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: F.substring(
-            F.md5(F.element_at(toks, i).cast("binary")), 32, 1
-        ) < F.lit(boundary_hex),
-    )
-    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
-    ends = F.concat(bpos, F.array(n))
-    pairs = F.zip_with(
-        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
-    )
-    chunks_arr = F.when(~empty, pairs).otherwise(
-        F.array().cast("array<struct<s:int,e:int>>"))
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        toks.alias("_t"),
-        F.posexplode(chunks_arr).alias("chunk_ord", "c"),
-    )
+
+    def _chunks_of(t: Column) -> Column:
+        b = F.filter(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: F.substring(
+                F.md5(F.element_at(t, i).cast("binary")), 32, 1
+            ) < F.lit(boundary_hex),
+        )
+
+        def _with_bounds(bb: Column) -> Column:
+            return F.zip_with(
+                F.concat(F.array(F.lit(1)),
+                         F.transform(bb, lambda x: x + 1)),
+                F.concat(bb, F.array(F.size(t))),
+                lambda s, e: F.struct(
+                    s.alias("s"), e.alias("e"),
+                    F.when(
+                        e - s + 1 >= minw,
+                        F.md5(F.concat_ws(" ", F.slice(t, s, e - s + 1))
+                              .cast("binary")),
+                    ).alias("h"),
+                ),
+            )
+
+        return _let(b, _with_bounds)
+
+    chunks_arr = F.when(~empty, _let(toks, _chunks_of)).otherwise(
+        F.array().cast("array<struct<s:int,e:int,h:string>>"))
     occ = (
-        base.where(F.col("c.e") - F.col("c.s") + 1 >= int(min_words))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(chunks_arr).alias("chunk_ord", "c"),
+        )
+        .where(F.col("c.h").isNotNull())
         .select(
             "doc_id",
             F.col("chunk_ord").cast("int").alias("chunk_ord"),
             (F.col("c.s") - 1).cast("long").alias("span_start"),
             F.col("c.e").cast("long").alias("span_end"),
-            F.md5(
-                F.concat_ws(" ", F.slice(
-                    F.col("_t"), F.col("c.s"),
-                    F.col("c.e") - F.col("c.s") + 1,
-                )).cast("binary")
-            ).alias("chunk_hash"),
+            F.col("c.h").alias("chunk_hash"),
         )
     )
     return _removals_from_occurrences(occ, max_df)
