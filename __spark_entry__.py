@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from hgt2osm2_spark.config import ContourOptions
-from hgt2osm2_spark.ops import dedup, ids, multimodal, similarity, spatial, text
+from hgt2osm2_spark.ops import dedup, ids, multimodal, similarity, spatial, terrain, text
 from hgt2osm2_spark.ops.contours import postprocess_metrics
 from hgt2osm2_spark.plans.pipeline import run_contour_pipeline
 from hgt2osm2_spark.sources import synthetic
@@ -567,6 +567,28 @@ def q_cdc_dedup(spark, sf_dir):
     return dedup.cdc_dedup_spans(d, min_words=5, max_df=2)
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (r7): flag training docs sharing any
+    word 4-gram with the benchmark split (doc_id % 20 == 0 — a
+    deterministic stand-in eval set). The benchmark gram set is
+    broadcast; the only Exchange keys on doc_id over hit rows. The
+    DuckDB oracle re-derives grams, the distinct benchmark set, and
+    the per-doc hit counts from scratch."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    return text.decontaminate(train, bench, n=4, min_hits=1)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-doc repetition signals (r7): duplicate- and
+    top-2-gram occurrence fractions per document — the quality filter
+    that catches locally-repetitive docs no cross-doc dedup sees.
+    Fractions are single IEEE divisions of exact int64 counts. The
+    DuckDB oracle re-derives the two-level aggregation from scratch."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the n-gram
     Jaccard pair graph via iterative min-label propagation; the DuckDB
@@ -926,6 +948,20 @@ def q_contour_geometry(spark, sf_dir):
 
 def q_decode_stats(spark, sf_dir):
     return decode_stats(_synth_tiles(spark, n_tiles=6, size=33))
+
+
+def q_terrain_slope(spark, sf_dir):
+    """Horn 3x3 terrain derivatives (r7): slope/aspect over the 6
+    synthetic DEM tiles in ONE narrow Arrow pass (ops/terrain.py — the
+    pyramid_cells scale shape: no Exchange, no per-cell inflation
+    before the output). Every gate column is integer-exact (int64
+    stencil sums, squared-slope, power-of-two divisions, comparison-
+    only octants), so the DuckDB oracle RECOMPUTES the stencil from the
+    raster_cells golden with a neighborhood range-join + conditional
+    aggregation — a fully independent derivation (join vs numpy
+    slices). NOVALUE anywhere in a 3x3 suppresses the cell; the gate
+    tiles contain real NOVALUE cells, so the masking path is hit."""
+    return terrain.terrain_cells(_synth_tiles(spark, n_tiles=6, size=33))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1638,14 +1674,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything freshly checked rotates OUT and the window becomes
     # maximally stale-first: the 5 always-in core entries, the four r6
     # operators and hardened bm25/tfidf (second consecutive row), the
-    # two r7-born operators (substring_dedup, ann_codebook — in-window
-    # from day one per the standing policy), the COMPLETE r5-stale
-    # block (contour family, sinks, crop/decode, multimodal trio,
-    # decorations, cross-tile, osm_xml, rasterize — 18 entries), and
-    # the 19-entry r1-r4 relational tail, whose driver rows are the
-    # oldest in the registry. After r7 no entry's last driver check
-    # predates r5. Everything past the boundary stays value-checked
-    # every round by tools/check_entry.py (the gate mirror) + tests/.
+    # seven r7-born operators (substring_dedup, span_clean, cdc_dedup,
+    # ann_codebook, terrain_slope, decontam, repetition_stats —
+    # in-window from day one per the standing policy), the COMPLETE
+    # r5-stale block (contour family, sinks, crop/decode, multimodal
+    # trio, decorations, cross-tile, osm_xml, rasterize — 18 entries),
+    # and the r1-r4 relational tail, whose driver rows are the oldest
+    # in the registry. After r7 no entry's last driver check predates
+    # r5 except the five named just past the boundary. Everything past
+    # the boundary stays value-checked every round by
+    # tools/check_entry.py (the gate mirror) + tests/.
     return {
         # ---- r7 driver window (first 50; see rotation note above) ----
         # engine core flagship + spatial + ingestion + lineage
@@ -1664,6 +1702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_clean": q_span_clean,
         "cdc_dedup": q_cdc_dedup,
         "ann_codebook": q_ann_codebook,
+        "terrain_slope": q_terrain_slope,
+        "decontam": q_decontam,
+        "repetition_stats": q_repetition_stats,
         # r6-hardened fixed-point pair: second consecutive green row
         # (bm25 bench watch, VERDICT r6 'what's wrong' #1)
         "bm25": q_bm25,
@@ -1703,16 +1744,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_intersect": q_nation_intersect,
         "small_order_revenue": q_small_order_revenue,
         "rollup_events": q_rollup_events,
+        "orders_except": q_orders_except,
+        # ---- driver window boundary (entry 50 ends above) ----
+        # time_functions, percentiles, cube_events, pivot_events and
+        # json_extract (each 3-4x driver-green r1-r4, pure built-ins —
+        # the lowest-risk entries in the registry) yield their seats
+        # to the seven r7-born operators per the new-operators-in-
+        # window policy; they head the r8 rotation queue
         "cube_events": q_cube_events,
         "pivot_events": q_pivot_events,
-        "orders_except": q_orders_except,
         "json_extract": q_json_extract,
-        # ---- driver window boundary (entry 50 ends above) ----
-        # time_functions and percentiles (each 3-4x driver-green
-        # r1-r4, pure built-ins — the lowest-risk entries in the
-        # registry) yield their seats to the r7-born span_clean and
-        # cdc_dedup per the new-operators-in-window policy; they head
-        # the r8 rotation queue
         "time_functions": q_time_functions,
         "percentiles": q_percentiles,
         # rotated out in r7: every entry below is fresh r6-green
@@ -2153,6 +2194,55 @@ def oracle_sql() -> dict[str, str]:
         FROM s JOIN read_parquet('{golden_dir}/decode_stats.parquet') g
           USING (image_id)
     """
+    # terrain_slope (r7): the Horn stencil RECOMPUTED from the
+    # raster_cells golden with a neighborhood range-join + conditional
+    # aggregation — structurally independent of the engine's numpy
+    # stencil slices. Weight decomposition: the horizontal sum
+    # (c+2f+i)-(a+2d+g) is sign(dx) * (2 if same row else 1) per
+    # neighbor; vertical likewise. HAVING count(*)=8 keeps interior
+    # cells only; any NOVALUE in the 3x3 (center via e.value in the
+    # GROUP BY) suppresses the cell. The aspect CASE mirrors
+    # ops/terrain.aspect_octant's np.select order exactly.
+    golden["terrain_slope"] = f"""
+        WITH c AS (
+            SELECT image_id, x, y, value
+            FROM read_parquet('{golden_dir}/raster_cells.parquet')
+        ),
+        n AS (
+            SELECT e.image_id, e.x, e.y,
+                   max(CASE WHEN o.value = -32768 OR e.value = -32768
+                            THEN 1 ELSE 0 END) AS bad,
+                   sum(CAST(o.value AS BIGINT)
+                       * (CASE WHEN o.x = e.x + 1 THEN 1
+                               WHEN o.x = e.x - 1 THEN -1 ELSE 0 END)
+                       * (CASE WHEN o.y = e.y THEN 2 ELSE 1 END)) AS ndx,
+                   sum(CAST(o.value AS BIGINT)
+                       * (CASE WHEN o.y = e.y + 1 THEN 1
+                               WHEN o.y = e.y - 1 THEN -1 ELSE 0 END)
+                       * (CASE WHEN o.x = e.x THEN 2 ELSE 1 END)) AS ndy
+            FROM c e JOIN c o
+              ON o.image_id = e.image_id
+             AND o.x BETWEEN e.x - 1 AND e.x + 1
+             AND o.y BETWEEN e.y - 1 AND e.y + 1
+             AND NOT (o.x = e.x AND o.y = e.y)
+            GROUP BY e.image_id, e.x, e.y, e.value
+            HAVING count(*) = 8
+        )
+        SELECT image_id, x, y,
+               CAST(ndx AS BIGINT) AS ndx, CAST(ndy AS BIGINT) AS ndy,
+               CAST(ndx * ndx + ndy * ndy AS BIGINT) AS slope_q,
+               ndx / 8.0 AS dzdx, ndy / 8.0 AS dzdy,
+               CAST(CASE WHEN ndx = 0 AND ndy = 0 THEN -1
+                    WHEN ndx > 0 AND ndy >= 0 AND ndy < ndx THEN 0
+                    WHEN ndx > 0 AND ndy > 0 AND ndy >= ndx THEN 1
+                    WHEN ndy > 0 AND ndx <= 0 AND ndy > -ndx THEN 2
+                    WHEN ndy > 0 AND ndx <= -ndy THEN 3
+                    WHEN ndx < 0 AND ndy <= 0 AND ndy > ndx THEN 4
+                    WHEN ndx < 0 AND ndy < 0 AND ndx >= ndy THEN 5
+                    WHEN ndy < 0 AND ndx >= 0 AND ndx < -ndy THEN 6
+                    ELSE 7 END AS INT) AS aspect_oct
+        FROM n WHERE bad = 0
+    """
     golden["tsv_sink"] = f"""
         WITH lines AS (
             SELECT image_id, y,
@@ -2361,6 +2451,84 @@ def oracle_sql() -> dict[str, str]:
         # hashes and spans from scratch (same normalize -> 10-word
         # non-overlapping windows -> md5 -> keep-first / boilerplate
         # routing); engine and oracle share only the SPEC
+        # decontam (r7): grams, the distinct benchmark set, and the
+        # per-doc hit counts re-derived from scratch; same trim+lower
+        # tokenization and inclusive-slice 4-grams as the engine
+        "decontam": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+')
+                     END AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     md5(array_to_string(t[g.i : g.i + 3], ' ')) AS gh
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 3)) AS i) g
+              WHERE len(t) >= 4
+            ),
+            bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 20 = 0),
+            base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN len(t) >= 4 THEN len(t) - 3
+                          ELSE 0 END AS BIGINT) AS n_ngrams
+              FROM toks WHERE doc_id % 20 <> 0
+            ),
+            hits AS (
+              SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                     CAST(count(DISTINCT g.gh) AS BIGINT) AS n_hit_grams
+              FROM grams g JOIN bench USING (gh)
+              WHERE g.doc_id % 20 <> 0
+              GROUP BY g.doc_id
+            )
+            SELECT b.doc_id, b.n_ngrams,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+                   COALESCE(h.n_hits, 0) >= 1 AS contaminated
+            FROM base b LEFT JOIN hits h USING (doc_id)
+        """,
+        # repetition_stats (r7): the two-level (doc, gram) -> doc
+        # aggregation re-derived from scratch; fractions are single
+        # IEEE divisions of exact BIGINT counts on both engines
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+')
+                     END AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     md5(array_to_string(t[g.i : g.i + 1], ' ')) AS gh
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+              WHERE len(t) >= 2
+            ),
+            per_gram AS (
+              SELECT doc_id, gh, count(*) AS c FROM grams GROUP BY 1, 2
+            ),
+            per_doc AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                     CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                          AS BIGINT) AS n_dup_occ,
+                     CAST(max(c) AS BIGINT) AS top_gram_occ
+              FROM per_gram GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_ngrams, 0) AS n_ngrams,
+                   COALESCE(p.n_dup_occ, 0) AS n_dup_occ,
+                   COALESCE(p.top_gram_occ, 0) AS top_gram_occ,
+                   CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+                        THEN CAST(p.n_dup_occ AS DOUBLE) / p.n_ngrams
+                        ELSE 0.0 END AS dup_frac,
+                   CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+                        THEN CAST(p.top_gram_occ AS DOUBLE) / p.n_ngrams
+                        ELSE 0.0 END AS top_frac
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "substring_dedup": r"""
             WITH toks AS (
               SELECT doc_id,

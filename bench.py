@@ -149,6 +149,10 @@ def main():
         "span_clean",
         "cdc_dedup",
         "ann_codebook",
+        # r7: Horn terrain derivatives + text-hygiene pair
+        "terrain_slope",
+        "decontam",
+        "repetition_stats",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the

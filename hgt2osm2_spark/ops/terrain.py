@@ -1,0 +1,174 @@
+"""Terrain derivatives: Horn 3x3 slope / aspect over DEM tiles — the
+classic first-order raster analysis every elevation toolkit ships
+(reference analogue: the per-tile raster consumers, Program.cs:242-265;
+the reference renders relief colors from raw cells but never derives
+gradients — this is the §2.12 engine-extension class, same as the
+pyramid).
+
+Semantics (Horn 1981, the GDAL/ArcGIS standard stencil), for the 3x3
+neighborhood of interior cell e::
+
+    a b c
+    d e f
+    g h i
+
+    ndx = (c + 2f + i) - (a + 2d + g)      # east minus west
+    ndy = (g + 2h + i) - (a + 2b + c)      # south minus north
+
+Everything the gate compares is integer-exact so any ANSI engine
+re-derives it bit-identically: ``ndx``/``ndy`` are int64 sums of int16
+cells, ``slope_q = ndx^2 + ndy^2`` (the squared slope numerator —
+monotone in true slope, so thresholds/rankings need no trig),
+``dzdx = ndx / 8.0`` at unit cell size (division by a power of two:
+IEEE-exact in every engine), and ``aspect_oct`` classifies the gradient
+direction into the 8 half-open 45-degree sectors [k*45, (k+1)*45)
+measured from +x through +y, flat (ndx = ndy = 0) = -1 — pure sign /
+magnitude comparisons, no atan2, no libm, no cross-engine drift.
+
+NOVALUE handling: a NOVALUE anywhere in the 3x3 neighborhood (center
+included) suppresses the cell — nodata poisons derivatives, matching
+the pyramid/resize convention. Border cells have no full neighborhood
+and are never emitted.
+
+Scale shape: like ``pyramid_cells`` this is ONE narrow Arrow decode
+pass — decode -> numpy stencil slices -> emit — no Exchange, no
+per-cell row inflation before the output projection, embarrassingly
+parallel over tiles. ``hillshade_grid`` renders the classic 0..255
+shaded relief (numpy doubles; bit-pinned against a pure-Python scalar
+twin in tests, not driver-hashed — trig is host-libm territory).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+from ..kernels import codecs
+
+#: aspect_oct sector conditions, in CASE/np.select order: first match
+#: wins; sectors are half-open [k*45, (k+1)*45) from +x through +y.
+_OCT_DOC = "flat=-1; 0:[0,45) 1:[45,90) 2:[90,135) 3:[135,180) 4:[180,225) 5:[225,270) 6:[270,315) 7:[315,360)"
+
+
+def aspect_octant(ndx: np.ndarray, ndy: np.ndarray) -> np.ndarray:
+    """Vectorized 8-sector gradient-direction classification (see
+    module doc). Inputs int64 arrays; output int32, -1 for flat."""
+    conds = [
+        (ndx == 0) & (ndy == 0),
+        (ndx > 0) & (ndy >= 0) & (ndy < ndx),
+        (ndx > 0) & (ndy > 0) & (ndy >= ndx),
+        (ndy > 0) & (ndx <= 0) & (ndy > -ndx),
+        (ndy > 0) & (ndx <= -ndy),
+        (ndx < 0) & (ndy <= 0) & (ndy > ndx),
+        (ndx < 0) & (ndy < 0) & (ndx >= ndy),
+        (ndy < 0) & (ndx >= 0) & (ndx < -ndy),
+        (ndy < 0) & (ndx > 0) & (ndx >= -ndy),
+    ]
+    return np.select(conds, [-1, 0, 1, 2, 3, 4, 5, 6, 7]).astype(np.int32)
+
+
+def horn_grid(grid: np.ndarray):
+    """Numpy stencil twin: (h, w) int grid -> flat arrays
+    (ys, xs, ndx, ndy) over interior cells with a fully-valid 3x3
+    neighborhood, row-major order."""
+    nv = int(codecs.NOVALUE)
+    g = grid.astype(np.int64)
+    a, b, c = g[:-2, :-2], g[:-2, 1:-1], g[:-2, 2:]
+    d, e, f = g[1:-1, :-2], g[1:-1, 1:-1], g[1:-1, 2:]
+    gg, hh, ii = g[2:, :-2], g[2:, 1:-1], g[2:, 2:]
+    bad = np.zeros(e.shape, dtype=bool)
+    for nb in (a, b, c, d, e, f, gg, hh, ii):
+        bad |= nb == nv
+    ndx = (c + 2 * f + ii) - (a + 2 * d + gg)
+    ndy = (gg + 2 * hh + ii) - (a + 2 * b + c)
+    h, w = grid.shape
+    ys, xs = np.mgrid[1 : h - 1, 1 : w - 1]
+    keep = (~bad).ravel()
+    return (
+        ys.ravel()[keep].astype(np.int32),
+        xs.ravel()[keep].astype(np.int32),
+        ndx.ravel()[keep],
+        ndy.ravel()[keep],
+    )
+
+
+TERRAIN_SCHEMA = (
+    "image_id string, x int, y int, ndx long, ndy long, "
+    "slope_q long, dzdx double, dzdy double, aspect_oct int"
+)
+
+
+def terrain_cells(tiles: DataFrame) -> DataFrame:
+    """PRODUCTION terrain derivatives: tiles (input_hint schema) ->
+    per-interior-cell Horn rows, one narrow Arrow pass, no Exchange."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for img, grid in codecs.iter_decoded_tiles(pdf):
+                ys, xs, ndx, ndy = horn_grid(grid)
+                parts.append(pd.DataFrame({
+                    "image_id": img,
+                    "x": xs,
+                    "y": ys,
+                    "ndx": ndx,
+                    "ndy": ndy,
+                    "slope_q": ndx * ndx + ndy * ndy,
+                    "dzdx": ndx / 8.0,
+                    "dzdy": ndy / 8.0,
+                    "aspect_oct": aspect_octant(ndx, ndy),
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "x": pd.Series([], dtype=np.int32),
+                "y": pd.Series([], dtype=np.int32),
+                "ndx": pd.Series([], dtype=np.int64),
+                "ndy": pd.Series([], dtype=np.int64),
+                "slope_q": pd.Series([], dtype=np.int64),
+                "dzdx": pd.Series([], dtype=np.float64),
+                "dzdy": pd.Series([], dtype=np.float64),
+                "aspect_oct": pd.Series([], dtype=np.int32),
+            })
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=TERRAIN_SCHEMA
+    )
+
+
+def hillshade_grid(
+    grid: np.ndarray,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+) -> np.ndarray:
+    """Classic Lambertian hillshade of one tile: uint8 (h-2, w-2)
+    interior render, 0 where the neighborhood has NOVALUE. Standard
+    formula: 255 * max(0, cos(zen)cos(slope) +
+    sin(zen)sin(slope)cos(az - aspect)), azimuth measured from north,
+    clockwise (the GDAL convention). Rendering only — never
+    driver-hashed (trig), bit-pinned against the pure-Python scalar
+    twin in tests."""
+    h, w = grid.shape
+    out = np.zeros((h - 2, w - 2), dtype=np.uint8)
+    ys, xs, ndx, ndy = horn_grid(grid)
+    if len(ys) == 0:
+        return out
+    dzdx = z_factor * ndx / 8.0
+    dzdy = z_factor * ndy / 8.0
+    zen = math.radians(90.0 - altitude_deg)
+    az = math.radians(360.0 - azimuth_deg + 90.0)
+    slope = np.arctan(np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(-dzdy, dzdx)
+    shade = (
+        math.cos(zen) * np.cos(slope)
+        + math.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+    )
+    vals = np.rint(255.0 * np.clip(shade, 0.0, 1.0)).astype(np.uint8)
+    out[ys - 1, xs - 1] = vals
+    return out

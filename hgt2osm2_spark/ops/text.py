@@ -438,3 +438,127 @@ def tfidf_cosine_pairs(df: DataFrame, min_sim: float = 0.2, min_df: int = 2,
         .where(F.col("cosine_micro") >= threshold)
         .select("doc_a", "doc_b", "n_shared_terms", "cosine_micro")
     )
+
+
+def ngram_hashes_expr(toks: Column, n: int) -> Column:
+    """md5 hashes of the sliding word n-grams of a token array
+    (space-joined; callers lowercase before tokenizing, matching the
+    dedup chunkers' trim+lower convention). Empty array when the
+    document has fewer than n tokens. Pure JVM expression."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i, n)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the standard training-data hygiene
+    op (Brown et al. 2020 app. C; Dodge et al. 2021): flag training
+    documents sharing any word n-gram with an evaluation/benchmark set
+    so they can be dropped before training. No reference analogue
+    (north-rule training-data op, §2.12 class).
+
+    Output per training doc: (doc_id, n_ngrams, n_hits, n_hit_grams,
+    contaminated) — total n-grams, overlapping occurrences, distinct
+    overlapping grams, and the >= min_hits flag. All counts are exact.
+
+    Scale shape: the benchmark side is distinct-hashed and BROADCAST
+    (eval sets are tiny next to a 100 TB corpus), so the train-side
+    explode takes a map-side hash-join with no shuffle of corpus
+    n-grams; the only Exchange keys on doc_id over HIT rows only
+    (bounded by benchmark overlap, not corpus size). The final
+    left-join back to per-doc totals broadcasts the hit aggregate the
+    same way."""
+    toks_t = tokens_expr(F.lower(F.col(text_col)))
+    grams = ngram_hashes_expr(toks_t, n)
+    bench_grams = (
+        benchmark.select(F.explode(ngram_hashes_expr(
+            tokens_expr(F.lower(F.col(text_col))), n)).alias("gram_hash"))
+        .distinct()
+    )
+    base = train.select(
+        F.col(id_col).alias("doc_id"), F.size(grams).alias("n_ngrams")
+    )
+    hits = (
+        train.select(F.col(id_col).alias("doc_id"),
+                     F.explode(grams).alias("gram_hash"))
+        .join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.count_distinct("gram_hash").alias("n_hit_grams"),
+        )
+    )
+    return (
+        base.join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition quality signals (the Gopher /
+    MassiveText repetition filters, Rae et al. 2021 §A1.1): documents
+    dominated by repeated fragments (chat logs, keyword stuffing,
+    scraper loops) are low-quality training data even when globally
+    unique, so no cross-doc dedup catches them. Token-occurrence
+    fractions over word n-grams (the reference filters use character
+    fractions; occurrence fractions are the same signal and stay
+    integer-exact).
+
+    Output: (doc_id, n_ngrams, n_dup_occ, top_gram_occ, dup_frac,
+    top_frac) where n_dup_occ counts occurrences of grams appearing
+    >= 2 times in the doc and top_gram_occ is the highest single-gram
+    count. Fractions are single IEEE divisions of exact int64 counts —
+    bit-identical in any engine.
+
+    Scale shape: two hash aggregates, both on bounded keys —
+    (doc_id, gram) then doc_id — with map-side partial aggregation;
+    no joins, no windows, no candidate pairs."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    grams = ngram_hashes_expr(toks, n)
+    per_gram = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("n_dup_occ"),
+        F.max("c").alias("top_gram_occ"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_dup_occ", F.lit(0)).cast("long").alias("n_dup_occ"),
+            F.coalesce("top_gram_occ", F.lit(0)).cast("long").alias("top_gram_occ"),
+            F.when(F.coalesce("n_ngrams", F.lit(0)) > 0,
+                   F.col("n_dup_occ") / F.col("n_ngrams"))
+            .otherwise(F.lit(0.0)).alias("dup_frac"),
+            F.when(F.coalesce("n_ngrams", F.lit(0)) > 0,
+                   F.col("top_gram_occ") / F.col("n_ngrams"))
+            .otherwise(F.lit(0.0)).alias("top_frac"),
+        )
+    )

@@ -1,0 +1,194 @@
+"""Tests for the r7 trio: Horn terrain derivatives (ops/terrain.py)
+and the two text-hygiene ops (decontaminate, repetition_stats in
+ops/text.py). Each op gets (a) a scalar/hand-computed twin check and
+(b) a plan-shape assertion matching its documented scale story."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hgt2osm2_spark.kernels import codecs
+from hgt2osm2_spark.ops import terrain, text
+
+NV = int(codecs.NOVALUE)
+
+
+def _horn_scalar(grid):
+    """Pure-Python per-cell twin of terrain.horn_grid: nested loops,
+    no numpy arithmetic beyond indexing."""
+    h, w = grid.shape
+    out = []
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            nb = [int(grid[y + dy, x + dx])
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+            if NV in nb:
+                continue
+            a, b, c, d, _e, f, g, hh, i = nb
+            ndx = (c + 2 * f + i) - (a + 2 * d + g)
+            ndy = (g + 2 * hh + i) - (a + 2 * b + c)
+            out.append((y, x, ndx, ndy))
+    return out
+
+
+def _aspect_scalar(ndx, ndy):
+    """atan2-based octant twin: sector k = floor(theta/45deg) with
+    theta measured from +x through +y in [0, 360)."""
+    if ndx == 0 and ndy == 0:
+        return -1
+    theta = math.degrees(math.atan2(ndy, ndx)) % 360.0
+    return int(theta // 45.0) % 8
+
+
+def test_horn_grid_matches_scalar_twin():
+    rng = np.random.default_rng(7)
+    grid = rng.integers(-500, 4000, size=(17, 13)).astype(np.int16)
+    # sprinkle NOVALUE so the 3x3 poisoning path is exercised
+    grid[3, 4] = NV
+    grid[10, 0] = NV
+    grid[16, 12] = NV
+    ys, xs, ndx, ndy = terrain.horn_grid(grid)
+    got = sorted(zip(ys.tolist(), xs.tolist(), ndx.tolist(), ndy.tolist()))
+    want = sorted(_horn_scalar(grid))
+    assert got == want and len(got) > 50
+    # NOVALUE at (3,4) suppresses all 9 cells whose 3x3 touches it
+    suppressed = {(y, x) for y in (2, 3, 4) for x in (3, 4, 5)}
+    emitted = {(y, x) for y, x, _, _ in got}
+    assert suppressed.isdisjoint(emitted)
+
+
+def test_aspect_octant_matches_atan2_twin():
+    vals = [-7, -3, -1, 0, 1, 2, 5]
+    ndx = np.array([x for x in vals for _ in vals], dtype=np.int64)
+    ndy = np.array([y for _ in vals for y in vals], dtype=np.int64)
+    got = terrain.aspect_octant(ndx, ndy)
+    for x, y, o in zip(ndx.tolist(), ndy.tolist(), got.tolist()):
+        assert o == _aspect_scalar(x, y), (x, y, o)
+    # exact boundary cases: 45-degree multiples land in the half-open
+    # sector that STARTS there
+    assert terrain.aspect_octant(np.array([3]), np.array([3]))[0] == 1
+    assert terrain.aspect_octant(np.array([0]), np.array([3]))[0] == 2
+    assert terrain.aspect_octant(np.array([-3]), np.array([3]))[0] == 3
+    assert terrain.aspect_octant(np.array([-3]), np.array([0]))[0] == 4
+    assert terrain.aspect_octant(np.array([-3]), np.array([-3]))[0] == 5
+    assert terrain.aspect_octant(np.array([0]), np.array([-3]))[0] == 6
+    assert terrain.aspect_octant(np.array([3]), np.array([-3]))[0] == 7
+    assert terrain.aspect_octant(np.array([3]), np.array([0]))[0] == 0
+
+
+def test_terrain_cells_spark_equals_twin_and_no_exchange(spark):
+    import __spark_entry__ as entry
+
+    tiles = entry._synth_tiles(spark, n_tiles=4, size=21)
+    df = terrain.terrain_cells(tiles)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one narrow Arrow pass
+
+    rows = df.collect()
+    # rebuild the twin from the decoded tiles
+    want = []
+    for r in tiles.select("image_id", "bytes", "w", "h", "fmt").collect():
+        grid = codecs.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+        for y, x, ndx, ndy in _horn_scalar(grid):
+            want.append((r.image_id, x, y, ndx, ndy, ndx * ndx + ndy * ndy,
+                         ndx / 8.0, ndy / 8.0, _aspect_scalar(ndx, ndy)))
+    got = sorted((r.image_id, r.x, r.y, r.ndx, r.ndy, r.slope_q,
+                  r.dzdx, r.dzdy, r.aspect_oct) for r in rows)
+    assert got == sorted(want) and len(got) > 100
+
+
+def test_hillshade_matches_scalar_twin():
+    rng = np.random.default_rng(11)
+    grid = rng.integers(0, 2000, size=(9, 9)).astype(np.int16)
+    grid[4, 4] = NV
+    out = terrain.hillshade_grid(grid, azimuth_deg=315.0, altitude_deg=45.0)
+    assert out.shape == (7, 7) and out.dtype == np.uint8
+    zen = math.radians(45.0)
+    az = math.radians(360.0 - 315.0 + 90.0)
+    for y, x, ndx, ndy in _horn_scalar(grid):
+        dzdx, dzdy = ndx / 8.0, ndy / 8.0
+        slope = math.atan(math.hypot(dzdx, dzdy))
+        aspect = math.atan2(-dzdy, dzdx)
+        shade = (math.cos(zen) * math.cos(slope)
+                 + math.sin(zen) * math.sin(slope) * math.cos(az - aspect))
+        want = int(np.rint(255.0 * min(max(shade, 0.0), 1.0)))
+        assert out[y - 1, x - 1] == want
+    # poisoned neighborhoods render 0
+    for y in (3, 4, 5):
+        for x in (3, 4, 5):
+            assert out[y - 1, x - 1] == 0
+
+
+@pytest.fixture
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox sat still all day long"),
+        (3, "completely different words appear in this one here"),
+        (4, "  the   quick  brown fox jumps high "),  # messy whitespace
+        (5, "tiny doc"),                               # < n tokens
+        (6, "THE QUICK BROWN FOX jumps over whatever else"),  # case
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_decontaminate_semantics(spark, docs_df):
+    bench = docs_df.filter("doc_id = 1")
+    train = docs_df.filter("doc_id <> 1")
+    out = {r.doc_id: r for r in
+           text.decontaminate(train, bench, n=4).collect()}
+    assert set(out) == {2, 3, 4, 5, 6}
+    # doc 2 shares exactly the 4-gram "the quick brown fox"
+    assert out[2].n_hits == 1 and out[2].n_hit_grams == 1
+    assert out[2].contaminated
+    # doc 3 shares nothing
+    assert out[3].n_hits == 0 and not out[3].contaminated
+    assert out[3].n_ngrams == 8 - 3
+    # messy whitespace normalizes: doc 4 shares "the quick brown fox"
+    # and "quick brown fox jumps"
+    assert out[4].n_hits == 2 and out[4].contaminated
+    # < n tokens: zero grams, clean
+    assert out[5].n_ngrams == 0 and not out[5].contaminated
+    # lowercasing: doc 6 hits despite uppercase
+    assert out[6].contaminated
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, docs_df):
+    bench = docs_df.filter("doc_id = 1")
+    train = docs_df.filter("doc_id <> 1")
+    plan = (text.decontaminate(train, bench, n=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the gram join must be broadcast (no corpus-side gram shuffle)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_semantics(spark):
+    rows = [
+        (1, "a b a b a b"),        # bigrams: ab x3, ba x2 -> all 5 dup
+        (2, "u v w x y"),           # 4 distinct bigrams, none repeated
+        (3, "solo"),                # < 2 tokens -> zero everything
+        (4, ""),                    # empty
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r.doc_id: r for r in text.repetition_stats(df, n=2).collect()}
+    assert out[1].n_ngrams == 5 and out[1].n_dup_occ == 5
+    assert out[1].top_gram_occ == 3
+    assert out[1].dup_frac == 1.0 and out[1].top_frac == 3 / 5
+    assert out[2].n_ngrams == 4 and out[2].n_dup_occ == 0
+    assert out[2].dup_frac == 0.0 and out[2].top_frac == 1 / 4
+    for d in (3, 4):
+        assert out[d].n_ngrams == 0 and out[d].dup_frac == 0.0
+
+
+def test_repetition_stats_no_joins_in_agg_path(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c"]}))
+    plan = (text.repetition_stats(df, n=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    # two hash aggregates + the left-join back to the doc base; no
+    # sort-merge, no cartesian
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
