@@ -73,6 +73,26 @@ AUDITED = {
         ("span list folded per doc, ONE corpus join (no per-token join)", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
         ("never all-pairs", r"CartesianProduct", "absent"),
     ],
+    "terrain_slope": [
+        ("stencil runs in ONE narrow Arrow map (no shuffle at all)",
+         r"Exchange", "absent"),
+        ("tile-local numpy stencil via mapInPandas", r"MapInPandas"),
+    ],
+    "decontam": [
+        ("benchmark gram set broadcast (no corpus-side gram shuffle join)",
+         r"BroadcastHashJoin|BroadcastExchange"),
+        ("no sort-merge on the gram join", r"SortMergeJoin", "absent"),
+        ("grams/tokenization are pure JVM expressions (no Python eval)",
+         r"EvalPython", "absent"),
+        ("never all-pairs", r"CartesianProduct", "absent"),
+    ],
+    "repetition_stats": [
+        ("two bounded-key hash aggregates with map-side partials",
+         r"HashAggregate"),
+        ("grams are pure JVM expressions (no Python eval)",
+         r"EvalPython", "absent"),
+        ("never all-pairs", r"CartesianProduct", "absent"),
+    ],
     "time_functions": [
         ("column-pruned scan (only o_orderdate read)", r"ReadSchema: [^\n]*o_orderdate"),
         ("whole-stage codegen", r"WholeStageCodegen|codegen id|\*\(\d+\)"),
