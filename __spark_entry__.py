@@ -964,6 +964,37 @@ def q_terrain_slope(spark, sf_dir):
     return terrain.terrain_cells(_synth_tiles(spark, n_tiles=6, size=33))
 
 
+def q_flow_direction(spark, sf_dir):
+    """D8 flow direction (r7): steepest-descent neighbor code over the
+    6 synthetic DEM tiles — the hydrology primitive downstream of
+    slope. Integer-exact ranking (drop2x = 2*(drop/dist)^2: 2*drop^2
+    cardinal, drop^2 diagonal — squares preserve positive-ratio order,
+    so no sqrt(2) ever enters), fixed smallest-code tie rule, pits and
+    flats emit d8 = 0. Same one-narrow-Arrow-pass shape as
+    terrain_slope. The DuckDB oracle RECOMPUTES the argmax from the
+    raster_cells golden: per-(cell, neighbor) scored rows + a
+    ROW_NUMBER argmax over (score DESC, code ASC) — window-based vs
+    the engine's code-order numpy scan, fully independent."""
+    return terrain.flow_direction(_synth_tiles(spark, n_tiles=6, size=33))
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (r7): per-polygon aggregation of raster cell
+    values — the canonical raster x vector op, composed engine-first:
+    one Arrow decode pass -> JVM grid->degree projection ->
+    cell-prefiltered broadcast PIP (the pip_join core, payload kept)
+    -> partial+final hash agg on poly_id. min/max/sum/count exact
+    int64; mean is one IEEE division. The DuckDB oracle re-derives
+    cell lat/lon from the raster_cells golden (w/h from max x/y) and
+    the containment from the half-plane forms of the same literal
+    convex rings."""
+    from hgt2osm2_spark.ops import zonal
+
+    tiles = _synth_tiles(spark, n_tiles=6, size=33)
+    return zonal.zonal_stats(
+        zonal.cells_geo(tiles), _pip_polygons_df(spark), res=CELL_RES)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Feature extraction over BOTH payload families: elevation tiles
     (hgt/png16/djpg) and real RGB images (pure-Python PNG + baseline
@@ -1674,14 +1705,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything freshly checked rotates OUT and the window becomes
     # maximally stale-first: the 5 always-in core entries, the four r6
     # operators and hardened bm25/tfidf (second consecutive row), the
-    # seven r7-born operators (substring_dedup, span_clean, cdc_dedup,
-    # ann_codebook, terrain_slope, decontam, repetition_stats —
-    # in-window from day one per the standing policy), the COMPLETE
-    # r5-stale block (contour family, sinks, crop/decode, multimodal
-    # trio, decorations, cross-tile, osm_xml, rasterize — 18 entries),
-    # and the r1-r4 relational tail, whose driver rows are the oldest
-    # in the registry. After r7 no entry's last driver check predates
-    # r5 except the five named just past the boundary. Everything past
+    # nine r7-born operators (substring_dedup, span_clean, cdc_dedup,
+    # ann_codebook, terrain_slope, flow_direction, zonal_stats,
+    # decontam, repetition_stats — in-window from day one per the
+    # standing policy), the COMPLETE r5-stale block (contour family,
+    # sinks, crop/decode, multimodal trio, decorations, cross-tile,
+    # osm_xml, rasterize — 18 entries), and the r1-r4 relational tail,
+    # whose driver rows are the oldest in the registry. After r7 no
+    # entry's last driver check predates r5 except the seven named
+    # just past the boundary. Everything past
     # the boundary stays value-checked every round by
     # tools/check_entry.py (the gate mirror) + tests/.
     return {
@@ -1703,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "ann_codebook": q_ann_codebook,
         "terrain_slope": q_terrain_slope,
+        "flow_direction": q_flow_direction,
+        "zonal_stats": q_zonal_stats,
         "decontam": q_decontam,
         "repetition_stats": q_repetition_stats,
         # r6-hardened fixed-point pair: second consecutive green row
@@ -1743,14 +1777,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_rollup": q_continuous_rollup,
         "nation_intersect": q_nation_intersect,
         "small_order_revenue": q_small_order_revenue,
+        # ---- driver window boundary (entry 50 ends above) ----
+        # time_functions, percentiles, cube_events, pivot_events,
+        # json_extract, rollup_events and orders_except (each 3-4x
+        # driver-green r1-r4, pure built-ins — the lowest-risk entries
+        # in the registry) yield their seats to the nine r7-born
+        # operators per the new-operators-in-window policy; they head
+        # the r8 rotation queue
         "rollup_events": q_rollup_events,
         "orders_except": q_orders_except,
-        # ---- driver window boundary (entry 50 ends above) ----
-        # time_functions, percentiles, cube_events, pivot_events and
-        # json_extract (each 3-4x driver-green r1-r4, pure built-ins —
-        # the lowest-risk entries in the registry) yield their seats
-        # to the seven r7-born operators per the new-operators-in-
-        # window policy; they head the r8 rotation queue
         "cube_events": q_cube_events,
         "pivot_events": q_pivot_events,
         "json_extract": q_json_extract,
@@ -2243,6 +2278,104 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 7 END AS INT) AS aspect_oct
         FROM n WHERE bad = 0
     """
+    # flow_direction (r7): the D8 argmax RECOMPUTED from the
+    # raster_cells golden — per-(cell, neighbor) scored rows + a
+    # ROW_NUMBER argmax over (score DESC, code ASC), structurally
+    # independent of the engine's code-order numpy scan. score =
+    # 2*(drop/dist)^2 kept integer-exact: mult 2 for cardinals
+    # (dist^2 = 1), 1 for diagonals (dist^2 = 2); drops <= 0 score 0,
+    # so a flat/pit cell's rank-1 row has score 0 and emits d8 = 0.
+    # The smallest-code-wins tie rule is the ORDER BY code ASC.
+    golden["flow_direction"] = f"""
+        WITH c AS (
+            SELECT image_id, x, y, value
+            FROM read_parquet('{golden_dir}/raster_cells.parquet')
+        ),
+        nb AS (
+            SELECT e.image_id, e.x, e.y,
+                   CASE WHEN o.x = e.x + 1 AND o.y = e.y     THEN 1
+                        WHEN o.x = e.x + 1 AND o.y = e.y + 1 THEN 2
+                        WHEN o.x = e.x     AND o.y = e.y + 1 THEN 4
+                        WHEN o.x = e.x - 1 AND o.y = e.y + 1 THEN 8
+                        WHEN o.x = e.x - 1 AND o.y = e.y     THEN 16
+                        WHEN o.x = e.x - 1 AND o.y = e.y - 1 THEN 32
+                        WHEN o.x = e.x     AND o.y = e.y - 1 THEN 64
+                        ELSE 128 END AS code,
+                   CAST(e.value AS BIGINT) - o.value AS drp,
+                   CASE WHEN o.x = e.x OR o.y = e.y THEN 2 ELSE 1 END AS mult,
+                   (o.value = -32768 OR e.value = -32768) AS badnb
+            FROM c e JOIN c o
+              ON o.image_id = e.image_id
+             AND o.x BETWEEN e.x - 1 AND e.x + 1
+             AND o.y BETWEEN e.y - 1 AND e.y + 1
+             AND NOT (o.x = e.x AND o.y = e.y)
+        ),
+        cell AS (
+            SELECT image_id, x, y,
+                   max(CASE WHEN badnb THEN 1 ELSE 0 END) AS bad,
+                   count(*) AS nn
+            FROM nb GROUP BY 1, 2, 3
+        ),
+        best AS (
+            SELECT image_id, x, y, code,
+                   CASE WHEN drp > 0 THEN mult * drp * drp ELSE 0 END AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY image_id, x, y
+                       ORDER BY CASE WHEN drp > 0
+                                     THEN mult * drp * drp ELSE 0 END DESC,
+                                code ASC) AS rn
+            FROM nb
+        )
+        SELECT b.image_id, b.x, b.y,
+               CAST(CASE WHEN b.score > 0 THEN b.code ELSE 0 END AS INT) AS d8,
+               CAST(CASE WHEN b.score > 0 THEN b.score ELSE 0 END AS BIGINT)
+                   AS drop2x
+        FROM best b JOIN cell USING (image_id, x, y)
+        WHERE b.rn = 1 AND cell.bad = 0 AND cell.nn = 8
+    """
+    # zonal_stats (r7): cell lat/lon re-derived from the raster_cells
+    # golden (tile SW corner parsed from image_id, w/h from max x/y,
+    # row 0 = north so lat = tile_lat + (h-1-y)/(h-1) — the identical
+    # single IEEE divisions/additions), containment from the
+    # half-plane forms of the same literal convex rings (strict
+    # interior == the engine's even-odd ray cast away from edges, and
+    # no cell lattice point lies on an edge of these rings), then the
+    # per-zone aggregate re-derived per polygon; empty zones emit no
+    # row on either engine (HAVING count(*) > 0).
+    _zonal_cte = f"""
+        WITH c AS (
+            SELECT image_id, x, y, value
+            FROM read_parquet('{golden_dir}/raster_cells.parquet')
+        ),
+        dims AS (
+            SELECT image_id, max(x) + 1 AS w, max(y) + 1 AS h
+            FROM c GROUP BY image_id
+        ),
+        pts AS (
+            SELECT c.value,
+                   (CASE WHEN substr(c.image_id, 1, 1) IN ('s', 'S')
+                         THEN -1 ELSE 1 END)
+                     * CAST(substr(c.image_id, 2, 2) AS INT)
+                     + (d.h - 1 - c.y) / (d.h - 1) AS lat,
+                   (CASE WHEN substr(c.image_id, 4, 1) IN ('w', 'W')
+                         THEN -1 ELSE 1 END)
+                     * CAST(substr(c.image_id, 5, 3) AS INT)
+                     + c.x / (d.w - 1) AS lon
+            FROM c JOIN dims d USING (image_id)
+            WHERE c.value <> -32768
+        )
+    """
+    golden["zonal_stats"] = _zonal_cte + "\nUNION ALL\n".join(
+        f"""SELECT '{pid}' AS poly_id,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(min(p.value) AS BIGINT) AS min_val,
+                   CAST(max(p.value) AS BIGINT) AS max_val,
+                   CAST(sum(p.value) AS BIGINT) AS sum_val,
+                   CAST(sum(p.value) AS BIGINT) / count(*) AS mean_val
+            FROM pts p WHERE {cond}
+            HAVING count(*) > 0"""
+        for pid, cond in _pip_inside_sql("p.lon", "p.lat")
+    )
     golden["tsv_sink"] = f"""
         WITH lines AS (
             SELECT image_id, y,

@@ -149,8 +149,10 @@ def main():
         "span_clean",
         "cdc_dedup",
         "ann_codebook",
-        # r7: Horn terrain derivatives + text-hygiene pair
+        # r7: terrain derivatives (Horn + D8), zonal stats, text hygiene
         "terrain_slope",
+        "flow_direction",
+        "zonal_stats",
         "decontam",
         "repetition_stats",
     ]

@@ -144,6 +144,23 @@ def pip_join(
 ) -> DataFrame:
     """points(q_id, lat, lon) x polygons(poly_id, xs, ys) ->
     (q_id, poly_id, lat, lon). Cell prefilter + exact ray-crossing."""
+    return pip_hits(
+        points, polygons, res=res, broadcast_polygons=broadcast_polygons,
+        repartition=repartition,
+    ).select("q_id", "poly_id", "lat", "lon")
+
+
+def pip_hits(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 6,
+    broadcast_polygons: bool = True,
+    repartition: int | None = None,
+) -> DataFrame:
+    """pip_join's engine, keeping EVERY point-side column on the hit
+    rows (plus poly_id) — the reusable core for consumers that carry a
+    payload through the containment test (zonal_stats carries the cell
+    value; pip_join projects down to the classic 4-column shape)."""
     cover = polygon_cover_cells(polygons, res)
     if broadcast_polygons:
         cover = F.broadcast(cover)
@@ -206,7 +223,7 @@ def pip_join(
             return pd.Series(out)
 
         hit = cand.filter(exact_pip(F.col("lon"), F.col("lat"), F.col("xs"), F.col("ys")))
-    return hit.select("q_id", "poly_id", "lat", "lon")
+    return hit.drop("cell", "xs", "ys")
 
 
 # ------------------------------------------------------------- kNN join

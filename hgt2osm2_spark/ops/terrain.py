@@ -141,6 +141,92 @@ def terrain_cells(tiles: DataFrame) -> DataFrame:
     )
 
 
+#: D8 neighbors in ESRI code order (E, SE, S, SW, W, NW, N, NE) as
+#: (code, dx, dy, cardinal?) with +y pointing SOUTH (raw grid rows) —
+#: the same frame terrain_cells uses. Tie on steepest descent -> the
+#: FIRST (smallest code) in this order wins, a fixed deterministic
+#: rule (ESRI's own tie handling is unspecified for our purposes).
+D8_NEIGHBORS = (
+    (1, 1, 0, True), (2, 1, 1, False), (4, 0, 1, True), (8, -1, 1, False),
+    (16, -1, 0, True), (32, -1, -1, False), (64, 0, -1, True),
+    (128, 1, -1, False),
+)
+
+
+def d8_grid(grid: np.ndarray):
+    """Numpy D8 twin: (h, w) int grid -> flat arrays (ys, xs, d8,
+    drop2x) over interior cells with a fully-valid 3x3 neighborhood.
+
+    D8 picks the neighbor of steepest descent, comparing drop/distance
+    across cardinal (dist 1) and diagonal (dist sqrt(2)) neighbors.
+    The comparison stays INTEGER-exact by ranking on
+    ``drop2x = 2 * (drop/dist)^2``: 2*drop^2 for cardinals, drop^2 for
+    diagonals (squares preserve the order of positive ratios; drops
+    <= 0 never compete). Bounded: |drop| <= 65535 so drop2x < 2^34 —
+    no int64 risk. Pits/flats (no strictly lower neighbor) emit
+    d8 = 0, drop2x = 0. NOVALUE anywhere in the 3x3 suppresses the
+    cell, matching horn_grid."""
+    nv = int(codecs.NOVALUE)
+    g = grid.astype(np.int64)
+    e = g[1:-1, 1:-1]
+    bad = e == nv
+    best = np.zeros(e.shape, dtype=np.int64)
+    code = np.zeros(e.shape, dtype=np.int32)
+    for c, dx, dy, cardinal in D8_NEIGHBORS:
+        nb = g[1 + dy : g.shape[0] - 1 + dy, 1 + dx : g.shape[1] - 1 + dx]
+        bad |= nb == nv
+        drop = e - nb
+        score = np.where(drop > 0, (2 if cardinal else 1) * drop * drop, 0)
+        take = score > best  # strict: earlier (smaller) code wins ties
+        best = np.where(take, score, best)
+        code = np.where(take, c, code)
+    h, w = grid.shape
+    ys, xs = np.mgrid[1 : h - 1, 1 : w - 1]
+    keep = (~bad).ravel()
+    return (
+        ys.ravel()[keep].astype(np.int32),
+        xs.ravel()[keep].astype(np.int32),
+        code.ravel()[keep],
+        best.ravel()[keep],
+    )
+
+
+D8_SCHEMA = "image_id string, x int, y int, d8 int, drop2x long"
+
+
+def flow_direction(tiles: DataFrame) -> DataFrame:
+    """PRODUCTION D8 flow direction: tiles (input_hint schema) ->
+    per-interior-cell (d8 code, ranked drop2x) rows — the hydrology
+    primitive downstream of slope (flow accumulation, watershed
+    labeling, stream extraction all consume this grid). Same scale
+    shape as terrain_cells: ONE narrow Arrow decode pass, numpy
+    shifted-slice comparisons, no Exchange."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for img, grid in codecs.iter_decoded_tiles(pdf):
+                ys, xs, d8, drop2x = d8_grid(grid)
+                parts.append(pd.DataFrame({
+                    "image_id": img, "x": xs, "y": ys,
+                    "d8": d8, "drop2x": drop2x,
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "x": pd.Series([], dtype=np.int32),
+                "y": pd.Series([], dtype=np.int32),
+                "d8": pd.Series([], dtype=np.int32),
+                "drop2x": pd.Series([], dtype=np.int64),
+            })
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=D8_SCHEMA
+    )
+
+
 def hillshade_grid(
     grid: np.ndarray,
     azimuth_deg: float = 315.0,

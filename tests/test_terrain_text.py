@@ -192,3 +192,156 @@ def test_repetition_stats_no_joins_in_agg_path(spark):
     # sort-merge, no cartesian
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def _d8_scalar(grid):
+    """Pure-Python D8 twin: per-cell loop over the 8 neighbors in code
+    order, ranking by drop/distance with exact rational comparison."""
+    h, w = grid.shape
+    out = []
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            nbs = [(int(grid[y + dy, x + dx]), c, card)
+                   for c, dx, dy, card in terrain.D8_NEIGHBORS]
+            if NV == int(grid[y, x]) or any(v == NV for v, _, _ in nbs):
+                continue
+            e = int(grid[y, x])
+            best, code = 0, 0
+            for v, c, card in nbs:
+                drop = e - v
+                score = (2 if card else 1) * drop * drop if drop > 0 else 0
+                if score > best:
+                    best, code = score, c
+            out.append((y, x, code, best))
+    return out
+
+
+def test_d8_grid_matches_scalar_twin():
+    rng = np.random.default_rng(3)
+    grid = rng.integers(-100, 3000, size=(15, 11)).astype(np.int16)
+    grid[5, 5] = NV
+    ys, xs, d8, drop2x = terrain.d8_grid(grid)
+    got = sorted(zip(ys.tolist(), xs.tolist(), d8.tolist(), drop2x.tolist()))
+    assert got == sorted(_d8_scalar(grid)) and len(got) > 50
+
+
+def test_d8_semantics_handcrafted():
+    # center 10; E neighbor 8 (drop 2, cardinal: score 8);
+    # SE neighbor 7 (drop 3, diagonal: score 9) -> SE wins (code 2)
+    g = np.array([
+        [10, 10, 10],
+        [10, 10, 8],
+        [10, 10, 7],
+    ], dtype=np.int16)
+    ys, xs, d8, s = terrain.d8_grid(g)
+    assert list(zip(ys, xs, d8, s)) == [(1, 1, 2, 9)]
+    # exact tie: E drop 2 (score 8) vs SE drop 2*sqrt2-worth? craft a
+    # true tie: E drop 1 (score 2) vs S drop 1 (score 2) -> E (code 1)
+    g2 = np.array([
+        [5, 5, 5],
+        [5, 5, 4],
+        [5, 4, 5],
+    ], dtype=np.int16)
+    _, _, d8_2, s2 = terrain.d8_grid(g2)
+    assert d8_2[0] == 1 and s2[0] == 2
+    # pit: all neighbors higher -> d8 0, score 0
+    g3 = np.full((3, 3), 9, dtype=np.int16); g3[1, 1] = 1
+    _, _, d8_3, s3 = terrain.d8_grid(g3)
+    assert d8_3[0] == 0 and s3[0] == 0
+    # flat: all equal -> d8 0
+    g4 = np.full((3, 3), 7, dtype=np.int16)
+    _, _, d8_4, s4 = terrain.d8_grid(g4)
+    assert d8_4[0] == 0 and s4[0] == 0
+
+
+def test_flow_direction_spark_equals_twin_no_exchange(spark):
+    import __spark_entry__ as entry
+    from hgt2osm2_spark.kernels import codecs as k
+
+    tiles = entry._synth_tiles(spark, n_tiles=3, size=17)
+    df = terrain.flow_direction(tiles)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = sorted((r.image_id, r.y, r.x, r.d8, r.drop2x) for r in df.collect())
+    want = []
+    for r in tiles.select("image_id", "bytes", "w", "h", "fmt").collect():
+        grid = k.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+        want += [(r.image_id, y, x, c, s) for y, x, c, s in _d8_scalar(grid)]
+    assert got == sorted(want) and len(got) > 100
+
+
+def test_zonal_stats_handcrafted(spark):
+    """One synthetic 'tile' worth of cells placed directly in degree
+    space against one unit-square-ish zone: exact count/min/max/sum
+    and the IEEE mean."""
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import zonal
+
+    # 5x5 cells across [0,1]x[40,41]; zone covers lon [0.2,0.8],
+    # lat [40.2, 40.8] strictly -> interior cells at 0.25/0.5/0.75
+    rows = []
+    v = 0
+    for y in range(5):
+        for x in range(5):
+            v += 3
+            rows.append({"image_id": "t", "x": x, "y": y, "value": v,
+                         "lon": x / 4.0, "lat": 40.0 + (4 - y) / 4.0})
+    cells = spark.createDataFrame(pd.DataFrame(rows))
+    polys = spark.createDataFrame(pd.DataFrame([{
+        "poly_id": "z",
+        "xs": [0.2, 0.8, 0.8, 0.2], "ys": [40.2, 40.2, 40.8, 40.8],
+    }]))
+    out = zonal.zonal_stats(cells, polys).collect()
+    assert len(out) == 1
+    r = out[0]
+    inside = [row["value"] for row in rows
+              if 0.2 < row["lon"] < 0.8 and 40.2 < row["lat"] < 40.8]
+    assert r.n_cells == len(inside) == 9
+    assert r.min_val == min(inside) and r.max_val == max(inside)
+    assert r.sum_val == sum(inside)
+    assert r.mean_val == sum(inside) / len(inside)
+
+
+def test_zonal_stats_novalue_excluded_and_plan(spark):
+    import __spark_entry__ as entry
+    from hgt2osm2_spark.ops import zonal
+
+    tiles = entry._synth_tiles(spark, n_tiles=6, size=33)
+    cells = zonal.cells_geo(tiles)
+    polys = entry._pip_polygons_df(spark)
+    df = zonal.zonal_stats(cells, polys, res=entry.CELL_RES)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan       # cover cells broadcast
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan     # ray cast is unrolled JVM
+    rows = {r.poly_id: r for r in df.collect()}
+    assert rows  # the 6-tile strip hits polyA/polyC
+    # NOVALUE exclusion: no zone's min can be the nodata sentinel even
+    # though the gate tiles contain real NOVALUE cells
+    for r in rows.values():
+        assert r.n_cells > 0 and r.min_val > NV
+
+
+def test_pip_join_shape_unchanged_after_refactor(spark):
+    """pip_hits is pip_join's engine; pip_join's public 4-column
+    contract must be byte-identical to before the refactor."""
+    import pandas as pd
+
+    from hgt2osm2_spark.ops import spatial
+
+    pts = spark.createDataFrame(pd.DataFrame({
+        "q_id": ["a", "b", "c"],
+        "lat": [40.5, 43.0, 40.9],
+        "lon": [0.9, 0.1, 1.2],
+        "payload": [10, 20, 30],
+    }))
+    polys = spark.createDataFrame(pd.DataFrame([{
+        "poly_id": "z", "xs": [0.5, 1.5, 1.5, 0.5],
+        "ys": [40.2, 40.2, 41.2, 41.2]}]))
+    j = spatial.pip_join(pts, polys)
+    assert j.columns == ["q_id", "poly_id", "lat", "lon"]
+    assert {r.q_id for r in j.collect()} == {"a", "c"}
+    h = spatial.pip_hits(pts, polys)
+    assert "payload" in h.columns and "xs" not in h.columns
+    assert {(r.q_id, r.payload) for r in h.collect()} == {("a", 10), ("c", 30)}

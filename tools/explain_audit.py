@@ -78,6 +78,20 @@ AUDITED = {
          r"Exchange", "absent"),
         ("tile-local numpy stencil via mapInPandas", r"MapInPandas"),
     ],
+    "flow_direction": [
+        ("D8 argmax runs in ONE narrow Arrow map (no shuffle at all)",
+         r"Exchange", "absent"),
+        ("tile-local numpy comparisons via mapInPandas", r"MapInPandas"),
+    ],
+    "zonal_stats": [
+        ("polygon cover cells broadcast (raster never shuffles into the join)",
+         r"BroadcastHashJoin|BroadcastExchange"),
+        ("exact ray cast is unrolled JVM (no per-candidate Python)",
+         r"BatchEvalPython", "absent"),
+        ("partial aggregation before the per-zone shuffle",
+         r"HashAggregate .*partial|partial_"),
+        ("never all-pairs", r"CartesianProduct", "absent"),
+    ],
     "decontam": [
         ("benchmark gram set broadcast (no corpus-side gram shuffle join)",
          r"BroadcastHashJoin|BroadcastExchange"),
