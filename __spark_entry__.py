@@ -978,6 +978,20 @@ def q_flow_direction(spark, sf_dir):
     return terrain.flow_direction(_synth_tiles(spark, n_tiles=6, size=33))
 
 
+def q_flow_accumulation(spark, sf_dir):
+    """Flow accumulation + watershed outlet (r7): upstream-area count
+    and terminal-cell label over the D8 drainage graph — an ITERATIVE
+    graph algorithm that stays tile-local (the D8 universe stops at
+    the tile border), so the whole propagation runs inside one narrow
+    Arrow pass in vectorized topological rounds; no driver-side
+    iteration, no Exchange. The DuckDB oracle is a WITH RECURSIVE
+    walk of the same drainage edges (re-deriving D8 from the
+    raster_cells golden first): acc = COUNT of sources whose path
+    passes through the cell, outlet = the walk row with no outgoing
+    edge — transitive closure vs Kahn rounds, fully independent."""
+    return terrain.flow_accumulation(_synth_tiles(spark, n_tiles=6, size=33))
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (r7): per-polygon aggregation of raster cell
     values — the canonical raster x vector op, composed engine-first:
@@ -1705,14 +1719,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything freshly checked rotates OUT and the window becomes
     # maximally stale-first: the 5 always-in core entries, the four r6
     # operators and hardened bm25/tfidf (second consecutive row), the
-    # nine r7-born operators (substring_dedup, span_clean, cdc_dedup,
-    # ann_codebook, terrain_slope, flow_direction, zonal_stats,
-    # decontam, repetition_stats — in-window from day one per the
-    # standing policy), the COMPLETE r5-stale block (contour family,
+    # ten r7-born operators (substring_dedup, span_clean, cdc_dedup,
+    # ann_codebook, terrain_slope, flow_direction, flow_accumulation,
+    # zonal_stats, decontam, repetition_stats — in-window from day one
+    # per the standing policy), the COMPLETE r5-stale block (contour family,
     # sinks, crop/decode, multimodal trio, decorations, cross-tile,
     # osm_xml, rasterize — 18 entries), and the r1-r4 relational tail,
     # whose driver rows are the oldest in the registry. After r7 no
-    # entry's last driver check predates r5 except the seven named
+    # entry's last driver check predates r5 except the eight named
     # just past the boundary. Everything past
     # the boundary stays value-checked every round by
     # tools/check_entry.py (the gate mirror) + tests/.
@@ -1736,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_codebook": q_ann_codebook,
         "terrain_slope": q_terrain_slope,
         "flow_direction": q_flow_direction,
+        "flow_accumulation": q_flow_accumulation,
         "zonal_stats": q_zonal_stats,
         "decontam": q_decontam,
         "repetition_stats": q_repetition_stats,
@@ -1776,14 +1791,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "continuous_rollup": q_continuous_rollup,
         "nation_intersect": q_nation_intersect,
-        "small_order_revenue": q_small_order_revenue,
         # ---- driver window boundary (entry 50 ends above) ----
         # time_functions, percentiles, cube_events, pivot_events,
-        # json_extract, rollup_events and orders_except (each 3-4x
-        # driver-green r1-r4, pure built-ins — the lowest-risk entries
-        # in the registry) yield their seats to the nine r7-born
-        # operators per the new-operators-in-window policy; they head
-        # the r8 rotation queue
+        # json_extract, rollup_events, orders_except and
+        # small_order_revenue (each 3-4x driver-green r1-r4, pure
+        # built-ins — the lowest-risk entries in the registry) yield
+        # their seats to the ten r7-born operators per the
+        # new-operators-in-window policy; they head the r8 rotation
+        # queue
+        "small_order_revenue": q_small_order_revenue,
         "rollup_events": q_rollup_events,
         "orders_except": q_orders_except,
         "cube_events": q_cube_events,
@@ -2332,6 +2348,108 @@ def oracle_sql() -> dict[str, str]:
                    AS drop2x
         FROM best b JOIN cell USING (image_id, x, y)
         WHERE b.rn = 1 AND cell.bad = 0 AND cell.nn = 8
+    """
+    # flow_accumulation (r7): D8 re-derived exactly as in the
+    # flow_direction oracle, then the drainage graph walked with a
+    # RECURSIVE CTE — acc(c) = number of valid cells whose forward
+    # path reaches c (self included; the graph is functional and
+    # strictly descending, so paths are simple chains and each
+    # (source, cell) pair appears exactly once), outlet(s) = the walk
+    # row whose current cell has no outgoing edge (pit/flat d8 = 0,
+    # or a D8 target outside the valid universe — border / NOVALUE
+    # halo). Transitive closure vs the engine's vectorized Kahn
+    # rounds: fully independent derivations of an iterative result.
+    golden["flow_accumulation"] = f"""
+        WITH RECURSIVE c AS (
+            SELECT image_id, x, y, value
+            FROM read_parquet('{golden_dir}/raster_cells.parquet')
+        ),
+        nb AS (
+            SELECT e.image_id, e.x, e.y,
+                   CASE WHEN o.x = e.x + 1 AND o.y = e.y     THEN 1
+                        WHEN o.x = e.x + 1 AND o.y = e.y + 1 THEN 2
+                        WHEN o.x = e.x     AND o.y = e.y + 1 THEN 4
+                        WHEN o.x = e.x - 1 AND o.y = e.y + 1 THEN 8
+                        WHEN o.x = e.x - 1 AND o.y = e.y     THEN 16
+                        WHEN o.x = e.x - 1 AND o.y = e.y - 1 THEN 32
+                        WHEN o.x = e.x     AND o.y = e.y - 1 THEN 64
+                        ELSE 128 END AS code,
+                   CAST(e.value AS BIGINT) - o.value AS drp,
+                   CASE WHEN o.x = e.x OR o.y = e.y THEN 2 ELSE 1 END AS mult,
+                   (o.value = -32768 OR e.value = -32768) AS badnb
+            FROM c e JOIN c o
+              ON o.image_id = e.image_id
+             AND o.x BETWEEN e.x - 1 AND e.x + 1
+             AND o.y BETWEEN e.y - 1 AND e.y + 1
+             AND NOT (o.x = e.x AND o.y = e.y)
+        ),
+        cellok AS (
+            SELECT image_id, x, y
+            FROM nb GROUP BY 1, 2, 3
+            HAVING max(CASE WHEN badnb THEN 1 ELSE 0 END) = 0
+               AND count(*) = 8
+        ),
+        univ AS (
+            SELECT b.image_id, b.x, b.y,
+                   CASE WHEN b.score > 0 THEN b.code ELSE 0 END AS d8
+            FROM (
+                SELECT image_id, x, y, code,
+                       CASE WHEN drp > 0 THEN mult * drp * drp
+                            ELSE 0 END AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY image_id, x, y
+                           ORDER BY CASE WHEN drp > 0
+                                         THEN mult * drp * drp
+                                         ELSE 0 END DESC,
+                                    code ASC) AS rn
+                FROM nb) b
+            JOIN cellok USING (image_id, x, y)
+            WHERE b.rn = 1
+        ),
+        edge AS (
+            SELECT u.image_id, u.x, u.y,
+                   u.x + CASE u.d8 WHEN 1 THEN 1 WHEN 2 THEN 1
+                                   WHEN 8 THEN -1 WHEN 16 THEN -1
+                                   WHEN 32 THEN -1 WHEN 128 THEN 1
+                                   ELSE 0 END AS tx,
+                   u.y + CASE u.d8 WHEN 2 THEN 1 WHEN 4 THEN 1
+                                   WHEN 8 THEN 1 WHEN 32 THEN -1
+                                   WHEN 64 THEN -1 WHEN 128 THEN -1
+                                   ELSE 0 END AS ty
+            FROM univ u
+            WHERE u.d8 > 0
+              AND EXISTS (SELECT 1 FROM univ t
+                          WHERE t.image_id = u.image_id
+                            AND t.x = u.x + CASE u.d8 WHEN 1 THEN 1
+                                    WHEN 2 THEN 1 WHEN 8 THEN -1
+                                    WHEN 16 THEN -1 WHEN 32 THEN -1
+                                    WHEN 128 THEN 1 ELSE 0 END
+                            AND t.y = u.y + CASE u.d8 WHEN 2 THEN 1
+                                    WHEN 4 THEN 1 WHEN 8 THEN 1
+                                    WHEN 32 THEN -1 WHEN 64 THEN -1
+                                    WHEN 128 THEN -1 ELSE 0 END)
+        ),
+        walk AS (
+            SELECT image_id, x AS sx, y AS sy, x AS cx, y AS cy FROM univ
+            UNION ALL
+            SELECT w.image_id, w.sx, w.sy, e.tx, e.ty
+            FROM walk w JOIN edge e
+              ON e.image_id = w.image_id AND e.x = w.cx AND e.y = w.cy
+        ),
+        acc AS (
+            SELECT image_id, cx AS x, cy AS y,
+                   CAST(count(*) AS BIGINT) AS acc
+            FROM walk GROUP BY 1, 2, 3
+        ),
+        term AS (
+            SELECT w.image_id, w.sx AS x, w.sy AS y,
+                   CAST(w.cx AS INT) AS outlet_x, CAST(w.cy AS INT) AS outlet_y
+            FROM walk w LEFT JOIN edge e
+              ON e.image_id = w.image_id AND e.x = w.cx AND e.y = w.cy
+            WHERE e.x IS NULL
+        )
+        SELECT a.image_id, a.x, a.y, a.acc, t.outlet_x, t.outlet_y
+        FROM acc a JOIN term t USING (image_id, x, y)
     """
     # zonal_stats (r7): cell lat/lon re-derived from the raster_cells
     # golden (tile SW corner parsed from image_id, w/h from max x/y,

@@ -152,6 +152,7 @@ def main():
         # r7: terrain derivatives (Horn + D8), zonal stats, text hygiene
         "terrain_slope",
         "flow_direction",
+        "flow_accumulation",
         "zonal_stats",
         "decontam",
         "repetition_stats",

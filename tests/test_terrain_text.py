@@ -345,3 +345,77 @@ def test_pip_join_shape_unchanged_after_refactor(spark):
     h = spatial.pip_hits(pts, polys)
     assert "payload" in h.columns and "xs" not in h.columns
     assert {(r.q_id, r.payload) for r in h.collect()} == {("a", 10), ("c", 30)}
+
+
+def _flowacc_scalar(grid):
+    """Brute-force twin: follow each valid cell's D8 path step by step
+    (no topological machinery) to count pass-throughs and find the
+    terminal cell."""
+    d8 = {(y, x): (c, s) for y, x, c, s in _d8_scalar(grid)}
+    delta = {c: (dx, dy) for c, dx, dy, _ in terrain.D8_NEIGHBORS}
+    acc = {k: 0 for k in d8}
+    outlet = {}
+    for start in d8:
+        cur = start
+        while True:
+            acc[cur] += 1
+            c, _ = d8[cur]
+            if c == 0:
+                break
+            dx, dy = delta[c]
+            nxt = (cur[0] + dy, cur[1] + dx)
+            if nxt not in d8:
+                break
+            cur = nxt
+        outlet[start] = cur
+    return sorted((y, x, acc[(y, x)], outlet[(y, x)][0], outlet[(y, x)][1])
+                  for (y, x) in d8)
+
+
+def test_flow_accumulate_grid_matches_bruteforce_twin():
+    rng = np.random.default_rng(5)
+    grid = rng.integers(0, 500, size=(14, 12)).astype(np.int16)
+    grid[7, 3] = NV
+    ys, xs, acc, oy, ox = terrain.flow_accumulate_grid(grid)
+    got = sorted(zip(ys.tolist(), xs.tolist(), acc.tolist(),
+                     oy.tolist(), ox.tolist()))
+    want = _flowacc_scalar(grid)
+    assert got == want and len(got) > 50
+    # conservation: total acc == total path length; every outlet is a
+    # terminal (its own outlet)
+    outs = {(y, x) for _, _, _, y, x in got}
+    rows = {(y, x): (a, (o_y, o_x)) for y, x, a, o_y, o_x in got}
+    for o in outs:
+        assert rows[o][1] == o
+
+
+def test_flow_accumulation_handcrafted():
+    # 5x5 monotone ramp falling to the east: every interior cell flows
+    # E (code 1); acc grows 1,2,3 along each row; outlet = easternmost
+    # interior cell of the row
+    g = np.array([[100 - 10 * x for x in range(5)]] * 5, dtype=np.int16)
+    ys, xs, acc, oy, ox = terrain.flow_accumulate_grid(g)
+    got = {(y, x): (a, o_y, o_x) for y, x, a, o_y, o_x
+           in zip(ys, xs, acc, oy, ox)}
+    for y in (1, 2, 3):
+        assert got[(y, 1)] == (1, y, 3)
+        assert got[(y, 2)] == (2, y, 3)
+        assert got[(y, 3)] == (3, y, 3)  # terminal: target leaves universe
+
+
+def test_flow_accumulation_spark_equals_twin_no_exchange(spark):
+    import __spark_entry__ as entry
+    from hgt2osm2_spark.kernels import codecs as k
+
+    tiles = entry._synth_tiles(spark, n_tiles=3, size=17)
+    df = terrain.flow_accumulation(tiles)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = sorted((r.image_id, r.y, r.x, r.acc, r.outlet_y, r.outlet_x)
+                 for r in df.collect())
+    want = []
+    for r in tiles.select("image_id", "bytes", "w", "h", "fmt").collect():
+        grid = k.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+        want += [(r.image_id, y, x, a, o_y, o_x)
+                 for y, x, a, o_y, o_x in _flowacc_scalar(grid)]
+    assert got == sorted(want) and len(got) > 100

@@ -83,6 +83,11 @@ AUDITED = {
          r"Exchange", "absent"),
         ("tile-local numpy comparisons via mapInPandas", r"MapInPandas"),
     ],
+    "flow_accumulation": [
+        ("iterative propagation stays tile-local (no Exchange, no driver loop)",
+         r"Exchange", "absent"),
+        ("vectorized Kahn rounds inside one mapInPandas", r"MapInPandas"),
+    ],
     "zonal_stats": [
         ("polygon cover cells broadcast (raster never shuffles into the join)",
          r"BroadcastHashJoin|BroadcastExchange"),
