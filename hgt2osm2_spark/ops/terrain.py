@@ -175,11 +175,16 @@ def d8_grid(grid: np.ndarray):
     for c, dx, dy, cardinal in D8_NEIGHBORS:
         nb = g[1 + dy : g.shape[0] - 1 + dy, 1 + dx : g.shape[1] - 1 + dx]
         bad |= nb == nv
-        drop = e - nb
-        score = np.where(drop > 0, (2 if cardinal else 1) * drop * drop, 0)
+        # score = k * max(drop, 0)^2 built in-place: clamping negatives
+        # to 0 BEFORE squaring zeroes non-descending neighbors for free
+        score = e - nb
+        np.maximum(score, 0, out=score)
+        score *= score
+        if cardinal:
+            score *= 2
         take = score > best  # strict: earlier (smaller) code wins ties
-        best = np.where(take, score, best)
-        code = np.where(take, c, code)
+        np.maximum(best, score, out=best)
+        code[take] = c
     h, w = grid.shape
     ys, xs = np.mgrid[1 : h - 1, 1 : w - 1]
     keep = (~bad).ravel()
