@@ -580,6 +580,33 @@ def q_decontam(spark, sf_dir):
     return text.decontaminate(train, bench, n=4, min_hits=1)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (r7): emails / IPv4 / phone runs masked with
+    exact counts — the C4/Dolma scrub stage. The synthetic corpus has
+    no PII, so the gate INJECTS it deterministically from doc_id with
+    engine-identical concat/lpad expressions (docs with doc_id % 5 == 0
+    stay untouched, exercising the zero path; % 3 picks which PII kinds
+    appear). Patterns live in the Java-regex/RE2 COMMON subset, so the
+    DuckDB oracle re-derives counts (regexp_extract_all lengths) and
+    the triple sequential replacement ('g' flag) bit-identically."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.concat(F.lit(" mail user"), did.cast("string"),
+                     F.lit("@example.com"))
+    ip = F.concat(F.lit(" ip 10.0."), (did % 256).cast("string"),
+                  F.lit(".7"))
+    phone = F.concat(F.lit(" tel +1 (555) 010-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0"))
+    injected = F.when(did % 5 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 != 1, email).otherwise(F.lit("")),
+            F.when(did % 3 != 2, ip).otherwise(F.lit("")),
+            phone,
+        ))
+    return text.pii_scrub(d.withColumn("text", injected))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style intra-doc repetition signals (r7): duplicate- and
     top-2-gram occurrence fractions per document — the quality filter
@@ -1719,14 +1746,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything freshly checked rotates OUT and the window becomes
     # maximally stale-first: the 5 always-in core entries, the four r6
     # operators and hardened bm25/tfidf (second consecutive row), the
-    # ten r7-born operators (substring_dedup, span_clean, cdc_dedup,
-    # ann_codebook, terrain_slope, flow_direction, flow_accumulation,
-    # zonal_stats, decontam, repetition_stats — in-window from day one
-    # per the standing policy), the COMPLETE r5-stale block (contour family,
+    # eleven r7-born operators (substring_dedup, span_clean,
+    # cdc_dedup, ann_codebook, terrain_slope, flow_direction,
+    # flow_accumulation, zonal_stats, decontam, repetition_stats,
+    # pii_scrub — in-window from day one per the standing policy), the COMPLETE r5-stale block (contour family,
     # sinks, crop/decode, multimodal trio, decorations, cross-tile,
     # osm_xml, rasterize — 18 entries), and the r1-r4 relational tail,
     # whose driver rows are the oldest in the registry. After r7 no
-    # entry's last driver check predates r5 except the eight named
+    # entry's last driver check predates r5 except the nine named
     # just past the boundary. Everything past
     # the boundary stays value-checked every round by
     # tools/check_entry.py (the gate mirror) + tests/.
@@ -1754,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "decontam": q_decontam,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         # r6-hardened fixed-point pair: second consecutive green row
         # (bm25 bench watch, VERDICT r6 'what's wrong' #1)
         "bm25": q_bm25,
@@ -1790,15 +1818,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stats": q_windowed_stats,
         "session_windows": q_session_windows,
         "continuous_rollup": q_continuous_rollup,
-        "nation_intersect": q_nation_intersect,
         # ---- driver window boundary (entry 50 ends above) ----
         # time_functions, percentiles, cube_events, pivot_events,
-        # json_extract, rollup_events, orders_except and
-        # small_order_revenue (each 3-4x driver-green r1-r4, pure
-        # built-ins — the lowest-risk entries in the registry) yield
-        # their seats to the ten r7-born operators per the
-        # new-operators-in-window policy; they head the r8 rotation
-        # queue
+        # json_extract, rollup_events, orders_except,
+        # small_order_revenue and nation_intersect (each 3-4x
+        # driver-green r1-r4, pure built-ins — the lowest-risk entries
+        # in the registry) yield their seats to the eleven r7-born
+        # operators per the new-operators-in-window policy; they head
+        # the r8 rotation queue
+        "nation_intersect": q_nation_intersect,
         "small_order_revenue": q_small_order_revenue,
         "rollup_events": q_rollup_events,
         "orders_except": q_orders_except,
@@ -2743,6 +2771,55 @@ def oracle_sql() -> dict[str, str]:
         # repetition_stats (r7): the two-level (doc, gram) -> doc
         # aggregation re-derived from scratch; fractions are single
         # IEEE divisions of exact BIGINT counts on both engines
+        # pii_scrub (r7): the same deterministic injection (concat /
+        # lpad of doc_id), then counts and the triple sequential
+        # masking re-derived with DuckDB's RE2 — the patterns live in
+        # the Java-regex/RE2 common subset so leftmost-greedy
+        # semantics coincide; 'g' makes regexp_replace global like
+        # Spark's
+        "pii_scrub": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text
+                          ELSE text
+                            || CASE WHEN doc_id % 3 <> 1
+                                    THEN ' mail user' || CAST(doc_id AS VARCHAR)
+                                         || '@example.com'
+                                    ELSE '' END
+                            || CASE WHEN doc_id % 3 <> 2
+                                    THEN ' ip 10.0.'
+                                         || CAST(doc_id % 256 AS VARCHAR)
+                                         || '.7'
+                                    ELSE '' END
+                            || ' tel +1 (555) 010-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+                     '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g')
+                     AS clean_text,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t,
+                     '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(t,
+                     '\b(\d{1,3}\.){3}\d{1,3}\b'))
+                    + len(regexp_extract_all(t,
+                     '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_pii
+            FROM injected
+        """,
         "repetition_stats": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -156,6 +156,7 @@ def main():
         "zonal_stats",
         "decontam",
         "repetition_stats",
+        "pii_scrub",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the

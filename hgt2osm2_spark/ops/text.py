@@ -440,6 +440,53 @@ def tfidf_cosine_pairs(df: DataFrame, min_sim: float = 0.2, min_df: int = 2,
     )
 
 
+#: PII patterns shared by the engine and the DuckDB oracle — written
+#: to the COMMON subset of Java regex and RE2 (ASCII classes, greedy
+#: quantifiers, \b word boundaries, no backrefs/lookaround), where the
+#: two engines' leftmost-greedy semantics coincide, so counts and
+#: replacements are bit-identical cross-engine.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction — the standard pre-training scrub stage (C4 /
+    Dolma pipelines): mask emails, IPv4 addresses, and phone-shaped
+    digit runs, and report exact per-doc counts. No reference analogue
+    (north-rule training-data op, §2.12 class).
+
+    Output: (doc_id, clean_text, n_emails, n_ipv4, n_phones, n_pii).
+    Counts are non-overlapping match counts over the ORIGINAL text;
+    masking is sequential (emails -> [EMAIL], then IPv4 -> [IP], then
+    phones -> [PHONE]) so an earlier mask can never create or destroy
+    a later pattern's digits mid-count.
+
+    Scale shape: one pure-JVM projection — regexp_count +
+    regexp_replace are codegen'd expressions; no shuffle, no Python,
+    no UDF. At 100 TB this is scan-bound, exactly where a per-row
+    rewrite should sit."""
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "[EMAIL]"),
+            PII_IPV4, "[IP]"),
+        PII_PHONE, "[PHONE]")
+    n_em = F.regexp_count(t, F.lit(PII_EMAIL))
+    n_ip = F.regexp_count(t, F.lit(PII_IPV4))
+    n_ph = F.regexp_count(t, F.lit(PII_PHONE))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("clean_text"),
+        n_em.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ipv4"),
+        n_ph.cast("long").alias("n_phones"),
+        (n_em + n_ip + n_ph).cast("long").alias("n_pii"),
+    )
+
+
 def ngram_hashes_expr(toks: Column, n: int) -> Column:
     """md5 hashes of the sliding word n-grams of a token array
     (space-joined; callers lowercase before tokenizing, matching the

@@ -419,3 +419,68 @@ def test_flow_accumulation_spark_equals_twin_no_exchange(spark):
         want += [(r.image_id, y, x, a, o_y, o_x)
                  for y, x, a, o_y, o_x in _flowacc_scalar(grid)]
     assert got == sorted(want) and len(got) > 100
+
+
+def test_pii_scrub_semantics(spark):
+    rows = [
+        (1, "write to alice.smith+x@sub.example.co today"),
+        (2, "server at 192.168.1.254 and 10.0.0.1 rebooted"),
+        (3, "call +1 (555) 010-1234 now"),
+        (4, "bob@x.io or 8.8.8.8 or +44 20 7946 0958"),
+        (5, "nothing sensitive here at all"),
+        (6, "not-an-ip 999.999 and short @ sign alone"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    assert out[1].n_emails == 1 and out[1].clean_text == "write to [EMAIL] today"
+    assert out[2].n_ipv4 == 2 and out[2].clean_text == \
+        "server at [IP] and [IP] rebooted"
+    assert out[3].n_phones == 1 and out[3].clean_text == "call [PHONE] now"
+    assert (out[4].n_emails, out[4].n_ipv4, out[4].n_phones) == (1, 1, 1)
+    assert out[4].n_pii == 3
+    assert out[4].clean_text == "[EMAIL] or [IP] or [PHONE]"
+    assert out[5].n_pii == 0 and out[5].clean_text == rows[4][1]
+    assert out[6].n_pii == 0
+
+
+def test_pii_scrub_plan_pure_jvm(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    plan = (text.pii_scrub(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pii_patterns_match_duckdb_re2(spark):
+    """The cross-engine contract itself: for a pile of adversarial
+    strings, Spark's Java regex and DuckDB's RE2 must produce the SAME
+    counts and replacements for all three patterns."""
+    import duckdb
+
+    cases = [
+        "a@b.co", "a@b.c", "x.y-z_9%+q@mail.sub-domain.org!",
+        "1.2.3.4", "01.002.3.255 end", "1.2.3.4.5", "256.1.1.1",
+        "+1 (555) 010-1234", "call 5550101234 now", "12-34",
+        "mix a@b.io 1.2.3.4 +1 (555) 010-9999 tail",
+        "@@ 1..2 +()",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(cases)), "text": cases}))
+    got = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        em, ip, ph = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(?, ?))",
+            [t, text.PII_EMAIL, t, text.PII_IPV4, t, text.PII_PHONE],
+        ).fetchone()
+        clean = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace("
+            "?, ?, '[EMAIL]', 'g'), ?, '[IP]', 'g'), ?, '[PHONE]', 'g')",
+            [t, text.PII_EMAIL, text.PII_IPV4, text.PII_PHONE],
+        ).fetchone()[0]
+        r = got[i]
+        assert (r.n_emails, r.n_ipv4, r.n_phones) == (em, ip, ph), (i, t)
+        assert r.clean_text == clean, (i, t, r.clean_text, clean)

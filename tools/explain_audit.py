@@ -105,6 +105,11 @@ AUDITED = {
          r"EvalPython", "absent"),
         ("never all-pairs", r"CartesianProduct", "absent"),
     ],
+    "pii_scrub": [
+        ("pure JVM projection (codegen'd regexps, no Python eval)",
+         r"EvalPython", "absent"),
+        ("no shuffle anywhere", r"Exchange", "absent"),
+    ],
     "repetition_stats": [
         ("two bounded-key hash aggregates with map-side partials",
          r"HashAggregate"),
