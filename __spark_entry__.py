@@ -1742,7 +1742,7 @@ def q_tile_pip_flagship(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver gate evaluates only the FIRST
     # 50 entries of this dict (VERDICT r2 finding #2). Round-7 rotation
-    # (VERDICT r6 "Next round" #4): 37 swaps — with 50/50 green in r6
+    # (VERDICT r6 "Next round" #4): 39 swaps — with 50/50 green in r6
     # everything freshly checked rotates OUT and the window becomes
     # maximally stale-first: the 5 always-in core entries, the four r6
     # operators and hardened bm25/tfidf (second consecutive row), the
