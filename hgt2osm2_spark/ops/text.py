@@ -468,7 +468,8 @@ def pii_scrub(
     regexp_replace are codegen'd expressions; no shuffle, no Python,
     no UDF. At 100 TB this is scan-bound, exactly where a per-row
     rewrite should sit."""
-    t = F.col(text_col)
+    # null text -> empty, so counts are 0 rather than null-poisoned
+    t = F.coalesce(F.col(text_col), F.lit(""))
     cleaned = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(t, PII_EMAIL, "[EMAIL]"),
