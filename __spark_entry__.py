@@ -1019,6 +1019,17 @@ def q_flow_accumulation(spark, sf_dir):
     return terrain.flow_accumulation(_synth_tiles(spark, n_tiles=6, size=33))
 
 
+def q_basin_stats(spark, sf_dir):
+    """Watershed statistics (r7): per-basin area + elevation
+    aggregates over the D8 outlet labeling — one kernel pass emits
+    (cell, z, outlet), one partial+final hash agg on the outlet key.
+    The DuckDB oracle re-derives the labeling with the SAME RECURSIVE
+    closure as flow_accumulation's oracle (terminal walk rows), joins
+    elevations from the raster_cells golden, and aggregates — closure
+    vs Kahn again, now through an aggregation tail."""
+    return terrain.basin_stats(_synth_tiles(spark, n_tiles=6, size=33))
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (r7): per-polygon aggregation of raster cell
     values — the canonical raster x vector op, composed engine-first:
@@ -1746,14 +1757,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything freshly checked rotates OUT and the window becomes
     # maximally stale-first: the 5 always-in core entries, the four r6
     # operators and hardened bm25/tfidf (second consecutive row), the
-    # eleven r7-born operators (substring_dedup, span_clean,
+    # twelve r7-born operators (substring_dedup, span_clean,
     # cdc_dedup, ann_codebook, terrain_slope, flow_direction,
-    # flow_accumulation, zonal_stats, decontam, repetition_stats,
-    # pii_scrub — in-window from day one per the standing policy), the COMPLETE r5-stale block (contour family,
+    # flow_accumulation, basin_stats, zonal_stats, decontam,
+    # repetition_stats, pii_scrub — in-window from day one per the
+    # standing policy), the COMPLETE r5-stale block (contour family,
     # sinks, crop/decode, multimodal trio, decorations, cross-tile,
     # osm_xml, rasterize — 18 entries), and the r1-r4 relational tail,
     # whose driver rows are the oldest in the registry. After r7 no
-    # entry's last driver check predates r5 except the nine named
+    # entry's last driver check predates r5 except the ten named
     # just past the boundary. Everything past
     # the boundary stays value-checked every round by
     # tools/check_entry.py (the gate mirror) + tests/.
@@ -1778,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_slope": q_terrain_slope,
         "flow_direction": q_flow_direction,
         "flow_accumulation": q_flow_accumulation,
+        "basin_stats": q_basin_stats,
         "zonal_stats": q_zonal_stats,
         "decontam": q_decontam,
         "repetition_stats": q_repetition_stats,
@@ -1817,8 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_functions": q_array_functions,
         "windowed_stats": q_windowed_stats,
         "session_windows": q_session_windows,
-        "continuous_rollup": q_continuous_rollup,
         # ---- driver window boundary (entry 50 ends above) ----
+        "continuous_rollup": q_continuous_rollup,
         # time_functions, percentiles, cube_events, pivot_events,
         # json_extract, rollup_events, orders_except,
         # small_order_revenue and nation_intersect (each 3-4x
@@ -2387,7 +2400,7 @@ def oracle_sql() -> dict[str, str]:
     # or a D8 target outside the valid universe — border / NOVALUE
     # halo). Transitive closure vs the engine's vectorized Kahn
     # rounds: fully independent derivations of an iterative result.
-    golden["flow_accumulation"] = f"""
+    _d8_walk_cte = f"""
         WITH RECURSIVE c AS (
             SELECT image_id, x, y, value
             FROM read_parquet('{golden_dir}/raster_cells.parquet')
@@ -2476,8 +2489,25 @@ def oracle_sql() -> dict[str, str]:
               ON e.image_id = w.image_id AND e.x = w.cx AND e.y = w.cy
             WHERE e.x IS NULL
         )
+    """
+    golden["flow_accumulation"] = _d8_walk_cte + """
         SELECT a.image_id, a.x, a.y, a.acc, t.outlet_x, t.outlet_y
         FROM acc a JOIN term t USING (image_id, x, y)
+    """
+    # basin_stats (r7): the same RECURSIVE outlet labeling, joined to
+    # the raster_cells golden for elevations and aggregated per basin
+    # — the oracle's closure-derived labels feed an aggregation tail
+    # the engine computes from its Kahn-derived labels; mean is one
+    # IEEE division of exact BIGINTs on both engines.
+    golden["basin_stats"] = _d8_walk_cte + """
+        SELECT t.image_id, t.outlet_x, t.outlet_y,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(min(c.value) AS BIGINT) AS min_z,
+               CAST(max(c.value) AS BIGINT) AS max_z,
+               CAST(sum(c.value) AS BIGINT) AS sum_z,
+               CAST(sum(c.value) AS BIGINT) / count(*) AS mean_z
+        FROM term t JOIN c USING (image_id, x, y)
+        GROUP BY t.image_id, t.outlet_x, t.outlet_y
     """
     # zonal_stats (r7): cell lat/lon re-derived from the raster_cells
     # golden (tile SW corner parsed from image_id, w/h from max x/y,

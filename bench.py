@@ -153,6 +153,7 @@ def main():
         "terrain_slope",
         "flow_direction",
         "flow_accumulation",
+        "basin_stats",
         "zonal_stats",
         "decontam",
         "repetition_stats",

@@ -312,6 +312,65 @@ def flow_accumulation(tiles: DataFrame) -> DataFrame:
     )
 
 
+BASIN_CELLS_SCHEMA = (
+    "image_id string, x int, y int, z int, outlet_x int, outlet_y int"
+)
+
+
+def basin_cells(tiles: DataFrame) -> DataFrame:
+    """Per-cell watershed labels + elevations in one narrow Arrow pass:
+    (cell, its elevation, the outlet cell it drains to). The upstream
+    half of basin_stats — kept separate so other consumers (stream
+    extraction, basin joins) can reuse the labeled frame."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for img, grid in codecs.iter_decoded_tiles(pdf):
+                ys, xs, _, oy, ox = flow_accumulate_grid(grid)
+                parts.append(pd.DataFrame({
+                    "image_id": img, "x": xs, "y": ys,
+                    "z": grid[ys, xs].astype(np.int32),
+                    "outlet_x": ox.astype(np.int32),
+                    "outlet_y": oy.astype(np.int32),
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "x": pd.Series([], dtype=np.int32),
+                "y": pd.Series([], dtype=np.int32),
+                "z": pd.Series([], dtype=np.int32),
+                "outlet_x": pd.Series([], dtype=np.int32),
+                "outlet_y": pd.Series([], dtype=np.int32),
+            })
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=BASIN_CELLS_SCHEMA
+    )
+
+
+def basin_stats(tiles: DataFrame) -> DataFrame:
+    """Watershed statistics — the GIS deliverable downstream of D8:
+    per-basin (outlet cell) area and elevation aggregates. Spark-first
+    tail: ONE partial+final hash aggregate keyed on the outlet label —
+    the only Exchange in the plan, carrying per-cell rows already
+    combined map-side. n_cells equals the flow accumulation at the
+    outlet by construction (pinned by test). min/max/sum exact int64;
+    mean is one IEEE division."""
+    from pyspark.sql import functions as F
+
+    cells = basin_cells(tiles)
+    return cells.groupBy("image_id", "outlet_x", "outlet_y").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.min("z").cast("long").alias("min_z"),
+        F.max("z").cast("long").alias("max_z"),
+        F.sum("z").cast("long").alias("sum_z"),
+        (F.sum("z").cast("long") / F.count("*").cast("long")).alias("mean_z"),
+    )
+
+
 D8_SCHEMA = "image_id string, x int, y int, d8 int, drop2x long"
 
 

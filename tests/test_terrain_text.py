@@ -484,3 +484,37 @@ def test_pii_patterns_match_duckdb_re2(spark):
         r = got[i]
         assert (r.n_emails, r.n_ipv4, r.n_phones) == (em, ip, ph), (i, t)
         assert r.clean_text == clean, (i, t, r.clean_text, clean)
+
+
+def test_basin_stats_consistency(spark):
+    """Cross-operator invariants: (a) each basin's n_cells equals the
+    flow accumulation at its outlet cell; (b) basins partition the D8
+    universe; (c) per-basin z aggregates match a pandas recomputation
+    from basin_cells."""
+    import __spark_entry__ as entry
+
+    tiles = entry._synth_tiles(spark, n_tiles=3, size=17)
+    basins = {(r.image_id, r.outlet_x, r.outlet_y): r
+              for r in terrain.basin_stats(tiles).collect()}
+    acc = {(r.image_id, r.x, r.y): r.acc
+           for r in terrain.flow_accumulation(tiles).collect()}
+    assert sum(r.n_cells for r in basins.values()) == len(acc)
+    for (img, ox, oy), r in basins.items():
+        assert acc[(img, ox, oy)] == r.n_cells, (img, ox, oy)
+    cells = terrain.basin_cells(tiles).toPandas()
+    g = cells.groupby(["image_id", "outlet_x", "outlet_y"])["z"]
+    for (img, ox, oy), zs in g:
+        r = basins[(img, ox, oy)]
+        assert (r.min_z, r.max_z, r.sum_z) == \
+            (zs.min(), zs.max(), zs.sum())
+        assert r.mean_z == int(zs.sum()) / len(zs)
+
+
+def test_basin_stats_plan_one_exchange(spark):
+    import __spark_entry__ as entry
+
+    df = terrain.basin_stats(entry._synth_tiles(spark, n_tiles=2, size=9))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one shuffle: the partial->final agg on the outlet key
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan

@@ -88,6 +88,12 @@ AUDITED = {
          r"Exchange", "absent"),
         ("vectorized Kahn rounds inside one mapInPandas", r"MapInPandas"),
     ],
+    "basin_stats": [
+        ("one Exchange only: the partial->final agg on the outlet key",
+         r"HashAggregate .*partial|partial_"),
+        ("labeling runs tile-local via mapInPandas", r"MapInPandas"),
+        ("never all-pairs", r"CartesianProduct", "absent"),
+    ],
     "zonal_stats": [
         ("polygon cover cells broadcast (raster never shuffles into the join)",
          r"BroadcastHashJoin|BroadcastExchange"),
