@@ -1019,6 +1019,58 @@ def q_flow_accumulation(spark, sf_dir):
     return terrain.flow_accumulation(_synth_tiles(spark, n_tiles=6, size=33))
 
 
+def q_stream_terrain(spark, sf_dir):
+    """Streaming terrain path (r7): the SAME 6 gate tiles arrive as a
+    file stream in three micro-batches and the Horn stencil runs
+    stateless under Structured Streaming with an exactly-once parquet
+    sink. The output must hash-equal the BATCH terrain_slope oracle —
+    streaming execution is an engine detail, never a semantic one
+    (the stream_image_stats / stream_contour_nodes contract, extended
+    to the raster-analysis family)."""
+    import os
+    import shutil
+    import tempfile
+
+    rows = (
+        _synth_tiles(spark, n_tiles=6, size=33)
+        .select("image_id", "bytes", "w", "h", "fmt")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="stream_terrain_")
+    src, out, ckpt = (os.path.join(root, p) for p in ("in", "out", "ckpt"))
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate(((0, 2), (2, 4), (4, 6))):
+        path = os.path.join(src, f"b{i}.parquet")
+        rows.iloc[lo:hi].to_parquet(path)
+        os.utime(path, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream
+        .schema("image_id string, bytes binary, w int, h int, fmt string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        terrain.terrain_cells(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_terrain: query did not drain in 300s")
+        res = spark.read.parquet(out)
+        return spark.createDataFrame(res.collect(), schema=res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_basin_stats(spark, sf_dir):
     """Watershed statistics (r7): per-basin area + elevation
     aggregates over the D8 outlet labeling — one kernel pass emits
@@ -1757,15 +1809,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything freshly checked rotates OUT and the window becomes
     # maximally stale-first: the 5 always-in core entries, the four r6
     # operators and hardened bm25/tfidf (second consecutive row), the
-    # twelve r7-born operators (substring_dedup, span_clean,
+    # thirteen r7-born operators (substring_dedup, span_clean,
     # cdc_dedup, ann_codebook, terrain_slope, flow_direction,
-    # flow_accumulation, basin_stats, zonal_stats, decontam,
-    # repetition_stats, pii_scrub — in-window from day one per the
-    # standing policy), the COMPLETE r5-stale block (contour family,
+    # flow_accumulation, basin_stats, stream_terrain, zonal_stats,
+    # decontam, repetition_stats, pii_scrub — in-window from day one
+    # per the standing policy), the COMPLETE r5-stale block (contour family,
     # sinks, crop/decode, multimodal trio, decorations, cross-tile,
     # osm_xml, rasterize — 18 entries), and the r1-r4 relational tail,
     # whose driver rows are the oldest in the registry. After r7 no
-    # entry's last driver check predates r5 except the ten named
+    # entry's last driver check predates r5 except the eleven named
     # just past the boundary. Everything past
     # the boundary stays value-checked every round by
     # tools/check_entry.py (the gate mirror) + tests/.
@@ -1791,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_direction": q_flow_direction,
         "flow_accumulation": q_flow_accumulation,
         "basin_stats": q_basin_stats,
+        "stream_terrain": q_stream_terrain,
         "zonal_stats": q_zonal_stats,
         "decontam": q_decontam,
         "repetition_stats": q_repetition_stats,
@@ -1829,16 +1882,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "array_functions": q_array_functions,
         "windowed_stats": q_windowed_stats,
-        "session_windows": q_session_windows,
         # ---- driver window boundary (entry 50 ends above) ----
+        "session_windows": q_session_windows,
         "continuous_rollup": q_continuous_rollup,
-        # time_functions, percentiles, cube_events, pivot_events,
-        # json_extract, rollup_events, orders_except,
-        # small_order_revenue and nation_intersect (each 3-4x
-        # driver-green r1-r4, pure built-ins — the lowest-risk entries
-        # in the registry) yield their seats to the eleven r7-born
-        # operators per the new-operators-in-window policy; they head
-        # the r8 rotation queue
+        # session_windows, continuous_rollup, time_functions,
+        # percentiles, cube_events, pivot_events, json_extract,
+        # rollup_events, orders_except, small_order_revenue and
+        # nation_intersect (each 3-4x driver-green r1-r4, pure
+        # built-ins — the lowest-risk entries in the registry) yield
+        # their seats to the thirteen r7-born operators per the
+        # new-operators-in-window policy; they head the r8 rotation
+        # queue
         "nation_intersect": q_nation_intersect,
         "small_order_revenue": q_small_order_revenue,
         "rollup_events": q_rollup_events,
@@ -2335,6 +2389,9 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 7 END AS INT) AS aspect_oct
         FROM n WHERE bad = 0
     """
+    # stream_terrain (r7): the streaming twin must hash-equal the
+    # BATCH terrain derivation — identical oracle by construction
+    golden["stream_terrain"] = golden["terrain_slope"]
     # flow_direction (r7): the D8 argmax RECOMPUTED from the
     # raster_cells golden — per-(cell, neighbor) scored rows + a
     # ROW_NUMBER argmax over (score DESC, code ASC), structurally
