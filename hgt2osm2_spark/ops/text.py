@@ -511,6 +511,7 @@ def decontaminate(
     min_hits: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination — the standard training-data hygiene
     op (Brown et al. 2020 app. C; Dodge et al. 2021): flag training
@@ -527,8 +528,12 @@ def decontaminate(
     explode takes a map-side hash-join with no shuffle of corpus
     n-grams; the only Exchange keys on doc_id over HIT rows only
     (bounded by benchmark overlap, not corpus size). The final
-    left-join back to per-doc totals broadcasts the hit aggregate the
-    same way."""
+    left-join back to per-doc totals broadcasts the hit aggregate by
+    default — correct for the common case (eval-set contamination is a
+    small fraction of any real corpus); pass broadcast_hits=False when
+    contamination is expected to be BROAD (e.g. deduping a corpus
+    against a huge sibling corpus) so the hit side takes a shuffle
+    join instead of a driver-sized broadcast."""
     toks_t = tokens_expr(F.lower(F.col(text_col)))
     grams = ngram_hashes_expr(toks_t, n)
     bench_grams = (
@@ -549,8 +554,10 @@ def decontaminate(
             F.count_distinct("gram_hash").alias("n_hit_grams"),
         )
     )
+    if broadcast_hits:
+        hits = F.broadcast(hits)
     return (
-        base.join(F.broadcast(hits), "doc_id", "left")
+        base.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_ngrams").cast("long").alias("n_ngrams"),
