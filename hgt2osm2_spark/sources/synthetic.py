@@ -445,3 +445,86 @@ def tiles_df(spark: SparkSession, n_tiles: int = 12, size: int = 65, seed: int =
             yield pd.DataFrame(rows)
 
     return spec.mapInPandas(gen, schema=TILES_SCHEMA)
+
+
+# ------------------------------------------------------------------ mosaic
+
+def mosaic_heightfield(nx: int, ny: int, size: int, seed: int = 7) -> np.ndarray:
+    """Seeded GLOBAL heightfield for an nx-by-ny tile mosaic
+    (shape (ny*(size-1)+1, nx*(size-1)+1)): Gaussian bumps spanning
+    tile borders + a mosaic-wide tilt (so drainage runs LONG paths
+    across seams) + NOVALUE patches deliberately straddling the seams
+    (so the cross-tile masking path is exercised). Deterministic in
+    (nx, ny, size, seed) only."""
+    gh, gw = ny * (size - 1) + 1, nx * (size - 1) + 1
+    rng = np.random.default_rng(np.uint64(seed * 7_000_003 + nx * 131 + ny))
+    yy, xx = np.mgrid[0:gh, 0:gw].astype(np.float64)
+    yy /= max(gh - 1, 1)
+    xx /= max(gw - 1, 1)
+    g = 900.0 * (xx + yy)  # tilt toward the NW corner: flow crosses seams
+    for _ in range(3 * nx * ny):
+        cx, cy = rng.random(2)
+        amp = rng.uniform(60, 400)
+        sig = rng.uniform(0.06, 0.25)
+        g += amp * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig * sig))
+    out = np.clip(np.rint(g), -32000, 32000).astype(np.int16)
+    # NOVALUE patches centered ON interior seams (plus one interior blob)
+    for sx in range(1, nx):
+        cx0 = sx * (size - 1)
+        cy0 = int(rng.integers(2, gh - 5))
+        out[cy0 : cy0 + 3, max(cx0 - 2, 0) : cx0 + 3] = codecs.NOVALUE
+    for sy in range(1, ny):
+        cy0 = sy * (size - 1)
+        cx0 = int(rng.integers(2, gw - 5))
+        out[max(cy0 - 2, 0) : cy0 + 3, cx0 : cx0 + 3] = codecs.NOVALUE
+    out[2:4, 2:4] = codecs.NOVALUE
+    return out
+
+
+MOSAIC_FMTS = ("hgt", "png")  # lossless only: seams must match bit-exactly
+
+
+def mosaic_tile_rows(
+    nx: int = 2, ny: int = 2, size: int = 33, seed: int = 7,
+    lat0: int = 47, lon0: int = 8, skip: tuple = (),
+) -> list:
+    """Slice the global heightfield into overlapping HGT-convention
+    tiles (adjacent tiles SHARE their border row/column). Tile (r, c)
+    is rows [r*(size-1), r*(size-1)+size), lat = lat0 + (ny-1-r)
+    (row 0 = north), lon = lon0 + c. ``skip`` drops (r, c) tiles for
+    L-shaped mosaics. Scalar twin — make_golden re-derives the global
+    cell table from these ENCODED rows, not from mosaic_heightfield."""
+    from ..ops.mosaic import tile_id
+
+    g = mosaic_heightfield(nx, ny, size, seed)
+    rows = []
+    for r in range(ny):
+        for c in range(nx):
+            if (r, c) in skip:
+                continue
+            tile = g[r * (size - 1) : r * (size - 1) + size,
+                     c * (size - 1) : c * (size - 1) + size]
+            lat, lon = lat0 + (ny - 1 - r), lon0 + c
+            image_id = tile_id(lat, lon, "0")
+            fmt = MOSAIC_FMTS[(r * nx + c) % len(MOSAIC_FMTS)]
+            rows.append({
+                "image_id": image_id,
+                "bytes": codecs.encode(tile, fmt),
+                "w": size,
+                "h": size,
+                "fmt": fmt,
+                "caption": f"mosaic tile {image_id} seed{seed}",
+                "phash": codecs.phash64(tile),
+            })
+    return rows
+
+
+def mosaic_tiles_df(
+    spark: SparkSession, nx: int = 2, ny: int = 2, size: int = 33,
+    seed: int = 7, lat0: int = 47, lon0: int = 8, skip: tuple = (),
+) -> DataFrame:
+    """Deterministic adjacent-tile mosaic table (input_hint schema) —
+    the gate input for the cross-tile drainage family."""
+    return spark.createDataFrame(
+        mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip), TILES_SCHEMA
+    )

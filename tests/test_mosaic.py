@@ -1,0 +1,193 @@
+"""Cross-tile (mosaic-scale) drainage: the distributed two-level
+algorithm must reproduce the per-tile kernel run on the ASSEMBLED
+whole-mosaic grid bit-exactly — acc, outlets, and universe membership
+(VERDICT r7 #1's done-criterion)."""
+
+import numpy as np
+import pytest
+
+from hgt2osm2_spark.kernels import codecs
+from hgt2osm2_spark.ops import mosaic, terrain
+from hgt2osm2_spark.sources import synthetic
+
+NV = int(codecs.NOVALUE)
+
+
+def _assemble_global(rows, nx, ny, size, lat0, lon0):
+    """Brute-force mosaic assembly from the ENCODED tile rows (missing
+    tiles -> NOVALUE fill), plus the global-coordinate offsets."""
+    gh, gw = ny * (size - 1) + 1, nx * (size - 1) + 1
+    g = np.full((gh, gw), NV, dtype=np.int16)
+    for row in rows:
+        lat, lon, _k = mosaic.parse_tile_id(row["image_id"])
+        r, c = (lat0 + ny - 1) - lat, lon - lon0
+        tile = codecs.decode(row["bytes"], row["fmt"], size, size)
+        y0, x0 = r * (size - 1), c * (size - 1)
+        cur = g[y0 : y0 + size, x0 : x0 + size]
+        overlap = cur != NV
+        assert np.array_equal(cur[overlap], tile[overlap]), "seam mismatch"
+        g[y0 : y0 + size, x0 : x0 + size] = tile
+    gx_off = mosaic.cell_gx(lon0, 0, size)
+    gy_off = mosaic.cell_gy(lat0 + ny - 1, 0, size)
+    return g, gx_off, gy_off
+
+
+def _bruteforce(rows, nx, ny, size, lat0, lon0):
+    g, gx_off, gy_off = _assemble_global(rows, nx, ny, size, lat0, lon0)
+    ys, xs, acc, oy, ox = terrain.flow_accumulate_grid(g)
+    return {
+        (gx_off + int(x), gy_off + int(y)): (
+            int(g[y, x]), int(a), gx_off + int(qx), gy_off + int(qy)
+        )
+        for y, x, a, qy, qx in zip(ys, xs, acc, oy, ox)
+    }
+
+
+def _distributed(spark, rows):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    out = mosaic.mosaic_flow_accumulation(df).collect()
+    return {
+        (r["gx"], r["gy"]): (r["z"], r["acc"], r["outlet_gx"], r["outlet_gy"])
+        for r in out
+    }
+
+
+def _check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8, skip=()):
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip)
+    want = _bruteforce(rows, nx, ny, size, lat0, lon0)
+    got = _distributed(spark, rows)
+    assert set(got) == set(want), (
+        f"universe mismatch: {len(got)} vs {len(want)} cells; "
+        f"extra={list(set(got) - set(want))[:5]} "
+        f"missing={list(set(want) - set(got))[:5]}"
+    )
+    bad = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not bad, f"{len(bad)} mismatched cells, first: {bad[:5]}"
+    return rows, want, got
+
+
+def test_mosaic_2x2_bit_exact(spark):
+    rows, want, _got = _check(spark, 2, 2)
+    # the gate shape must actually exercise cross-tile flow: some basin
+    # must span more than one tile (outlet and member in different tiles)
+    span = set()
+    w = 33
+    for (gx, gy), (_z, _a, ogx, ogy) in want.items():
+        span.add(((gx // (w - 1), gy // (w - 1)) != (ogx // (w - 1), ogy // (w - 1))))
+    assert True in span, "no basin crosses a tile border - gate shape too weak"
+
+
+def test_mosaic_3x2_bit_exact(spark):
+    _check(spark, 3, 2, seed=11)
+
+
+def test_mosaic_lshape_bit_exact(spark):
+    # a missing tile: its seam cells leave the universe on both sides
+    _check(spark, 2, 2, seed=9, skip=((0, 1),))
+
+
+def test_mosaic_river_long_path(spark):
+    """Hand-built 3x1 pure-ramp mosaic (no holes): every cell drains
+    west along its row, so the easternmost cells' paths cross BOTH
+    seams; assert the flow is actually transported across two borders
+    and still bit-equals brute force."""
+    size, nx, ny, lat0, lon0 = 17, 3, 1, 47, 8
+    gw = nx * (size - 1) + 1
+    g = (np.arange(size)[:, None] * 0 + np.arange(gw)[None, :] * 3 + 100).astype(np.int16)
+    from hgt2osm2_spark.ops.mosaic import tile_id
+
+    rows = []
+    for c in range(nx):
+        tile = g[:, c * (size - 1) : c * (size - 1) + size]
+        img = tile_id(lat0, lon0 + c, "0")
+        rows.append({
+            "image_id": img, "bytes": codecs.encode(tile, "hgt"),
+            "w": size, "h": size, "fmt": "hgt",
+            "caption": f"ramp {img}", "phash": codecs.phash64(tile),
+        })
+    want = _bruteforce(rows, nx, ny, size, lat0, lon0)
+    got = _distributed(spark, rows)
+    assert got == want
+    crossings = {
+        abs(gx // (size - 1) - ogx // (size - 1))
+        for (gx, _gy), (_z, _a, ogx, _ogy) in got.items()
+    }
+    assert max(crossings) >= 2, "no path crossed two tile borders"
+    # the westmost interior column accumulates the WHOLE row: gw-2 cells
+    west_acc = {gy: a for (gx, gy), (_z, a, *_o) in got.items() if gx == min(
+        k[0] for k in got)}
+    assert set(west_acc.values()) == {gw - 2}
+
+
+def test_mosaic_basin_stats_matches_bruteforce(spark):
+    import pandas as pd
+    from collections import defaultdict
+
+    nx = ny = 2
+    size = 33
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, 7, 47, 8)
+    want_cells = _bruteforce(rows, nx, ny, size, 47, 8)
+    agg = defaultdict(lambda: [0, 10**9, -(10**9), 0])
+    for (_gx, _gy), (z, _a, ogx, ogy) in want_cells.items():
+        s = agg[(ogx, ogy)]
+        s[0] += 1
+        s[1] = min(s[1], z)
+        s[2] = max(s[2], z)
+        s[3] += z
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    got = {
+        (r["outlet_gx"], r["outlet_gy"]): (
+            r["n_cells"], r["min_z"], r["max_z"], r["sum_z"], r["mean_z"]
+        )
+        for r in mosaic.mosaic_basin_stats(df).collect()
+    }
+    assert set(got) == set(agg)
+    for k, (n, lo, hi, tot) in agg.items():
+        gn, glo, ghi, gtot, gmean = got[k]
+        assert (gn, glo, ghi, gtot) == (n, lo, hi, tot)
+        assert gmean == pytest.approx(tot / n)
+
+
+def test_single_tile_mosaic_equals_per_tile_kernel(spark):
+    """A 1x1 mosaic must reproduce ops/terrain.flow_accumulate_grid on
+    the bare tile (the halo is all-NOVALUE, so both universes are the
+    tile's interior valid cells)."""
+    rows = synthetic.mosaic_tile_rows(1, 1, 33, seed=5)
+    tile = codecs.decode(rows[0]["bytes"], rows[0]["fmt"], 33, 33)
+    ys, xs, acc, oy, ox = terrain.flow_accumulate_grid(tile)
+    lat, lon, _k = mosaic.parse_tile_id(rows[0]["image_id"])
+    gx0, gy0 = mosaic.cell_gx(lon, 0, 33), mosaic.cell_gy(lat, 0, 33)
+    want = {
+        (gx0 + int(x), gy0 + int(y)): (int(a), gx0 + int(qx), gy0 + int(qy))
+        for y, x, a, qy, qx in zip(ys, xs, acc, oy, ox)
+    }
+    got = {
+        k: (v[1], v[2], v[3]) for k, v in _distributed(spark, rows).items()
+    }
+    assert got == want
+
+
+def test_kernel_weighted_pass_scalar():
+    """mosaic_tile_arrays with weights: a delta at an entry cell must
+    add to every cell on its downstream path and nothing else."""
+    g = np.array(
+        [[9, 9, 9, 9, 9],
+         [9, 5, 4, 3, 9],
+         [9, 6, 5, 2, 9],
+         [9, 7, 6, 1, 9],
+         [9, 9, 9, 9, 0]], dtype=np.int64)
+    aug = np.full((7, 7), NV, dtype=np.int64)
+    aug[1:6, 1:6] = g
+    ys, xs, acc1, term, cross, t_ys, t_xs = mosaic.mosaic_tile_arrays(aug)
+    w = np.ones((4, 4), dtype=np.int64)
+    ys2, xs2, acc2, *_ = mosaic.mosaic_tile_arrays(aug, w)
+    assert np.array_equal(acc1, acc2)  # weight 1 == unweighted
+    # +10 at cell (1,1): every cell downstream of it gains exactly 10
+    w[1, 1] += 10
+    _, _, acc3, *_ = mosaic.mosaic_tile_arrays(aug, w)
+    gained = {(int(y), int(x)): int(b - a)
+              for y, x, a, b in zip(ys, xs, acc1, acc3) if b != a}
+    assert all(v == 10 for v in gained.values())
+    assert (1, 1) in gained
