@@ -439,6 +439,46 @@ def g_raster_cells():
     ]))
 
 
+
+def g_mosaic_cells():
+    """Auxiliary data golden for the cross-tile drainage oracles: every
+    GLOBAL cell of the 2x2 gate mosaic as (gx, gy, value) rows, derived
+    by scalar decode of the ENCODED tile rows + seam-checked assembly
+    (gx = (lon+180)*(w-1)+x, gy = (89-lat)*(h-1)+y, row 0 = north) —
+    independent of the engine's halo/strip machinery. The whole-mosaic
+    D8 + RECURSIVE closure then runs in DuckDB from these cells."""
+    from hgt2osm2_spark.ops.mosaic import parse_tile_id
+
+    nx = ny = 2
+    size, lat0, lon0 = 33, 47, 8
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, 7, lat0, lon0)
+    nv = int(codecs.NOVALUE)
+    gh, gw = ny * (size - 1) + 1, nx * (size - 1) + 1
+    g = np.full((gh, gw), nv, dtype=np.int32)
+    seen = np.zeros((gh, gw), dtype=bool)
+    for row in rows:
+        lat, lon, _k = parse_tile_id(row["image_id"])
+        r, c = (lat0 + ny - 1) - lat, lon - lon0
+        tile = codecs.decode(row["bytes"], row["fmt"], size, size).astype(np.int32)
+        y0, x0 = r * (size - 1), c * (size - 1)
+        win = g[y0 : y0 + size, x0 : x0 + size]
+        olap = seen[y0 : y0 + size, x0 : x0 + size]
+        assert np.array_equal(win[olap], tile[olap]), "mosaic seam mismatch"
+        g[y0 : y0 + size, x0 : x0 + size] = tile
+        seen[y0 : y0 + size, x0 : x0 + size] = True
+    gys, gxs = np.mgrid[0:gh, 0:gw]
+    gx_off = (lon0 + 180) * (size - 1)
+    gy_off = (89 - (lat0 + ny - 1)) * (size - 1)
+    df = pd.DataFrame({
+        "gx": (gx_off + gxs.ravel()).astype(np.int64),
+        "gy": (gy_off + gys.ravel()).astype(np.int64),
+        "value": g.ravel(),
+    })
+    _write("mosaic_cells", df, pa.schema([
+        ("gx", pa.int64()), ("gy", pa.int64()), ("value", pa.int32()),
+    ]))
+
+
 def g_phash_near_dup():
     """Brute-force twin of ops/multimodal.phash_near_dup: all pairs,
     unsigned-xor popcount, id_a < id_b lexicographic (matching Spark's
@@ -1609,6 +1649,7 @@ GENERATORS = {
     "tile_pip_flagship": g_tile_pip_flagship,
     "decode_stats": g_decode_stats,
     "raster_cells": g_raster_cells,
+    "mosaic_cells": g_mosaic_cells,
     "phash_near_dup": g_phash_near_dup,
     "audio_features": g_audio_features,
     "video_features": g_video_features,
