@@ -1082,6 +1082,59 @@ def q_basin_stats(spark, sf_dir):
     return terrain.basin_stats(_synth_tiles(spark, n_tiles=6, size=33))
 
 
+def _tokenizer_model():
+    import os as _os
+
+    from hgt2osm2_spark.ops import tokenizer as _tk
+
+    return _tk.load_tokenizer(_os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "golden",
+        "tokenizer_model"))
+
+
+def q_subword_tokens(spark, sf_dir):
+    """Subword tokenization from the PERSISTED vocabulary artifact
+    (r8, VERDICT r7 #3 — the ann_model fit/transform pattern applied
+    to text): loads golden/tokenizer_model/ (parquet vocab trained by
+    deterministic BPE over the word-count table) and greedy
+    longest-match encodes the documents table in ONE Arrow pass — no
+    shuffle, no join, vocab rides the closure. The golden twin loads
+    the SAME artifact but matches with a TRIE walk (independent
+    mechanism, same greedy semantics); trainer parity Spark-fit vs
+    golden-fit is pinned in tests/test_tokenizer.py. token_ids project
+    through concat_ws (the driver canonicalizer's array hazard)."""
+    from hgt2osm2_spark.ops import tokenizer as tk
+
+    d = _t(spark, sf_dir, "documents")
+    st = tk.subword_tokens(d, _tokenizer_model())
+    return st.select(
+        "doc_id", "n_words", "n_pieces", "n_unk_words", "n_chars",
+        F.concat_ws(",", F.col("token_ids").cast("array<string>")).alias("ids_csv"),
+    )
+
+
+def q_subword_pack(spark, sf_dir):
+    """Sequence packing budgeted in REAL subword tokens (r8): the
+    token_count(tokenizer=) option feeds pack_sequences the persisted-
+    vocab piece counts instead of the whitespace proxy — the exact
+    chunk boundaries a pretraining loader would cut. The DuckDB oracle
+    re-derives the spans with a window cumsum over the INDEPENDENT
+    trie-twin counts (golden/subword_tokens.parquet) — twin-derived
+    counts + SQL window vs engine counts + two-pass distributed
+    cumsum."""
+    from hgt2osm2_spark.ops import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text.token_count(d, tokenizer=_tokenizer_model()).where(
+        F.col("n_subword_pieces") > 0
+    )
+    packed = sampling.pack_sequences(toks, "n_subword_pieces", seq_len=256)
+    return packed.select(
+        "doc_id", F.col("n_subword_pieces").alias("n_pieces"),
+        "tok_start", "tok_end", "seq_first", "seq_last",
+    )
+
+
 def q_mosaic_flow_acc(spark, sf_dir):
     """Cross-tile (mosaic-scale) flow accumulation (r8, VERDICT r7 #1):
     the r7 terrain family's one genuine scale boundary, closed. Per-tile
@@ -1878,6 +1931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 NEW operators — in-window from day one (standing policy)
         "mosaic_flow_acc": q_mosaic_flow_acc,
         "mosaic_basins": q_mosaic_basins,
+        "subword_tokens": q_subword_tokens,
+        "subword_pack": q_subword_pack,
         "stream_terrain": q_stream_terrain,
         "zonal_stats": q_zonal_stats,
         "decontam": q_decontam,
@@ -2029,7 +2084,7 @@ GOLDEN_ORACLES = [
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "ann_codebook", "phash_near_dup", "audio_features",
-    "image_stats", "tile_clip",
+    "image_stats", "tile_clip", "subword_tokens",
 ]
 
 
@@ -2600,6 +2655,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(c.value) AS BIGINT) / count(*) AS mean_z
         FROM term t JOIN c USING (image_id, x, y)
         GROUP BY t.image_id, t.outlet_x, t.outlet_y
+    """
+    golden["subword_pack"] = f"""
+        WITH nz AS (
+            SELECT doc_id, n_pieces
+            FROM read_parquet('{golden_dir}/subword_tokens.parquet')
+            WHERE n_pieces > 0
+        ), packed AS (
+            SELECT doc_id, n_pieces,
+                   CAST(COALESCE(SUM(n_pieces) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS tok_start
+            FROM nz
+        )
+        SELECT doc_id, n_pieces, tok_start,
+               tok_start + n_pieces AS tok_end,
+               tok_start // 256 AS seq_first,
+               (tok_start + n_pieces - 1) // 256 AS seq_last
+        FROM packed
     """
     # mosaic drainage (r8): the whole-mosaic truth RE-DERIVED FROM
     # SCRATCH in DuckDB — global D8 over the seam-checked mosaic_cells

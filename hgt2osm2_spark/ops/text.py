@@ -36,9 +36,25 @@ def tokens_expr(text: Column) -> Column:
     )
 
 
-def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+def token_count(df: DataFrame, text_col: str = "text", tokenizer=None) -> DataFrame:
     """Whitespace + BPE-ish subword counting (K-analogue for budget
-    estimation): words, and regex word-pieces of <=4 chars."""
+    estimation): words, and regex word-pieces of <=4 chars.
+
+    With ``tokenizer`` (an ops.tokenizer.TokenizerModel, VERDICT r7
+    #3), n_subword_pieces becomes the REAL subword budget from the
+    persisted vocabulary (greedy longest-match, one Arrow pass);
+    n_tokens stays the identical whitespace word count (the splitter
+    is shared), so existing consumers see the same column semantics."""
+    if tokenizer is not None:
+        from .tokenizer import subword_tokens
+
+        st = subword_tokens(df, tokenizer, text_col)
+        return st.select(
+            "doc_id",
+            F.col("n_words").alias("n_tokens"),
+            F.col("n_pieces").alias("n_subword_pieces"),
+            F.col("n_chars").alias("n_chars_measured"),
+        )
     toks = tokens_expr(F.col(text_col))
     # BPE-ish proxy: each whitespace token contributes ceil(len/4) pieces
     # (a \G chunking regex has Matcher-advance quirks that make it span

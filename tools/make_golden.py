@@ -479,6 +479,105 @@ def g_mosaic_cells():
     ]))
 
 
+
+TOKENIZER_PARAMS = dict(vocab_size=48, min_count=2, min_pair_count=2,
+                        max_words=100_000, max_word_len=32)
+
+
+def g_tokenizer_model():
+    """Persisted subword-vocabulary artifact (golden/tokenizer_model/):
+    word counts derived INDEPENDENTLY of Spark (pandas value_counts
+    over the sf0.01 documents parquet, using the shared scalar word
+    splitter), then the shared deterministic BPE core. The engine-side
+    fit (one Spark groupBy + bounded collect + the SAME core) is
+    asserted equal in tests/test_tokenizer.py — the ann_model trainer
+    contract."""
+    from hgt2osm2_spark.ops import tokenizer as tk
+
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    counts = {}
+    for text in docs["text"]:
+        for w in tk.split_words(text):
+            if 0 < len(w) <= TOKENIZER_PARAMS["max_word_len"]:
+                counts[w] = counts.get(w, 0) + 1
+    counts = {w: c for w, c in counts.items()
+              if c >= TOKENIZER_PARAMS["min_count"]}
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = dict(top[: TOKENIZER_PARAMS["max_words"]])
+    pieces = tk.bpe_merge_table(
+        top, TOKENIZER_PARAMS["vocab_size"],
+        TOKENIZER_PARAMS["min_pair_count"],
+        TOKENIZER_PARAMS["max_word_len"])
+    model = tk.TokenizerModel(tuple(pieces), dict(TOKENIZER_PARAMS))
+    tk.save_tokenizer(model, os.path.join(GOLDEN_DIR, "tokenizer_model"))
+    print(f"golden/tokenizer_model: {model.vocab_size} pieces (incl specials)")
+
+
+class _Trie:
+    """Longest-match trie — a STRUCTURALLY different matcher than the
+    engine's max-length dict probe (encode_word), for twin independence."""
+
+    __slots__ = ("kids", "tid")
+
+    def __init__(self):
+        self.kids = {}
+        self.tid = None
+
+    def insert(self, text, tid):
+        node = self
+        for ch in text:
+            node = node.kids.setdefault(ch, _Trie())
+        node.tid = tid
+
+    def longest(self, word, i):
+        node, best, j = self, None, i
+        k = i
+        while k < len(word) and word[k] in node.kids:
+            node = node.kids[word[k]]
+            k += 1
+            if node.tid is not None:
+                best, j = node.tid, k
+        return best, j
+
+
+def g_subword_tokens():
+    """Twin of ops/tokenizer.subword_tokens over the persisted
+    artifact: trie walk vs greedy dict probe (same greedy-longest-match
+    semantics, independent mechanism), whole-word [UNK] on any
+    unmatchable position."""
+    from hgt2osm2_spark.ops import tokenizer as tk
+
+    model = tk.load_tokenizer(os.path.join(GOLDEN_DIR, "tokenizer_model"))
+    init_t, cont_t = _Trie(), _Trie()
+    for i, (text, cont) in enumerate(model.pieces):
+        (cont_t if cont else init_t).insert(text, i + tk.N_SPECIALS)
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        text = text if isinstance(text, str) else ""
+        words = tk.split_words(text)
+        toks, unk = [], 0
+        for wd in words:
+            i, ids = 0, []
+            while i < len(wd):
+                tid, j = (cont_t if i else init_t).longest(wd, i)
+                if tid is None:
+                    ids, unk = [tk.UNK_ID], unk + 1
+                    break
+                ids.append(tid)
+                i = j
+            toks.extend(ids)
+        rows.append((int(doc_id), len(words), len(toks), unk, len(text),
+                     ",".join(str(t) for t in toks)))
+    df = pd.DataFrame(rows, columns=[
+        "doc_id", "n_words", "n_pieces", "n_unk_words", "n_chars", "ids_csv"])
+    _write("subword_tokens", df, pa.schema([
+        ("doc_id", pa.int64()), ("n_words", pa.int32()),
+        ("n_pieces", pa.int32()), ("n_unk_words", pa.int32()),
+        ("n_chars", pa.int32()), ("ids_csv", pa.string()),
+    ]))
+
+
 def g_phash_near_dup():
     """Brute-force twin of ops/multimodal.phash_near_dup: all pairs,
     unsigned-xor popcount, id_a < id_b lexicographic (matching Spark's
@@ -1650,6 +1749,8 @@ GENERATORS = {
     "decode_stats": g_decode_stats,
     "raster_cells": g_raster_cells,
     "mosaic_cells": g_mosaic_cells,
+    "tokenizer_model": g_tokenizer_model,
+    "subword_tokens": g_subword_tokens,
     "phash_near_dup": g_phash_near_dup,
     "audio_features": g_audio_features,
     "video_features": g_video_features,
