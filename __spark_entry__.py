@@ -1071,6 +1071,16 @@ def q_stream_terrain(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_hillshade(spark, sf_dir):
+    """Quantized hillshade as a first-class gated op (r8, VERDICT r7
+    #8): the classic Lambertian shaded relief over the 6 gate tiles in
+    ONE narrow Arrow pass (no Exchange — plan-pinned). Only the
+    QUANTIZED uint8 shade is hashed; the trig stays kernel-internal,
+    re-derived by the golden twin with math-module scalar loops (vs
+    the engine's vectorized numpy) — same libm, independent code."""
+    return terrain.hillshade_cells(_synth_tiles(spark, n_tiles=6, size=33))
+
+
 def q_basin_stats(spark, sf_dir):
     """Watershed statistics (r7): per-basin area + elevation
     aggregates over the D8 outlet labeling — one kernel pass emits
@@ -1531,14 +1541,24 @@ def q_cross_tile_stitch(spark, sf_dir):
 
 def q_point_store(spark, sf_dir):
     """K11 PointStore: dense negative first-wins pseudo-IDs for the
-    distinct derived points."""
+    distinct derived points — gated on the PER-TILE scale path (r8,
+    VERDICT r7 #6: the global variant's single-partition window tripped
+    Spark's WindowExec warning in the mirror; the reference's store is
+    per-tile anyway, ContourProcessor2.cs:2425-2494). The window
+    partitions on the tile key, so no task ever sees more than one
+    tile's points; the global variant stays available as
+    ids.point_store_ids for the decoration use-case and is pytest- and
+    mirror-covered."""
     from hgt2osm2_spark.ops import ids as ids_ops
 
-    pts = _li_points(spark, sf_dir)
-    out = ids_ops.point_store_ids(
-        pts.select(F.col("lat").alias("y"), F.col("lon").alias("x"), "p_id"), ord_col="p_id"
+    pts = _li_points(spark, sf_dir).withColumn(
+        "tile", F.concat(F.lit("t"), F.floor("lon").cast("int")))
+    out = ids_ops.point_store_ids_per_tile(
+        pts.select("tile", F.col("lat").alias("y"),
+                   F.col("lon").alias("x"), "p_id"),
+        tile_col="tile", ord_col="p_id",
     )
-    return out.select("p_id", "x", "y", "pseudo_id")
+    return out.select("p_id", "tile", "x", "y", "pseudo_id")
 
 
 def q_crop_stats(spark, sf_dir):
@@ -1933,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_basins": q_mosaic_basins,
         "subword_tokens": q_subword_tokens,
         "subword_pack": q_subword_pack,
+        "hillshade": q_hillshade,
         "stream_terrain": q_stream_terrain,
         "zonal_stats": q_zonal_stats,
         "decontam": q_decontam,
@@ -2084,7 +2105,7 @@ GOLDEN_ORACLES = [
     "show_points", "show_areas", "cross_tile_stitch",
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "ann_codebook", "phash_near_dup", "audio_features",
-    "image_stats", "tile_clip", "subword_tokens",
+    "image_stats", "tile_clip", "subword_tokens", "hillshade",
 ]
 
 
@@ -3520,16 +3541,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "point_store": f"""
             WITH p AS (
-                SELECT lon AS x, lat AS y, p_id FROM ({_LI_POINTS_SQL})
+                SELECT 't' || CAST(FLOOR(lon) AS INT) AS tile,
+                       lon AS x, lat AS y, p_id FROM ({_LI_POINTS_SQL})
             ), firsts AS (
-                SELECT x, y, MIN(p_id) AS f FROM p GROUP BY x, y
+                SELECT tile, x, y, MIN(p_id) AS f FROM p GROUP BY tile, x, y
             ), ids AS (
-                SELECT x, y,
-                       -CAST(ROW_NUMBER() OVER (ORDER BY f, x, y) AS BIGINT) AS pseudo_id
+                SELECT tile, x, y,
+                       -CAST(ROW_NUMBER() OVER (
+                           PARTITION BY tile ORDER BY f, x, y
+                       ) AS BIGINT) AS pseudo_id
                 FROM firsts
             )
-            SELECT p.p_id, p.x, p.y, ids.pseudo_id
-            FROM p JOIN ids ON p.x = ids.x AND p.y = ids.y
+            SELECT p.p_id, p.tile, p.x, p.y, ids.pseudo_id
+            FROM p JOIN ids
+              ON p.tile = ids.tile AND p.x = ids.x AND p.y = ids.y
         """,
         "salted_skew_agg": """
             SELECT CASE WHEN event_id % 2 = 0 THEN 'hot' ELSE event_type END AS skew_key,

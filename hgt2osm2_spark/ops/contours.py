@@ -381,6 +381,40 @@ _CHAINS_SCHEMA = T.StructType(
 )
 
 
+def _stitch_band(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    image_id, level, _band = key
+    # flat-array fast path (r7): a hot checkerboard band yields
+    # ~20k+ tiny chains per task, and the old per-chain
+    # canonicalize + dict + tolist tail cost 3x the C stitch
+    # itself. The group key pins the level, so every stitched
+    # chain is this level — no filter loop needed.
+    pdf = pdf.sort_values(["row_y", "seg_ord"])
+    seg = np.empty(len(pdf), dtype=marching.SEG_DTYPE)
+    seg["y"] = pdf["row_y"].to_numpy()
+    seg["level"] = pdf["level"].to_numpy()
+    for c in ("x1", "y1", "x2", "y2"):
+        seg[c] = pdf[c].to_numpy()
+    _lvls, offs, fx, fy = stitch.stitch_tile_arrays(seg)
+    ox, oy, oo, cl = _canonical_batch(fx, fy, offs)
+    nc = len(oo) - 1
+    if nc == 0:
+        # r8 (ADVICE r7 #2): np.split(ox, oo[1:-1]) on zero chains
+        # yields ONE empty array while every other column has
+        # length 0 — the constructor would raise on mismatched
+        # lengths instead of emitting an empty frame
+        return pd.DataFrame({
+            f.name: pd.Series([], dtype=object)
+            for f in _CHAINS_SCHEMA.fields
+        }, columns=[f.name for f in _CHAINS_SCHEMA.fields])
+    return pd.DataFrame({
+        "image_id": np.repeat(image_id, nc),
+        "level": np.full(nc, int(level), np.int32),
+        "xs": pd.Series(np.split(ox, oo[1:-1]), dtype=object),
+        "ys": pd.Series(np.split(oy, oo[1:-1]), dtype=object),
+        "closed": cl,
+    }, columns=[f.name for f in _CHAINS_SCHEMA.fields])
+
+
 def salted_stitch_polylines(
     segments: DataFrame,
     band_h: int,
@@ -410,30 +444,6 @@ def salted_stitch_polylines(
     if band_h <= 0:
         raise ValueError("band_h must be positive")
 
-    def stitch_band(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        image_id, level, _band = key
-        # flat-array fast path (r7): a hot checkerboard band yields
-        # ~20k+ tiny chains per task, and the old per-chain
-        # canonicalize + dict + tolist tail cost 3x the C stitch
-        # itself. The group key pins the level, so every stitched
-        # chain is this level — no filter loop needed.
-        pdf = pdf.sort_values(["row_y", "seg_ord"])
-        seg = np.empty(len(pdf), dtype=marching.SEG_DTYPE)
-        seg["y"] = pdf["row_y"].to_numpy()
-        seg["level"] = pdf["level"].to_numpy()
-        for c in ("x1", "y1", "x2", "y2"):
-            seg[c] = pdf[c].to_numpy()
-        _lvls, offs, fx, fy = stitch.stitch_tile_arrays(seg)
-        ox, oy, oo, cl = _canonical_batch(fx, fy, offs)
-        nc = len(oo) - 1
-        return pd.DataFrame({
-            "image_id": np.repeat(image_id, nc),
-            "level": np.full(nc, int(level), np.int32),
-            "xs": pd.Series(np.split(ox, oo[1:-1]), dtype=object),
-            "ys": pd.Series(np.split(oy, oo[1:-1]), dtype=object),
-            "closed": cl,
-        }, columns=[f.name for f in _CHAINS_SCHEMA.fields])
-
     seg = segments.withColumn(
         "band", (F.col("row_y") / F.lit(int(band_h))).cast("int")
     )
@@ -447,7 +457,7 @@ def salted_stitch_polylines(
     # released on the NEXT call (the text.py/knn pattern).
     _CACHES.release()
     chains = seg.groupBy("image_id", "level", "band").applyInPandas(
-        stitch_band, schema=_CHAINS_SCHEMA
+        _stitch_band, schema=_CHAINS_SCHEMA
     ).cache()
     _CACHES.hold(chains)
     closed_chains = chains.where(F.col("closed"))

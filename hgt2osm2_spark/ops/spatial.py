@@ -160,14 +160,34 @@ def pip_hits(
     """pip_join's engine, keeping EVERY point-side column on the hit
     rows (plus poly_id) — the reusable core for consumers that carry a
     payload through the containment test (zonal_stats carries the cell
-    value; pip_join projects down to the classic 4-column shape)."""
-    cover = polygon_cover_cells(polygons, res)
+    value; pip_join projects down to the classic 4-column shape).
+
+    r8 (ADVICE r7 #4): the join's internal columns use collision-safe
+    __pip_* names, so a point-side payload named cell/xs/ys passes
+    through untouched; only lat/lon (the probe coordinates, part of
+    the contract) and poly_id (the output label) are reserved — a
+    points frame already carrying poly_id or a __pip_* column raises
+    instead of silently corrupting output."""
+    reserved = {"poly_id"} | {c for c in points.columns
+                              if c.startswith("__pip_")}
+    clash = reserved & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"pip_hits: points frame carries reserved column(s) {sorted(clash)}"
+        )
+    cover = polygon_cover_cells(polygons, res).select(
+        F.col("cell").alias("__pip_cell"),
+        "poly_id",
+        F.col("xs").alias("__pip_xs"),
+        F.col("ys").alias("__pip_ys"),
+    )
     if broadcast_polygons:
         cover = F.broadcast(cover)
-    pts = points.withColumn("cell", cell_expr(F.col("lat"), F.col("lon"), res))
+    pts = points.withColumn(
+        "__pip_cell", cell_expr(F.col("lat"), F.col("lon"), res))
     if repartition:
-        pts = pts.repartition(repartition, "cell")
-    cand = pts.join(cover, "cell", "inner")
+        pts = pts.repartition(repartition, "__pip_cell")
+    cand = pts.join(cover, "__pip_cell", "inner")
 
     # exact even-odd ray cast as a PURE JVM expression (r5): same IEEE
     # arithmetic as the numpy twin (_ray_crossings, kept below as the
@@ -195,14 +215,14 @@ def pip_hits(
         hit = cand.filter(F.lit(False))
     elif max_n <= _PIP_UNROLL_MAX:
         px, py = F.col("lon"), F.col("lat")
-        n = F.size("xs")
+        n = F.size("__pip_xs")
         inside = None
         for i in range(max_n):
             j1 = (n - 1) + 1 if i == 0 else F.lit(i)  # 1-based index of j
-            xi = F.element_at(F.col("xs"), i + 1)
-            yi = F.element_at(F.col("ys"), i + 1)
-            xj = F.element_at(F.col("xs"), j1)
-            yj = F.element_at(F.col("ys"), j1)
+            xi = F.element_at(F.col("__pip_xs"), i + 1)
+            yi = F.element_at(F.col("__pip_ys"), i + 1)
+            xj = F.element_at(F.col("__pip_xs"), j1)
+            yj = F.element_at(F.col("__pip_ys"), j1)
             cross = F.when(
                 F.lit(i) < n,
                 ((yi > py) != (yj > py))
@@ -222,8 +242,10 @@ def pip_hits(
                 )[0]
             return pd.Series(out)
 
-        hit = cand.filter(exact_pip(F.col("lon"), F.col("lat"), F.col("xs"), F.col("ys")))
-    return hit.drop("cell", "xs", "ys")
+        hit = cand.filter(exact_pip(
+            F.col("lon"), F.col("lat"),
+            F.col("__pip_xs"), F.col("__pip_ys")))
+    return hit.drop("__pip_cell", "__pip_xs", "__pip_ys")
 
 
 # ------------------------------------------------------------- kNN join

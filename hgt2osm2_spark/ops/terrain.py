@@ -407,6 +407,53 @@ def flow_direction(tiles: DataFrame) -> DataFrame:
     )
 
 
+HILLSHADE_SCHEMA = "image_id string, x int, y int, shade int"
+
+
+def hillshade_cells(
+    tiles: DataFrame,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """PRODUCTION hillshade (r8, VERDICT r7 #8): tiles (input_hint
+    schema) -> per-valid-interior-cell QUANTIZED uint8 shade rows —
+    the same one-narrow-Arrow-pass shape as terrain_cells (no
+    Exchange; plan-pinned in tools/explain_audit.py). The gate hashes
+    only the quantized integer (0..255); the trig stays inside the
+    kernel, bit-pinned against the pure-Python scalar twin
+    (tests/test_terrain_text.py) and re-derived per-cell with
+    math-module trig by the golden twin (tools/make_golden.py)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for img, grid in codecs.iter_decoded_tiles(pdf):
+                ys, xs, _ndx, _ndy = horn_grid(grid)
+                shade = hillshade_grid(
+                    grid, azimuth_deg, altitude_deg, z_factor
+                )
+                parts.append(pd.DataFrame({
+                    "image_id": img,
+                    "x": xs,
+                    "y": ys,
+                    "shade": shade[ys - 1, xs - 1].astype(np.int32),
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "x": pd.Series([], dtype=np.int32),
+                "y": pd.Series([], dtype=np.int32),
+                "shade": pd.Series([], dtype=np.int32),
+            })
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=HILLSHADE_SCHEMA
+    )
+
+
 def hillshade_grid(
     grid: np.ndarray,
     azimuth_deg: float = 315.0,

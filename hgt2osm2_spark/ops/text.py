@@ -480,6 +480,18 @@ def pii_scrub(
     phones -> [PHONE]) so an earlier mask can never create or destroy
     a later pattern's digits mid-count.
 
+    Explicitly (r8, ADVICE r7 #3): the counts are PER-PATTERN DETECTION
+    counts, NOT redaction counts. A span matching two patterns (a
+    phone-shaped digit run inside an email local part) is counted by
+    BOTH detectors but masked once, by the earliest pass — so n_pii can
+    exceed the number of [..] masks in clean_text. Consumers needing a
+    redaction audit should count mask literals in clean_text; the
+    detection counts are the corpus-triage signal (how much PII-shaped
+    material a doc contains). This keeps every count a pure function of
+    the original text — cross-engine exact and order-independent —
+    where progressive-mask counting would couple each count to the
+    previous pattern's rewrite.
+
     Scale shape: one pure-JVM projection — regexp_count +
     regexp_replace are codegen'd expressions; no shuffle, no Python,
     no UDF. At 100 TB this is scan-bound, exactly where a per-row

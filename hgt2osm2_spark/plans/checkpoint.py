@@ -264,10 +264,27 @@ def run_checkpointed(
         segs = store.load_stage("segments", p)
         if auto_salt:
             counts = store.level_metrics()
-            source = "lineage" if counts is not None else "measured"
             if counts is not None:
-                counts = counts.join(
-                    F.broadcast(p.select("image_id").distinct()), "image_id")
+                # r8 (ADVICE r7 #1): metrics only exist for segments
+                # committed WITH auto_salt — a resume over segments an
+                # earlier non-auto_salt run committed would feed the
+                # planner an empty/partial histogram and a genuinely
+                # hot tile could silently get the plain single-task
+                # stitch while salt_plan claims a lineage-backed
+                # decision. Anti-join the pending tiles against the
+                # metrics coverage (both metadata-scale) and only call
+                # it 'lineage' when coverage is COMPLETE; otherwise
+                # fall back to measuring.
+                pend = p.select("image_id").distinct()
+                uncovered = pend.join(
+                    counts.select("image_id").distinct(), "image_id",
+                    "left_anti",
+                ).limit(1).count()
+                if uncovered:
+                    counts = None
+                else:
+                    counts = counts.join(F.broadcast(pend), "image_id")
+            source = "lineage" if counts is not None else "measured"
             polylines, n_salt = contours.auto_stitch_polylines(
                 segs, shuffle_partitions, counts=counts)
             salt_plan = {"n_salt": n_salt, "counts_source": source}

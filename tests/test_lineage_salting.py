@@ -87,3 +87,31 @@ def test_run2_salts_from_run1_metrics_srtm_grain(spark, tmp_path):
     got = _canon_set(store.load_stage("polylines").collect())
     want = _canon_set(plain.collect())
     assert got == want and len(got) > 50
+
+
+def test_resume_without_metrics_reports_measured(spark, tmp_path):
+    """ADVICE r7 #1 (adversarial): run 1 commits segments WITHOUT
+    auto_salt (so the level-metrics table never gets this commit's
+    rows); a resumed run WITH auto_salt must notice the pending tiles
+    are not covered by lineage metrics and fall back to counts=None —
+    reporting counts_source='measured', never a lineage claim computed
+    from an empty/partial histogram."""
+    root = str(tmp_path / "c")
+    tiles = synthetic.tiles_df(spark, n_tiles=3, size=33, partitions=2)
+    run_checkpointed(spark, tiles, root, stop_after="segments")
+    res = run_checkpointed(spark, tiles, root, stop_after="polylines",
+                           auto_salt=True)
+    assert res.salt_plan is not None
+    assert res.salt_plan["counts_source"] == "measured"
+    # partial coverage is treated the same as none: commit MORE tiles'
+    # segments under auto_salt, then resume over the union — the
+    # earlier tiles are still uncovered, so 'measured' again
+    more = synthetic.tiles_df(spark, n_tiles=5, size=33, partitions=2)
+    run_checkpointed(spark, more, root, stop_after="segments",
+                     auto_salt=True)
+    root2 = root  # same store: 3 old uncovered + 2 new covered tiles
+    res2 = run_checkpointed(spark, more, root2, stop_after="polylines",
+                            auto_salt=True)
+    # polylines for the first 3 tiles were already committed by res;
+    # pending set is the 2 new (covered) tiles -> lineage is honest
+    assert res2.salt_plan["counts_source"] == "lineage"

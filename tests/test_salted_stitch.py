@@ -197,3 +197,19 @@ def test_rank_poly_ord_distinct_keys_ok(spark):
     got = {(r["level"], r["poly_ord"]) for r in
            contours.rank_poly_ord(final).collect()}
     assert got == {(100, 0), (100, 1), (200, 0)}
+
+
+def test_stitch_band_zero_chains_empty_frame():
+    """ADVICE r7 #2: zero stitched chains (offs == [0]) must yield an
+    EMPTY _CHAINS_SCHEMA frame, not a mismatched-column-length crash
+    (np.split on an empty offset list returns one empty array)."""
+    import pandas as pd
+
+    from hgt2osm2_spark.ops.contours import _CHAINS_SCHEMA, _stitch_band
+
+    empty = pd.DataFrame({c: pd.Series([], dtype="float64")
+                          for c in ("row_y", "seg_ord", "level",
+                                    "x1", "y1", "x2", "y2")})
+    out = _stitch_band(("n40e000_0", 100, 0), empty)
+    assert len(out) == 0
+    assert list(out.columns) == [f.name for f in _CHAINS_SCHEMA.fields]

@@ -380,3 +380,27 @@ def test_pip_join_empty_polygons(spark):
     out = spatial.pip_join(pts, polys)
     assert out.count() == 0
     assert out.columns == ["q_id", "poly_id", "lat", "lon"]
+
+
+def test_pip_hits_payload_collision_safety(spark):
+    """ADVICE r7 #4: a point-side payload named cell/xs/ys must pass
+    through pip_hits untouched (collision-safe __pip_* internals), and
+    a points frame already carrying poly_id must raise."""
+    import pandas as pd
+
+    polys = polygons_df(spark, n_polys=6)
+    pts = query_points_df(spark, n_points=50)
+    # payload columns with the previously-reserved names
+    loaded = pts.withColumn("cell", F.lit("payload-cell")) \
+                .withColumn("xs", F.array(F.lit(1.0), F.lit(2.0))) \
+                .withColumn("ys", F.array(F.lit(3.0)))
+    hits = spatial.pip_hits(loaded, polys).collect()
+    base = {(r["q_id"], r["poly_id"])
+            for r in spatial.pip_hits(pts, polys).collect()}
+    assert {(r["q_id"], r["poly_id"]) for r in hits} == base
+    assert len(hits) > 0
+    for r in hits:
+        assert r["cell"] == "payload-cell"
+        assert list(r["xs"]) == [1.0, 2.0] and list(r["ys"]) == [3.0]
+    with pytest.raises(ValueError, match="reserved"):
+        spatial.pip_hits(pts.withColumn("poly_id", F.lit(1)), polys)

@@ -78,6 +78,11 @@ AUDITED = {
          r"Exchange", "absent"),
         ("tile-local numpy stencil via mapInPandas", r"MapInPandas"),
     ],
+    "hillshade": [
+        ("shaded relief renders in ONE narrow Arrow map (no shuffle at all)",
+         r"Exchange", "absent"),
+        ("tile-local numpy trig via mapInPandas", r"MapInPandas"),
+    ],
     "flow_direction": [
         ("D8 argmax runs in ONE narrow Arrow map (no shuffle at all)",
          r"Exchange", "absent"),

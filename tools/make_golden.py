@@ -578,6 +578,46 @@ def g_subword_tokens():
     ]))
 
 
+
+def g_hillshade():
+    """Twin of ops/terrain.hillshade_cells over the 6 gate tiles:
+    per-cell scalar loop with MATH-MODULE trig (atan/hypot/atan2/cos)
+    vs the engine's vectorized numpy kernel — the quantized uint8
+    output must agree exactly (pinned since r7 for the kernel; this
+    golden extends the pin to the gated DataFrame surface)."""
+    import math
+
+    rows = []
+    zen = math.radians(90.0 - 45.0)
+    az = math.radians(360.0 - 315.0 + 90.0)
+    for idx in range(6):
+        row, grid = scalar_tile_grid(idx, 33)
+        h, w = grid.shape
+        nv = int(codecs.NOVALUE)
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                nb = [int(grid[y + dy, x + dx])
+                      for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+                if nv in nb:
+                    continue
+                a, b, c, d, _e, f, g, hh, i = nb
+                ndx = (c + 2 * f + i) - (a + 2 * d + g)
+                ndy = (g + 2 * hh + i) - (a + 2 * b + c)
+                dzdx, dzdy = ndx / 8.0, ndy / 8.0
+                slope = math.atan(math.hypot(dzdx, dzdy))
+                aspect = math.atan2(-dzdy, dzdx)
+                shade = (math.cos(zen) * math.cos(slope)
+                         + math.sin(zen) * math.sin(slope)
+                         * math.cos(az - aspect))
+                q = int(np.rint(255.0 * min(max(shade, 0.0), 1.0)))
+                rows.append((row["image_id"], x, y, q))
+    df = pd.DataFrame(rows, columns=["image_id", "x", "y", "shade"])
+    _write("hillshade", df, pa.schema([
+        ("image_id", pa.string()), ("x", pa.int32()), ("y", pa.int32()),
+        ("shade", pa.int32()),
+    ]))
+
+
 def g_phash_near_dup():
     """Brute-force twin of ops/multimodal.phash_near_dup: all pairs,
     unsigned-xor popcount, id_a < id_b lexicographic (matching Spark's
@@ -1751,6 +1791,7 @@ GENERATORS = {
     "mosaic_cells": g_mosaic_cells,
     "tokenizer_model": g_tokenizer_model,
     "subword_tokens": g_subword_tokens,
+    "hillshade": g_hillshade,
     "phash_near_dup": g_phash_near_dup,
     "audio_features": g_audio_features,
     "video_features": g_video_features,
