@@ -1,0 +1,273 @@
+"""Optional C fast path for the drainage stack (VERDICT r7 #7): D8
+flow direction + flow accumulation + outlet labeling, the slowest
+per-tile kernels in the tree at SRTM-1 grain (BENCH/TERRAIN.md: the
+numpy worklist-Kahn pair is ~4.5 s/3601^2 tile).
+
+Same twin-and-golden contract as marching/stitch/postprocess
+(kernels/stitch_cext.py module doc): lazy content-hashed gcc build,
+pure-Python/numpy path stays the ORACLE and the fallback, tests assert
+bit-equality on random heightfields with NOVALUE holes, make_golden
+pins HGT2OSM2_NO_CKERNEL so every golden derives from the Python path.
+Everything here is INTEGER arithmetic (the r7 integer-exact gate
+discipline), so bit-equality needs no FP flags at all — but the build
+keeps the shared -ffp-contract=off contract anyway.
+
+Semantics mirrored exactly from ops/terrain.py:
+ - d8: steepest descent ranked by drop2x = k*max(drop,0)^2 (k=2
+   cardinal, 1 diagonal), STRICT > so the first (smallest) ESRI code
+   wins ties; any NOVALUE in the 3x3 (center included) suppresses the
+   cell; pits/flats emit code 0.
+ - accumulation: weight-1 sums over the functional descent graph
+   (integer addition is order-free, so the C FIFO worklist and the
+   numpy round-based Kahn agree bit-for-bit).
+ - outlet: the terminal cell of each drainage path (a cell's target
+   retires after it, so one reverse sweep of the retirement order
+   resolves every label).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from . import cext
+
+_C_SOURCE = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define NOVALUE (-32768)
+
+/* ESRI D8 order (E, SE, S, SW, W, NW, N, NE), +y south — must match
+   ops/terrain.py D8_NEIGHBORS exactly (code, dx, dy, cardinal) */
+static const int32_t CODES[8] = {1, 2, 4, 8, 16, 32, 64, 128};
+static const int32_t DX[8]    = {1, 1, 0, -1, -1, -1, 0, 1};
+static const int32_t DY[8]    = {0, 1, 1,  1,  0, -1, -1, -1};
+static const int32_t CARD[8]  = {1, 0, 1,  0,  1,  0, 1, 0};
+
+/* Fill interior planes ((h-2) x (w-2), row-major): d8 code, drop2x,
+   valid flag, and the neighbor slot index (or -1).  Returns the number
+   of valid cells. */
+static int64_t d8_planes(const int16_t* g, int64_t h, int64_t w,
+                         int32_t* d8, int64_t* drop2x, int8_t* kidx,
+                         uint8_t* valid)
+{
+    int64_t iw = w - 2, n_valid = 0;
+    for (int64_t y = 1; y < h - 1; y++) {
+        for (int64_t x = 1; x < w - 1; x++) {
+            int64_t o = (y - 1) * iw + (x - 1);
+            int16_t e = g[y * w + x];
+            int bad = (e == NOVALUE);
+            int64_t best = 0;
+            int32_t code = 0;
+            int8_t bk = -1;
+            for (int k = 0; k < 8 && !bad; k++) {
+                int16_t nb = g[(y + DY[k]) * w + (x + DX[k])];
+                if (nb == NOVALUE) { bad = 1; break; }
+                int64_t drop = (int64_t)e - (int64_t)nb;
+                if (drop <= 0) continue;
+                int64_t s = drop * drop;
+                if (CARD[k]) s *= 2;
+                if (s > best) { best = s; code = CODES[k]; bk = (int8_t)k; }
+            }
+            if (bad) {
+                valid[o] = 0; d8[o] = 0; drop2x[o] = 0; kidx[o] = -1;
+            } else {
+                valid[o] = 1; d8[o] = code; drop2x[o] = best; kidx[o] = bk;
+                n_valid++;
+            }
+        }
+    }
+    return n_valid;
+}
+
+/* d8 export: compact (ys, xs, d8, drop2x) over valid cells, row-major
+   order (the numpy keep order). Returns n or -1. */
+int64_t d8_grid_c(const int16_t* g, int64_t h, int64_t w,
+                  int32_t* ys, int32_t* xs, int32_t* d8o, int64_t* dr)
+{
+    if (h < 3 || w < 3) return 0;
+    int64_t iw = w - 2, ih = h - 2, np_ = iw * ih;
+    int32_t* d8 = (int32_t*)malloc(np_ * sizeof(int32_t));
+    int64_t* dp = (int64_t*)malloc(np_ * sizeof(int64_t));
+    int8_t*  kx = (int8_t*)malloc(np_);
+    uint8_t* va = (uint8_t*)malloc(np_);
+    if (!d8 || !dp || !kx || !va) { free(d8); free(dp); free(kx); free(va); return -1; }
+    d8_planes(g, h, w, d8, dp, kx, va);
+    int64_t n = 0;
+    for (int64_t o = 0; o < np_; o++) {
+        if (!va[o]) continue;
+        ys[n] = (int32_t)(o / iw + 1);
+        xs[n] = (int32_t)(o % iw + 1);
+        d8o[n] = d8[o];
+        dr[n] = dp[o];
+        n++;
+    }
+    free(d8); free(dp); free(kx); free(va);
+    return n;
+}
+
+/* Full drainage pass: compact (ys, xs, acc, oy, ox) over valid cells.
+   Returns n, or -1 on alloc failure, -2 on a cycle (impossible for
+   strict descent — defensive). */
+int64_t flow_accumulate_c(const int16_t* g, int64_t h, int64_t w,
+                          int32_t* ys, int32_t* xs, int64_t* acc,
+                          int32_t* oy, int32_t* ox)
+{
+    if (h < 3 || w < 3) return 0;
+    int64_t iw = w - 2, ih = h - 2, np_ = iw * ih;
+    int32_t* d8 = (int32_t*)malloc(np_ * sizeof(int32_t));
+    int64_t* dp = (int64_t*)malloc(np_ * sizeof(int64_t));
+    int8_t*  kx = (int8_t*)malloc(np_);
+    uint8_t* va = (uint8_t*)malloc(np_);
+    int64_t* lut = (int64_t*)malloc(np_ * sizeof(int64_t));
+    if (!d8 || !dp || !kx || !va || !lut) {
+        free(d8); free(dp); free(kx); free(va); free(lut); return -1;
+    }
+    d8_planes(g, h, w, d8, dp, kx, va);
+    int64_t n = 0;
+    for (int64_t o = 0; o < np_; o++) {
+        if (va[o]) { lut[o] = n; ys[n] = (int32_t)(o / iw + 1);
+                     xs[n] = (int32_t)(o % iw + 1); n++; }
+        else lut[o] = -1;
+    }
+    int64_t* t = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t* indeg = (int64_t*)calloc(n, sizeof(int64_t));
+    int64_t* queue = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t* outl = (int64_t*)malloc(n * sizeof(int64_t));
+    if (!t || !indeg || !queue || !outl) {
+        free(d8); free(dp); free(kx); free(va); free(lut);
+        free(t); free(indeg); free(queue); free(outl); return -1;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        int64_t o = (int64_t)(ys[i] - 1) * iw + (xs[i] - 1);
+        int8_t k = kx[o];
+        int64_t ti = -1;
+        if (k >= 0) {
+            int64_t tx = xs[i] + DX[k], ty = ys[i] + DY[k];
+            if (tx >= 1 && tx <= iw && ty >= 1 && ty <= ih) {
+                ti = lut[(ty - 1) * iw + (tx - 1)];
+            }
+        }
+        t[i] = ti;
+        acc[i] = 1;
+        if (ti >= 0) indeg[ti]++;
+    }
+    /* FIFO worklist Kahn: integer sums are order-free, so any valid
+       topological order matches the numpy round-based result */
+    int64_t head = 0, tail = 0;
+    for (int64_t i = 0; i < n; i++) if (indeg[i] == 0) queue[tail++] = i;
+    while (head < tail) {
+        int64_t c = queue[head++];
+        int64_t ti = t[c];
+        if (ti >= 0) {
+            acc[ti] += acc[c];
+            if (--indeg[ti] == 0) queue[tail++] = ti;
+        }
+    }
+    int rc = (tail == n) ? 0 : -2;
+    if (rc == 0) {
+        for (int64_t i = 0; i < n; i++) outl[i] = i;
+        for (int64_t q = n - 1; q >= 0; q--) {
+            int64_t c = queue[q];
+            if (t[c] >= 0) outl[c] = outl[t[c]];
+        }
+        for (int64_t i = 0; i < n; i++) {
+            oy[i] = ys[outl[i]];
+            ox[i] = xs[outl[i]];
+        }
+    }
+    free(d8); free(dp); free(kx); free(va); free(lut);
+    free(t); free(indeg); free(queue); free(outl);
+    return rc == 0 ? n : rc;
+}
+"""
+
+_lib = None
+_tried = False
+
+
+def available() -> bool:
+    global _lib, _tried
+    if _tried:
+        return _lib is not None
+    _tried = True
+    if cext.disabled():
+        return False
+    try:
+        lib = cext.build_lib("terrain", _C_SOURCE)
+        lib.d8_grid_c.restype = ctypes.c_int64
+        lib.flow_accumulate_c.restype = ctypes.c_int64
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib is not None
+
+
+def _as_i16(grid: np.ndarray) -> np.ndarray | None:
+    """int16 view of the grid or None when values would not round-trip
+    (the mosaic path hands int64 aug grids; elevations are int16-ranged
+    by the HGT contract, but fall back rather than truncate)."""
+    if grid.dtype == np.int16:
+        return np.ascontiguousarray(grid)
+    if not np.issubdtype(grid.dtype, np.integer):
+        return None
+    if grid.size and (grid.min() < -32768 or grid.max() > 32767):
+        return None
+    return np.ascontiguousarray(grid.astype(np.int16))
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def d8(grid: np.ndarray):
+    """C twin of terrain.d8_grid -> (ys, xs, d8, drop2x) or None."""
+    if not available():
+        return None
+    g = _as_i16(grid)
+    if g is None:
+        return None
+    h, w = g.shape
+    cap = max((h - 2) * (w - 2), 0)
+    if cap == 0:
+        return (np.empty(0, np.int32), np.empty(0, np.int32),
+                np.empty(0, np.int32), np.empty(0, np.int64))
+    ys = np.empty(cap, np.int32)
+    xs = np.empty(cap, np.int32)
+    d8o = np.empty(cap, np.int32)
+    dr = np.empty(cap, np.int64)
+    n = _lib.d8_grid_c(_ptr(g), ctypes.c_int64(h), ctypes.c_int64(w),
+                       _ptr(ys), _ptr(xs), _ptr(d8o), _ptr(dr))
+    if n < 0:
+        return None
+    return ys[:n].copy(), xs[:n].copy(), d8o[:n].copy(), dr[:n].copy()
+
+
+def flow_accumulate(grid: np.ndarray):
+    """C twin of terrain.flow_accumulate_grid ->
+    (ys, xs, acc, outlet_y, outlet_x) or None."""
+    if not available():
+        return None
+    g = _as_i16(grid)
+    if g is None:
+        return None
+    h, w = g.shape
+    cap = max((h - 2) * (w - 2), 0)
+    if cap == 0:
+        z32, z64 = np.empty(0, np.int32), np.empty(0, np.int64)
+        return z32, z32.copy(), z64, z32.copy(), z32.copy()
+    ys = np.empty(cap, np.int32)
+    xs = np.empty(cap, np.int32)
+    acc = np.empty(cap, np.int64)
+    oy = np.empty(cap, np.int32)
+    ox = np.empty(cap, np.int32)
+    n = _lib.flow_accumulate_c(_ptr(g), ctypes.c_int64(h), ctypes.c_int64(w),
+                               _ptr(ys), _ptr(xs), _ptr(acc),
+                               _ptr(oy), _ptr(ox))
+    if n < 0:
+        return None
+    return (ys[:n].copy(), xs[:n].copy(), acc[:n].copy(),
+            oy[:n].copy(), ox[:n].copy())

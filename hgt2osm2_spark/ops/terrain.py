@@ -154,8 +154,12 @@ D8_NEIGHBORS = (
 
 
 def d8_grid(grid: np.ndarray):
-    """Numpy D8 twin: (h, w) int grid -> flat arrays (ys, xs, d8,
-    drop2x) over interior cells with a fully-valid 3x3 neighborhood.
+    """(h, w) int grid -> flat arrays (ys, xs, d8, drop2x) over
+    interior cells with a fully-valid 3x3 neighborhood. Dispatches to
+    the C fast path (kernels/terrain_cext.py, r8) when available; the
+    numpy body below stays the ORACLE and the fallback (bit-equality
+    pinned in tests/test_terrain_cext.py — all-integer arithmetic, so
+    any valid evaluation order agrees exactly).
 
     D8 picks the neighbor of steepest descent, comparing drop/distance
     across cardinal (dist 1) and diagonal (dist sqrt(2)) neighbors.
@@ -166,6 +170,11 @@ def d8_grid(grid: np.ndarray):
     no int64 risk. Pits/flats (no strictly lower neighbor) emit
     d8 = 0, drop2x = 0. NOVALUE anywhere in the 3x3 suppresses the
     cell, matching horn_grid."""
+    from ..kernels import terrain_cext
+
+    res = terrain_cext.d8(grid)
+    if res is not None:
+        return res
     nv = int(codecs.NOVALUE)
     g = grid.astype(np.int64)
     e = g[1:-1, 1:-1]
@@ -214,7 +223,16 @@ def flow_accumulate_grid(grid: np.ndarray):
     not the cell count. Outlets resolve in one reverse sweep of the
     same rounds (a cell's target always retires in a LATER round, so
     in reverse order outlet[target] is final before outlet[source]
-    copies it)."""
+    copies it).
+
+    Dispatches to the C fast path (kernels/terrain_cext.py, r8: the
+    whole d8 + FIFO-worklist Kahn + reverse outlet sweep in one C
+    call); this numpy body stays the ORACLE and the fallback."""
+    from ..kernels import terrain_cext
+
+    res = terrain_cext.flow_accumulate(grid)
+    if res is not None:
+        return res
     ys, xs, d8, _ = d8_grid(grid)
     n = len(ys)
     h, w = grid.shape

@@ -1,0 +1,123 @@
+"""C drainage kernels vs the numpy oracle: bit-equality on random
+heightfields with NOVALUE holes, flats, and adversarial shapes — the
+stitch/marching twin contract extended to the r8 terrain C path."""
+
+import numpy as np
+import pytest
+
+from hgt2osm2_spark.kernels import codecs, terrain_cext
+from hgt2osm2_spark.ops import terrain
+
+NV = int(codecs.NOVALUE)
+
+pytestmark = pytest.mark.skipif(
+    not terrain_cext.available(), reason="C toolchain unavailable"
+)
+
+
+def _py_d8(grid):
+    """Force the numpy path regardless of the C dispatch."""
+    import unittest.mock as mock
+
+    with mock.patch.object(terrain_cext, "d8", lambda g: None):
+        return terrain.d8_grid(grid)
+
+
+def _py_flow(grid):
+    import unittest.mock as mock
+
+    with mock.patch.object(terrain_cext, "d8", lambda g: None), \
+         mock.patch.object(terrain_cext, "flow_accumulate",
+                           lambda g: None):
+        return terrain.flow_accumulate_grid(grid)
+
+
+def _grids():
+    rng = np.random.default_rng(77)
+    out = []
+    for n, holes in ((9, 0.0), (33, 0.02), (65, 0.1), (21, 0.4)):
+        g = rng.integers(-200, 3000, size=(n, n)).astype(np.int16)
+        if holes:
+            g[rng.random((n, n)) < holes] = NV
+        out.append(g)
+    # flats + plateaus (ties, pits)
+    f = np.full((17, 17), 100, dtype=np.int16)
+    f[4:9, 4:9] = 80
+    f[6, 6] = NV
+    out.append(f)
+    # monotone ramp (longest paths)
+    r = (np.arange(25)[None, :] * 3 + np.arange(25)[:, None]).astype(np.int16)
+    out.append(r)
+    return out
+
+
+@pytest.mark.parametrize("idx", range(6))
+def test_d8_bit_equal(idx):
+    g = _grids()[idx]
+    a = terrain_cext.d8(g)
+    b = _py_d8(g)
+    assert a is not None
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+        assert x.dtype == y.dtype
+
+
+@pytest.mark.parametrize("idx", range(6))
+def test_flow_accumulate_bit_equal(idx):
+    g = _grids()[idx]
+    a = terrain_cext.flow_accumulate(g)
+    b = _py_flow(g)
+    assert a is not None
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+def test_int64_aug_grid_roundtrip():
+    """The mosaic path hands int64 augmented grids; values are
+    int16-ranged so the C path must engage and agree."""
+    rng = np.random.default_rng(5)
+    g = rng.integers(-500, 2000, size=(19, 23)).astype(np.int64)
+    g[0, :] = NV
+    a = terrain_cext.flow_accumulate(g)
+    b = _py_flow(g)
+    assert a is not None
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    # out-of-int16-range values must fall back (None), not truncate
+    g2 = g.copy()
+    g2[5, 5] = 1 << 20
+    assert terrain_cext.flow_accumulate(g2) is None
+    assert terrain_cext.d8(g2) is None
+
+
+def test_no_ckernel_env_disables(monkeypatch):
+    import importlib
+
+    from hgt2osm2_spark.kernels import terrain_cext as tc
+
+    monkeypatch.setenv("HGT2OSM2_NO_CKERNEL", "1")
+    importlib.reload(tc)
+    try:
+        assert not tc.available()
+        assert tc.d8(np.zeros((5, 5), np.int16)) is None
+    finally:
+        monkeypatch.delenv("HGT2OSM2_NO_CKERNEL")
+        importlib.reload(tc)
+
+
+def test_mosaic_kernel_agrees_with_c_d8():
+    """mosaic_tile_arrays consumes d8_grid — with the C path engaged
+    its accumulation must equal the pure-Python run of the same aug."""
+    import unittest.mock as mock
+
+    from hgt2osm2_spark.ops import mosaic
+
+    rng = np.random.default_rng(9)
+    aug = rng.integers(0, 1000, size=(35, 35)).astype(np.int64)
+    aug[0, :] = NV
+    aug[:, 0] = NV
+    a = mosaic.mosaic_tile_arrays(aug)
+    with mock.patch.object(terrain_cext, "d8", lambda g: None):
+        b = mosaic.mosaic_tile_arrays(aug)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
