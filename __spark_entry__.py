@@ -1909,37 +1909,102 @@ def q_tile_pip_flagship(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver gate evaluates only the FIRST
-    # 50 entries of this dict (VERDICT r2 finding #2). Round-7 rotation
-    # (VERDICT r6 "Next round" #4): 39 swaps — with 50/50 green in r6
-    # everything freshly checked rotates OUT and the window becomes
-    # maximally stale-first: the 5 always-in core entries, the four r6
-    # operators and hardened bm25/tfidf (second consecutive row), the
-    # thirteen r7-born operators (substring_dedup, span_clean,
-    # cdc_dedup, ann_codebook, terrain_slope, flow_direction,
-    # flow_accumulation, basin_stats, stream_terrain, zonal_stats,
-    # decontam, repetition_stats, pii_scrub — in-window from day one
-    # per the standing policy), the COMPLETE r5-stale block (contour family,
-    # sinks, crop/decode, multimodal trio, decorations, cross-tile,
-    # osm_xml, rasterize — 18 entries), and the r1-r4 relational tail,
-    # whose driver rows are the oldest in the registry. After r7 no
-    # entry's last driver check predates r5 except the eleven named
-    # just past the boundary. Everything past
-    # the boundary stays value-checked every round by
-    # tools/check_entry.py (the gate mirror) + tests/.
+    # 50 entries of this dict (VERDICT r2 finding #2). Round-8 rotation
+    # (VERDICT r7 "Next round" #4): 45 swaps - with 50/50 green in r7,
+    # everything freshly checked rotates OUT except the 5 always-in core
+    # entries. IN: the five r8-born operators (in-window from day one per
+    # the standing policy), the ELEVEN r1-r4-stale rows named by the
+    # verdict (the only entries whose last driver check predated r5), and
+    # 29 of the 39 r6-green rows. After the r8 driver run no registry
+    # entry's last driver check predates r6 (the 10 rows just past the
+    # boundary are r6-green pure-builtins). Everything past the boundary
+    # stays value-checked every round by tools/check_entry.py (the gate
+    # mirror) + tests/.
     return {
-        # ---- r7 driver window (first 50; see rotation note above) ----
-        # engine core flagship + spatial + ingestion + lineage
+        # ---- r8 driver window (first 50; see rotation note above) ----
+        # engine core: the 5 always-in entries (flagship + spatial + ingestion + lineage)
         "tile_pip_flagship": q_tile_pip_flagship,
         "knn_join": q_knn_join,
         "pip_join": q_pip_join,
         "hgt_zip_scan": q_hgt_zip_scan,
         "checkpoint_lineage": q_checkpoint_lineage,
-        # r6 new operators: second consecutive driver row
+        # r8 NEW operators - in-window from day one (standing policy):
+        # mosaic-scale drainage (cross-tile flow acc + basin merge), the
+        # persisted-vocab subword tokenizer pair, and hillshade
+        "mosaic_flow_acc": q_mosaic_flow_acc,
+        "mosaic_basins": q_mosaic_basins,
+        "subword_tokens": q_subword_tokens,
+        "subword_pack": q_subword_pack,
+        "hillshade": q_hillshade,
+        # rotated IN for r8 (VERDICT r7 "Next round" #4): the eleven
+        # entries whose last driver check predated r5 - the r1-r4
+        # relational/streaming tail, the oldest rows in the registry
+        "session_windows": q_session_windows,
+        "continuous_rollup": q_continuous_rollup,
+        "nation_intersect": q_nation_intersect,
+        "small_order_revenue": q_small_order_revenue,
+        "rollup_events": q_rollup_events,
+        "orders_except": q_orders_except,
+        "cube_events": q_cube_events,
+        "pivot_events": q_pivot_events,
+        "json_extract": q_json_extract,
+        "time_functions": q_time_functions,
+        "percentiles": q_percentiles,
+        # rotated IN for r8: 29 of the 39 r6-green rows (stale-first after
+        # the block above) - the similarity/ANN family, dedup candidates,
+        # streaming, multimodal, layout/maintenance, banded contours,
+        # packaging proof, text indexes, and the per-tile point store
+        # (gated on the scale path this round, VERDICT r7 wrong #3)
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_bruteforce": q_ann_bruteforce,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "phash_near_dup": q_phash_near_dup,
+        "stream_dedup": q_stream_dedup,
+        "stream_image_stats": q_stream_image_stats,
+        "image_stats": q_image_stats,
+        "image_quarantine": q_image_quarantine,
+        "audio_features": q_audio_features,
+        "video_features": q_video_features,
+        "tile_pyramid": q_tile_pyramid,
+        "tile_clip": q_tile_clip,
+        "merge_upsert": q_merge_upsert,
+        "compaction": q_compaction,
+        "doc_split_sample": q_doc_split_sample,
+        "zorder_layout": q_zorder_layout,
+        "pack_sequences": q_pack_sequences,
+        "contour_nodes_banded": q_contour_nodes_banded,
+        "pyfiles_contour": q_pyfiles_contour,
+        "term_counts": q_term_counts,
+        "inverted_index": q_inverted_index,
+        "point_store": q_point_store,
+        "salted_skew_agg": q_salted_skew_agg,
+        # ---- driver window boundary (entry 50 ends above) ----
+        # the 10 remaining r6-green rows (lowest-risk pure-builtin
+        # expressions; they head the r9 rotation queue together with
+        # everything below)
+        "quantize_int8": q_quantize_int8,
+        "cell_index": q_cell_index,
+        "tsv_sink": q_tsv_sink,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "haversine_bands": q_haversine,
+        "domain_cap": q_domain_cap,
+        # rotated OUT for r8: every entry below is fresh r7-green
+        # (driver rows in CORRECTNESS_r07), still checked every round by
+        # tools/check_entry.py (the gate mirror) + goldens/pytest
         "elevation_at_points": q_elevation_at_points,
         "ann_int8": q_ann_int8,
         "stream_contour_nodes": q_stream_contour_nodes,
         "salted_stitch": q_salted_stitch,
-        # r7 NEW operators — in-window from day one (standing policy)
         "substring_dedup": q_substring_dedup,
         "span_clean": q_span_clean,
         "cdc_dedup": q_cdc_dedup,
@@ -1948,23 +2013,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_direction": q_flow_direction,
         "flow_accumulation": q_flow_accumulation,
         "basin_stats": q_basin_stats,
-        # r8 NEW operators — in-window from day one (standing policy)
-        "mosaic_flow_acc": q_mosaic_flow_acc,
-        "mosaic_basins": q_mosaic_basins,
-        "subword_tokens": q_subword_tokens,
-        "subword_pack": q_subword_pack,
-        "hillshade": q_hillshade,
         "stream_terrain": q_stream_terrain,
         "zonal_stats": q_zonal_stats,
         "decontam": q_decontam,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
-        # r6-hardened fixed-point pair: second consecutive green row
-        # (bm25 bench watch, VERDICT r6 'what's wrong' #1)
         "bm25": q_bm25,
         "tfidf_pairs": q_tfidf_pairs,
-        # rotated IN for r7: the complete r5-stale block (contour
-        # family, sinks, crops, decode, multimodal, decorations)
         "contour_nodes": q_contour_nodes,
         "contour_ways": q_contour_ways,
         "contour_metrics": q_contour_metrics,
@@ -1983,8 +2038,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_tile_stitch": q_cross_tile_stitch,
         "osm_xml_tiles": q_osm_xml_tiles,
         "rasterize": q_rasterize,
-        # rotated IN for r7: the r1-r4 relational tail — the OLDEST
-        # rows in the registry (3+ rounds since a driver check)
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "customers_without_orders": q_customers_without_orders,
@@ -1993,68 +2046,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "array_functions": q_array_functions,
         "windowed_stats": q_windowed_stats,
-        # ---- driver window boundary (entry 50 ends above) ----
-        "session_windows": q_session_windows,
-        "continuous_rollup": q_continuous_rollup,
-        # session_windows, continuous_rollup, time_functions,
-        # percentiles, cube_events, pivot_events, json_extract,
-        # rollup_events, orders_except, small_order_revenue and
-        # nation_intersect (each 3-4x driver-green r1-r4, pure
-        # built-ins — the lowest-risk entries in the registry) yield
-        # their seats to the thirteen r7-born operators per the
-        # new-operators-in-window policy; they head the r8 rotation
-        # queue
-        "nation_intersect": q_nation_intersect,
-        "small_order_revenue": q_small_order_revenue,
-        "rollup_events": q_rollup_events,
-        "orders_except": q_orders_except,
-        "cube_events": q_cube_events,
-        "pivot_events": q_pivot_events,
-        "json_extract": q_json_extract,
-        "time_functions": q_time_functions,
-        "percentiles": q_percentiles,
-        # rotated out in r7: every entry below is fresh r6-green
-        # (driver rows in CORRECTNESS_r06), still checked every
-        # round by tools/check_entry.py + goldens/pytest
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "stream_dedup": q_stream_dedup,
-        "image_stats": q_image_stats,
-        "image_quarantine": q_image_quarantine,
-        "audio_features": q_audio_features,
-        "video_features": q_video_features,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "tile_pyramid": q_tile_pyramid,
-        "tile_clip": q_tile_clip,
-        "merge_upsert": q_merge_upsert,
-        "compaction": q_compaction,
-        "doc_split_sample": q_doc_split_sample,
-        "dedup_clusters": q_dedup_clusters,
-        "phash_near_dup": q_phash_near_dup,
-        "zorder_layout": q_zorder_layout,
-        "domain_cap": q_domain_cap,
-        "pack_sequences": q_pack_sequences,
-        "stream_image_stats": q_stream_image_stats,
-        "haversine_bands": q_haversine,
-        "contour_nodes_banded": q_contour_nodes_banded,
-        "pyfiles_contour": q_pyfiles_contour,
-        "term_counts": q_term_counts,
-        "inverted_index": q_inverted_index,
-        "quantize_int8": q_quantize_int8,
-        "cell_index": q_cell_index,
-        "point_store": q_point_store,
-        "tsv_sink": q_tsv_sink,
-        "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "language_id": q_language_id,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_bruteforce": q_ann_bruteforce,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
-        "fingerprint": q_fingerprint,
-        "salted_skew_agg": q_salted_skew_agg,
     }
 
 
