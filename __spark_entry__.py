@@ -1081,6 +1081,46 @@ def q_hillshade(spark, sf_dir):
     return terrain.hillshade_cells(_synth_tiles(spark, n_tiles=6, size=33))
 
 
+def q_terrain_morphometry(spark, sf_dir):
+    """Second-order morphometry (r8): TPI / TRI / roughness + the
+    Zevenbergen-Thorne curvature numerators over the 6 gate tiles —
+    the terrain_slope scale shape (ONE narrow Arrow pass, no Exchange)
+    with a fully integer-exact gate surface (weighted integer sums of
+    int16 cells; curvature ships as x8/x4 numerators, physical units
+    are a consumer-side division by the cell size). The DuckDB oracle
+    RECOMPUTES every column from the raster_cells golden with the
+    neighborhood range-join — join-based vs slice-based, independent."""
+    return terrain.morphometry_cells(_synth_tiles(spark, n_tiles=6, size=33))
+
+
+def q_flow_length(spark, sf_dir):
+    """Downstream flow-path length (r8): per-valid-cell D8 edge count
+    to the terminal, split into cardinal/diagonal steps so the metric
+    length n_card + sqrt(2)*n_diag stays derivable while the hashed
+    columns stay integer. The engine resolves lengths by POINTER
+    DOUBLING inside one narrow Arrow pass (log-rounds, no Exchange);
+    the DuckDB oracle walks the same drainage edges one step at a time
+    with a WITH RECURSIVE counter — O(path) recursion vs O(log path)
+    doubling, structurally independent iterative derivations."""
+    return terrain.flow_path_length(_synth_tiles(spark, n_tiles=6, size=33))
+
+
+def q_stream_order(spark, sf_dir):
+    """Strahler stream order (r8): stream-network extraction over the
+    D8 drainage graph — cells with flow accumulation >= 5 get the
+    classic Strahler order (headwater 1; two inflows of equal max
+    order m merge to m+1). The stream mask is CLOSED under descent
+    (acc is nondecreasing along flow, property-pinned), so the whole
+    merge runs in-kernel as worklist-Kahn rounds with a (max,
+    count-at-max) combiner; the golden twin re-derives orders with an
+    explicit-stack POST-ORDER FOLD over scalar re-derived adjacency
+    (tools/make_golden.py) — fold vs Kahn, independent mechanisms.
+    The gate tiles produce orders up to 4."""
+    return terrain.stream_order(
+        _synth_tiles(spark, n_tiles=6, size=33), min_acc=5
+    )
+
+
 def q_basin_stats(spark, sf_dir):
     """Watershed statistics (r7): per-basin area + elevation
     aggregates over the D8 outlet labeling — one kernel pass emits
@@ -1936,6 +1976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_tokens": q_subword_tokens,
         "subword_pack": q_subword_pack,
         "hillshade": q_hillshade,
+        "terrain_morphometry": q_terrain_morphometry,
+        "flow_length": q_flow_length,
+        "stream_order": q_stream_order,
         # rotated IN for r8 (VERDICT r7 "Next round" #4): the eleven
         # entries whose last driver check predated r5 - the r1-r4
         # relational/streaming tail, the oldest rows in the registry
@@ -1973,9 +2016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "tile_pyramid": q_tile_pyramid,
         "tile_clip": q_tile_clip,
-        "merge_upsert": q_merge_upsert,
-        "compaction": q_compaction,
-        "doc_split_sample": q_doc_split_sample,
         "zorder_layout": q_zorder_layout,
         "pack_sequences": q_pack_sequences,
         "contour_nodes_banded": q_contour_nodes_banded,
@@ -1985,6 +2025,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_store": q_point_store,
         "salted_skew_agg": q_salted_skew_agg,
         # ---- driver window boundary (entry 50 ends above) ----
+        # displaced by the three late-r8 terrain ops (in-window day
+        # one): the r6-green maintenance/sampling trio joins the r9
+        # rotation queue
+        "merge_upsert": q_merge_upsert,
+        "compaction": q_compaction,
+        "doc_split_sample": q_doc_split_sample,
         # the 10 remaining r6-green rows (lowest-risk pure-builtin
         # expressions; they head the r9 rotation queue together with
         # everything below)
@@ -2097,6 +2143,7 @@ GOLDEN_ORACLES = [
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "ann_codebook", "phash_near_dup", "audio_features",
     "image_stats", "tile_clip", "subword_tokens", "hillshade",
+    "stream_order",
 ]
 
 
@@ -2629,7 +2676,13 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 32 THEN -1 WHEN 64 THEN -1
                                     WHEN 128 THEN -1 ELSE 0 END)
         ),
-        walk AS (
+        edge_end AS (SELECT 1 AS _one)
+    """
+    # NOTE: _d8_walk_cte (the shared c..edge prefix) is reused by THREE
+    # oracle families: the plain walk below (flow_accumulation /
+    # basin_stats), and the step-counting walk of flow_length (r8).
+    _d8_plain_walk = """
+        , walk AS (
             SELECT image_id, x AS sx, y AS sy, x AS cx, y AS cy FROM univ
             UNION ALL
             SELECT w.image_id, w.sx, w.sy, e.tx, e.ty
@@ -2649,7 +2702,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.x IS NULL
         )
     """
-    golden["flow_accumulation"] = _d8_walk_cte + """
+    golden["flow_accumulation"] = _d8_walk_cte + _d8_plain_walk + """
         SELECT a.image_id, a.x, a.y, a.acc, t.outlet_x, t.outlet_y
         FROM acc a JOIN term t USING (image_id, x, y)
     """
@@ -2658,7 +2711,7 @@ def oracle_sql() -> dict[str, str]:
     # — the oracle's closure-derived labels feed an aggregation tail
     # the engine computes from its Kahn-derived labels; mean is one
     # IEEE division of exact BIGINTs on both engines.
-    golden["basin_stats"] = _d8_walk_cte + """
+    golden["basin_stats"] = _d8_walk_cte + _d8_plain_walk + """
         SELECT t.image_id, t.outlet_x, t.outlet_y,
                CAST(count(*) AS BIGINT) AS n_cells,
                CAST(min(c.value) AS BIGINT) AS min_z,
@@ -2667,6 +2720,76 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(c.value) AS BIGINT) / count(*) AS mean_z
         FROM term t JOIN c USING (image_id, x, y)
         GROUP BY t.image_id, t.outlet_x, t.outlet_y
+    """
+    # flow_length (r8): the SAME drainage edges, walked one step at a
+    # time with per-step cardinal/diagonal counters carried through
+    # the recursion — the terminal row's counters ARE the path split.
+    # WITH RECURSIVE O(path) stepping vs the engine's O(log path)
+    # pointer doubling: independent iterative derivations.
+    golden["flow_length"] = _d8_walk_cte + """
+        , walk AS (
+            SELECT image_id, x AS sx, y AS sy, x AS cx, y AS cy,
+                   CAST(0 AS BIGINT) AS stp, CAST(0 AS BIGINT) AS crd
+            FROM univ
+            UNION ALL
+            SELECT w.image_id, w.sx, w.sy, e.tx, e.ty, w.stp + 1,
+                   w.crd + CASE WHEN e.x = e.tx OR e.y = e.ty
+                                THEN 1 ELSE 0 END
+            FROM walk w JOIN edge e
+              ON e.image_id = w.image_id AND e.x = w.cx AND e.y = w.cy
+        )
+        SELECT w.image_id, w.sx AS x, w.sy AS y,
+               w.stp AS steps, w.crd AS n_card,
+               w.stp - w.crd AS n_diag
+        FROM walk w LEFT JOIN edge e
+          ON e.image_id = w.image_id AND e.x = w.cx AND e.y = w.cy
+        WHERE e.x IS NULL
+    """
+    # terrain_morphometry (r8): every gate column RECOMPUTED from the
+    # raster_cells golden with the neighborhood range-join —
+    # conditional weighted sums for TPI/curvature numerators, abs-diff
+    # sums for TRI, window-free min/max for roughness. Join-based vs
+    # the engine's numpy slices, fully independent; all BIGINT.
+    golden["terrain_morphometry"] = f"""
+        WITH c AS (
+            SELECT image_id, x, y, value
+            FROM read_parquet('{golden_dir}/raster_cells.parquet')
+        ),
+        n AS (
+            SELECT e.image_id, e.x, e.y,
+                   CAST(e.value AS BIGINT) AS ev,
+                   max(CASE WHEN o.value = -32768 OR e.value = -32768
+                            THEN 1 ELSE 0 END) AS bad,
+                   sum(CAST(o.value AS BIGINT)) AS s,
+                   sum(abs(CAST(o.value AS BIGINT) - e.value)) AS tri,
+                   max(CAST(o.value AS BIGINT)) AS mxo,
+                   min(CAST(o.value AS BIGINT)) AS mno,
+                   sum(CAST(o.value AS BIGINT)
+                       * (CASE WHEN o.y = e.y AND o.x <> e.x
+                               THEN 1 ELSE 0 END)) AS sx,
+                   sum(CAST(o.value AS BIGINT)
+                       * (CASE WHEN o.x = e.x AND o.y <> e.y
+                               THEN 1 ELSE 0 END)) AS sy,
+                   sum(CAST(o.value AS BIGINT)
+                       * (CASE WHEN o.x <> e.x AND o.y <> e.y
+                               THEN (o.x - e.x) * (o.y - e.y)
+                               ELSE 0 END)) AS ixy
+            FROM c e JOIN c o
+              ON o.image_id = e.image_id
+             AND o.x BETWEEN e.x - 1 AND e.x + 1
+             AND o.y BETWEEN e.y - 1 AND e.y + 1
+             AND NOT (o.x = e.x AND o.y = e.y)
+            GROUP BY e.image_id, e.x, e.y, e.value
+            HAVING count(*) = 8
+        )
+        SELECT image_id, x, y,
+               CAST(8 * ev - s AS BIGINT) AS tpi8,
+               CAST(tri AS BIGINT) AS tri,
+               CAST(greatest(mxo, ev) - least(mno, ev) AS BIGINT) AS rough,
+               CAST(sx - 2 * ev AS BIGINT) AS zxx,
+               CAST(sy - 2 * ev AS BIGINT) AS zyy,
+               CAST(ixy AS BIGINT) AS ixy4
+        FROM n WHERE bad = 0
     """
     golden["subword_pack"] = f"""
         WITH nz AS (

@@ -158,6 +158,17 @@ def main():
         "decontam",
         "repetition_stats",
         "pii_scrub",
+        # r8: cross-tile mosaic drainage, persisted-vocab subword
+        # tokenizer, quantized hillshade, second-order morphometry,
+        # flow-path length (pointer doubling), Strahler stream order
+        "mosaic_flow_acc",
+        "mosaic_basins",
+        "subword_tokens",
+        "subword_pack",
+        "hillshade",
+        "terrain_morphometry",
+        "flow_length",
+        "stream_order",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the

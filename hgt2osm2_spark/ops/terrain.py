@@ -503,3 +503,313 @@ def hillshade_grid(
     vals = np.rint(255.0 * np.clip(shade, 0.0, 1.0)).astype(np.uint8)
     out[ys - 1, xs - 1] = vals
     return out
+
+
+# --------------------------------------------------------------------------
+# r8 additions: morphometry, flow path length, Strahler stream order
+# --------------------------------------------------------------------------
+
+def morph_grid(grid: np.ndarray):
+    """Numpy stencil twin for the second-order morphometry family:
+    (h, w) int grid -> flat arrays (ys, xs, tpi8, tri, rough, zxx, zyy,
+    ixy4) over interior cells with a fully-valid 3x3 neighborhood,
+    row-major order. All outputs int64 — the r7 integer-exact gate
+    discipline: every value is a weighted integer sum of int16 cells,
+    so any ANSI engine re-derives it bit-identically.
+
+    With the Horn letter layout (a b c / d e f / g h i, +y south):
+
+      tpi8  = 8e - (a+b+c+d+f+g+h+i)   Topographic Position Index x8
+                                       (Weiss 2001; positive = ridge,
+                                       negative = valley)
+      tri   = sum |nb - e|             Terrain Ruggedness Index, the
+                                       Riley 1999 sum-of-absolute-
+                                       differences form (integer-exact,
+                                       unlike the RMS form)
+      rough = max(3x3) - min(3x3)      roughness / local relief range
+      zxx   = d + f - 2e               d2z/dx2 numerator (unit cell)
+      zyy   = b + h - 2e               d2z/dy2 numerator
+      ixy4  = (a + i) - (c + g)        4 * d2z/dxdy numerator
+                                       (Zevenbergen & Thorne 1987 cross
+                                       term; +x east, +y south)
+
+    Curvatures in physical units are these numerators over powers of
+    the cell size — derivable by the consumer; the gate hashes the
+    integer numerators only."""
+    nv = int(codecs.NOVALUE)
+    g = grid.astype(np.int64)
+    a, b, c = g[:-2, :-2], g[:-2, 1:-1], g[:-2, 2:]
+    d, e, f = g[1:-1, :-2], g[1:-1, 1:-1], g[1:-1, 2:]
+    gg, hh, ii = g[2:, :-2], g[2:, 1:-1], g[2:, 2:]
+    nbs = (a, b, c, d, f, gg, hh, ii)
+    bad = e == nv
+    for nb in nbs:
+        bad |= nb == nv
+    s = a + b + c + d + f + gg + hh + ii
+    tpi8 = 8 * e - s
+    tri = np.zeros_like(e)
+    mx = e.copy()
+    mn = e.copy()
+    for nb in nbs:
+        tri += np.abs(nb - e)
+        np.maximum(mx, nb, out=mx)
+        np.minimum(mn, nb, out=mn)
+    h, w = grid.shape
+    ys, xs = np.mgrid[1 : h - 1, 1 : w - 1]
+    keep = (~bad).ravel()
+    return (
+        ys.ravel()[keep].astype(np.int32),
+        xs.ravel()[keep].astype(np.int32),
+        tpi8.ravel()[keep],
+        tri.ravel()[keep],
+        (mx - mn).ravel()[keep],
+        (d + f - 2 * e).ravel()[keep],
+        (b + hh - 2 * e).ravel()[keep],
+        ((a + ii) - (c + gg)).ravel()[keep],
+    )
+
+
+MORPH_SCHEMA = (
+    "image_id string, x int, y int, tpi8 long, tri long, rough long, "
+    "zxx long, zyy long, ixy4 long"
+)
+
+
+def morphometry_cells(tiles: DataFrame) -> DataFrame:
+    """PRODUCTION second-order morphometry: tiles (input_hint schema)
+    -> per-interior-cell TPI / TRI / roughness / curvature-numerator
+    rows — the terrain_cells scale shape: ONE narrow Arrow decode
+    pass, numpy shifted-slice sums, no Exchange, integer-exact gate
+    surface."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for img, grid in codecs.iter_decoded_tiles(pdf):
+                ys, xs, tpi8, tri, rough, zxx, zyy, ixy4 = morph_grid(grid)
+                parts.append(pd.DataFrame({
+                    "image_id": img, "x": xs, "y": ys, "tpi8": tpi8,
+                    "tri": tri, "rough": rough, "zxx": zxx, "zyy": zyy,
+                    "ixy4": ixy4,
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "x": pd.Series([], dtype=np.int32),
+                "y": pd.Series([], dtype=np.int32),
+                "tpi8": pd.Series([], dtype=np.int64),
+                "tri": pd.Series([], dtype=np.int64),
+                "rough": pd.Series([], dtype=np.int64),
+                "zxx": pd.Series([], dtype=np.int64),
+                "zyy": pd.Series([], dtype=np.int64),
+                "ixy4": pd.Series([], dtype=np.int64),
+            })
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=MORPH_SCHEMA
+    )
+
+
+#: d8 codes whose step is cardinal (distance 1); the other four are
+#: diagonal (distance sqrt(2)).
+_D8_CARDINAL = (1, 4, 16, 64)
+
+
+def d8_targets(ys, xs, d8, shape):
+    """Flat-index D8 target array: t[i] = index of cell i's descent
+    target within the (ys, xs) universe, -1 for terminals (pits/flats
+    and cells whose target left the valid universe)."""
+    h, w = shape
+    n = len(ys)
+    lookup = np.full(h * w, -1, dtype=np.int64)
+    lookup[ys.astype(np.int64) * w + xs] = np.arange(n)
+    tx = xs.astype(np.int64).copy()
+    ty = ys.astype(np.int64).copy()
+    for c, dx, dy, _ in D8_NEIGHBORS:
+        sel = d8 == c
+        tx[sel] += dx
+        ty[sel] += dy
+    return np.where(d8 > 0, lookup[ty * w + tx], -1)
+
+
+def flow_length_grid(grid: np.ndarray):
+    """Downstream flow-path length per valid D8 cell: flat arrays
+    (ys, xs, steps, n_card, n_diag) — steps = number of D8 edges from
+    the cell to its terminal (0 for terminals), split into cardinal
+    and diagonal steps so the metric length n_card + sqrt(2) * n_diag
+    stays derivable while the gate surface stays INTEGER-exact (the
+    sqrt(2) never enters the hashed columns).
+
+    The D8 graph is functional and acyclic, so the lengths resolve by
+    POINTER DOUBLING (path halving): each vectorized round composes
+    every cell's known prefix with its jump target's — O(n log L)
+    where L is the longest drainage path, ~12 rounds on a 3601^2 tile.
+    A deliberately different mechanism from flow_accumulate_grid's
+    Kahn rounds AND from the oracle's recursive per-step walk: three
+    independent derivations of the same path geometry."""
+    ys, xs, d8, _ = d8_grid(grid)
+    t = d8_targets(ys, xs, d8, grid.shape)
+    has = t >= 0
+    steps = has.astype(np.int64)
+    n_card = (has & np.isin(d8, _D8_CARDINAL)).astype(np.int64)
+    jump = t.copy()
+    while True:
+        j = jump >= 0
+        if not j.any():
+            break
+        idx = jump[j]
+        nxt_steps = steps.copy()
+        nxt_card = n_card.copy()
+        nxt_jump = jump.copy()
+        nxt_steps[j] = steps[j] + steps[idx]
+        nxt_card[j] = n_card[j] + n_card[idx]
+        nxt_jump[j] = jump[idx]
+        steps, n_card, jump = nxt_steps, nxt_card, nxt_jump
+    return ys, xs, steps, n_card, steps - n_card
+
+
+FLOWLEN_SCHEMA = (
+    "image_id string, x int, y int, steps long, n_card long, n_diag long"
+)
+
+
+def flow_path_length(tiles: DataFrame) -> DataFrame:
+    """PRODUCTION downstream flow-path length: tiles (input_hint
+    schema) -> per-valid-cell (steps, n_card, n_diag). Tile-local like
+    flow_accumulation, so ONE narrow Arrow pass, no Exchange; the
+    iterative resolution runs inside the kernel as pointer-doubling
+    rounds."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for img, grid in codecs.iter_decoded_tiles(pdf):
+                ys, xs, steps, n_card, n_diag = flow_length_grid(grid)
+                parts.append(pd.DataFrame({
+                    "image_id": img, "x": xs, "y": ys, "steps": steps,
+                    "n_card": n_card, "n_diag": n_diag,
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "x": pd.Series([], dtype=np.int32),
+                "y": pd.Series([], dtype=np.int32),
+                "steps": pd.Series([], dtype=np.int64),
+                "n_card": pd.Series([], dtype=np.int64),
+                "n_diag": pd.Series([], dtype=np.int64),
+            })
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=FLOWLEN_SCHEMA
+    )
+
+
+def stream_order_grid(grid: np.ndarray, min_acc: int):
+    """Strahler stream order over one tile: flat arrays
+    (ys, xs, acc, sorder) over STREAM cells (flow accumulation >=
+    min_acc). Strahler (1957): a headwater stream cell (no stream
+    inflows) has order 1; a cell whose stream inflows have maximum
+    order m has order m+1 if at least two inflows attain m, else m.
+
+    The stream mask is CLOSED under descent — acc is nondecreasing
+    along flow (the target accumulates everything the source does), so
+    a stream cell's in-universe target is always a stream cell and the
+    subgraph needs no edge clipping (property-pinned in tests).
+
+    Runs as the same vectorized worklist-Kahn rounds as
+    flow_accumulate_grid, but the per-target merge is (max order,
+    count at max) instead of a sum: per round one argsort of (target,
+    order) serves grouping, per-round maxima (last element of each
+    group) and counts-at-max (reduceat over an equality mask); the
+    running (mx, cnt) pair merges across rounds by the same rule. A
+    cell's order is final when it retires because every stream inflow
+    retires in an earlier round."""
+    ys, xs, acc, _oy, _ox = flow_accumulate_grid(grid)
+    ys2, xs2, d8, _ = d8_grid(grid)
+    # both kernels emit the identical row-major valid-cell universe
+    t = d8_targets(ys2, xs2, d8, grid.shape)
+    stream = acc >= min_acc
+    sidx = np.flatnonzero(stream)
+    n = len(sidx)
+    remap = np.full(len(ys), -1, dtype=np.int64)
+    remap[sidx] = np.arange(n)
+    st = t[sidx]
+    st = np.where(st >= 0, remap[st.clip(0)], -1)  # stream-closed: see doc
+
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, st[st >= 0], 1)
+    mx = np.zeros(n, dtype=np.int64)
+    cnt = np.zeros(n, dtype=np.int64)
+    order = np.zeros(n, dtype=np.int64)
+    frontier = np.flatnonzero(indeg == 0)
+    n_done = 0
+    while frontier.size:
+        order[frontier] = np.where(
+            mx[frontier] == 0, 1, mx[frontier] + (cnt[frontier] >= 2)
+        )
+        n_done += frontier.size
+        ft = st[frontier]
+        has = ft >= 0
+        tgt = ft[has]
+        if tgt.size == 0:
+            break
+        o = order[frontier][has]
+        srt = np.lexsort((o, tgt))
+        tgt_s, o_s = tgt[srt], o[srt]
+        cuts = np.flatnonzero(np.r_[True, tgt_s[1:] != tgt_s[:-1]])
+        ends = np.r_[cuts[1:], len(tgt_s)] - 1
+        uniq = tgt_s[cuts]
+        rmx = o_s[ends]  # per-round max order per target (sorted last)
+        # count at the round max: reduceat over the equality mask
+        at_max = (o_s == np.repeat(rmx, np.diff(np.r_[cuts, len(tgt_s)]))).astype(np.int64)
+        rcnt = np.add.reduceat(at_max, cuts)
+        better = rmx > mx[uniq]
+        same = rmx == mx[uniq]
+        mx[uniq] = np.where(better, rmx, mx[uniq])
+        cnt[uniq] = np.where(better, rcnt, cnt[uniq] + np.where(same, rcnt, 0))
+        indeg[uniq] -= np.diff(np.r_[cuts, len(tgt_s)])
+        frontier = uniq[indeg[uniq] == 0]
+    assert n_done == n, "stream subgraph must be acyclic"
+    return ys[sidx], xs[sidx], acc[sidx], order
+
+
+STREAM_ORDER_SCHEMA = (
+    "image_id string, x int, y int, acc long, sorder long"
+)
+
+
+def stream_order(tiles: DataFrame, min_acc: int = 5) -> DataFrame:
+    """PRODUCTION Strahler stream order: tiles (input_hint schema) ->
+    per-stream-cell (accumulation, Strahler order) for cells whose
+    flow accumulation reaches min_acc — the stream-network extraction
+    step downstream of flow accumulation. Tile-local: ONE narrow
+    Arrow pass, no Exchange; the order merge runs in-kernel as
+    worklist-Kahn rounds."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for img, grid in codecs.iter_decoded_tiles(pdf):
+                ys, xs, acc, order = stream_order_grid(grid, min_acc)
+                parts.append(pd.DataFrame({
+                    "image_id": img, "x": xs, "y": ys,
+                    "acc": acc, "sorder": order,
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "x": pd.Series([], dtype=np.int32),
+                "y": pd.Series([], dtype=np.int32),
+                "acc": pd.Series([], dtype=np.int64),
+                "sorder": pd.Series([], dtype=np.int64),
+            })
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=STREAM_ORDER_SCHEMA
+    )

@@ -1,0 +1,280 @@
+"""Tests for the late-r8 terrain trio: second-order morphometry
+(TPI/TRI/roughness/curvature numerators), downstream flow-path length
+(pointer doubling), and Strahler stream order (worklist-Kahn with a
+(max, count-at-max) combiner). Each op gets (a) a scalar or
+independent-mechanism twin check on random grids with NOVALUE holes,
+(b) a hand-computed semantics check, and (c) the one-narrow-Arrow-pass
+plan pin (no Exchange) on the Spark surface."""
+
+import numpy as np
+import pytest
+
+from hgt2osm2_spark.kernels import codecs
+from hgt2osm2_spark.ops import terrain
+
+NV = int(codecs.NOVALUE)
+
+
+def _morph_scalar(grid):
+    """Pure-Python per-cell twin of terrain.morph_grid."""
+    h, w = grid.shape
+    out = []
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            nb = [int(grid[y + dy, x + dx])
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+            if NV in nb:
+                continue
+            a, b, c, d, e, f, g, hh, i = nb
+            others = [a, b, c, d, f, g, hh, i]
+            out.append((
+                y, x,
+                8 * e - sum(others),
+                sum(abs(v - e) for v in others),
+                max(nb) - min(nb),
+                d + f - 2 * e,
+                b + hh - 2 * e,
+                (a + i) - (c + g),
+            ))
+    return out
+
+
+def _flowlen_scalar(grid):
+    """Per-cell scalar walk twin of terrain.flow_length_grid: follow
+    the D8 pointer one step at a time, counting cardinal/diagonal
+    edges — O(n * path) vs the engine's O(n log path) doubling."""
+    ys, xs, d8, _ = terrain.d8_grid(grid)
+    t = terrain.d8_targets(ys, xs, d8, grid.shape)
+    card = np.isin(d8, terrain._D8_CARDINAL)
+    out = []
+    for i in range(len(ys)):
+        s = nc = 0
+        j = i
+        while t[j] >= 0:
+            s += 1
+            nc += int(card[j])
+            j = int(t[j])
+        out.append((int(ys[i]), int(xs[i]), s, nc, s - nc))
+    return out
+
+
+def _strahler_fold(grid, min_acc):
+    """Explicit-stack post-order fold twin of terrain.stream_order_grid
+    (the golden-twin mechanism): recursive Strahler over the reversed
+    stream adjacency."""
+    ys, xs, acc, _, _ = terrain.flow_accumulate_grid(grid)
+    ys2, xs2, d8, _ = terrain.d8_grid(grid)
+    t = terrain.d8_targets(ys2, xs2, d8, grid.shape)
+    stream = acc >= min_acc
+    up = {}
+    for i in np.flatnonzero(stream):
+        ti = t[i]
+        if ti >= 0 and stream[ti]:
+            up.setdefault(int(ti), []).append(int(i))
+    order = {}
+    for root in np.flatnonzero(stream):
+        stack = [(int(root), False)]
+        while stack:
+            node, expanded = stack.pop()
+            if node in order:
+                continue
+            kids = up.get(node, [])
+            pend = [k for k in kids if k not in order]
+            if not expanded and pend:
+                stack.append((node, True))
+                stack.extend((k, False) for k in pend)
+            else:
+                if not kids:
+                    order[node] = 1
+                else:
+                    os_ = sorted(order[k] for k in kids)
+                    m = os_[-1]
+                    order[node] = m + 1 if len(os_) >= 2 and os_[-2] == m else m
+    return {
+        (int(ys[i]), int(xs[i])): (int(acc[i]), order[int(i)])
+        for i in np.flatnonzero(stream)
+    }
+
+
+def _noisy_grid(seed, shape=(21, 19), holes=6):
+    rng = np.random.default_rng(seed)
+    g = (np.cumsum(rng.integers(-4, 5, shape), axis=0)
+         + np.cumsum(rng.integers(-3, 4, shape), axis=1)).astype(np.int16)
+    g += 200
+    g[rng.integers(0, shape[0], holes), rng.integers(0, shape[1], holes)] = NV
+    return g
+
+
+# ---------------------------------------------------------------- morphometry
+
+def test_morph_grid_matches_scalar_twin():
+    for seed in (1, 2, 3):
+        g = _noisy_grid(seed)
+        got = sorted(zip(*(a.tolist() for a in terrain.morph_grid(g))))
+        assert got == sorted(_morph_scalar(g)) and len(got) > 100
+
+
+def test_morph_handcrafted():
+    # 3x3 island: a=1 b=2 c=3 / d=4 e=5 f=6 / g=7 h=8 i=9
+    g = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], dtype=np.int16)
+    ys, xs, tpi8, tri, rough, zxx, zyy, ixy4 = terrain.morph_grid(g)
+    assert list(zip(ys, xs)) == [(1, 1)]
+    assert tpi8[0] == 8 * 5 - (1 + 2 + 3 + 4 + 6 + 7 + 8 + 9)  # 0
+    assert tri[0] == 4 + 3 + 2 + 1 + 1 + 2 + 3 + 4  # 20
+    assert rough[0] == 8
+    assert zxx[0] == 4 + 6 - 10 == 0
+    assert zyy[0] == 2 + 8 - 10 == 0
+    assert ixy4[0] == (1 + 9) - (3 + 7) == 0
+    # break the symmetry: raise the NE corner
+    g2 = g.copy()
+    g2[0, 2] = 13  # c
+    _, _, tpi8b, trib, roughb, zxxb, zyyb, ixy4b = terrain.morph_grid(g2)
+    assert tpi8b[0] == -10 and trib[0] == 26 and roughb[0] == 12
+    assert zyyb[0] == 0 and ixy4b[0] == (1 + 9) - (13 + 7) == -10
+
+
+def test_morph_novalue_suppression():
+    g = _noisy_grid(9)
+    g[10, 9] = NV
+    got = {(y, x) for y, x in zip(*terrain.morph_grid(g)[:2])}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            assert (10 + dy, 9 + dx) not in got
+
+
+def test_morphometry_cells_spark_no_exchange(spark):
+    import __spark_entry__ as entry
+
+    df = terrain.morphometry_cells(entry._synth_tiles(spark, n_tiles=3, size=17))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+    rows = df.collect()
+    assert len(rows) > 300
+    k = codecs
+    tiles = entry._synth_tiles(spark, n_tiles=3, size=17).collect()
+    want = []
+    for r in tiles:
+        grid = k.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+        want += [(r.image_id, y, x, *rest) for y, x, *rest in _morph_scalar(grid)]
+    got = sorted((r.image_id, r.y, r.x, r.tpi8, r.tri, r.rough,
+                  r.zxx, r.zyy, r.ixy4) for r in rows)
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------- flow length
+
+def test_flow_length_matches_scalar_walk():
+    for seed in (4, 5, 6):
+        g = _noisy_grid(seed)
+        ys, xs, steps, nc, nd = terrain.flow_length_grid(g)
+        got = sorted(zip(ys.tolist(), xs.tolist(), steps.tolist(),
+                         nc.tolist(), nd.tolist()))
+        assert got == sorted(_flowlen_scalar(g)) and len(got) > 100
+
+
+def test_flow_length_consistency():
+    g = _noisy_grid(7)
+    ys, xs, steps, nc, nd = terrain.flow_length_grid(g)
+    assert (steps == nc + nd).all()
+    assert (steps >= 0).all()
+    # terminals (d8 == 0 or target outside universe) have zero length
+    ys2, xs2, d8, _ = terrain.d8_grid(g)
+    t = terrain.d8_targets(ys2, xs2, d8, g.shape)
+    assert (steps[t < 0] == 0).all()
+    assert (steps[t >= 0] > 0).all()
+    # a cell's length is exactly its target's plus one step
+    has = t >= 0
+    assert (steps[has] == steps[t[has]] + 1).all()
+
+
+def test_flow_length_handcrafted_ramp():
+    # monotone east-falling ramp: interior cell (y, x) walks east to
+    # x = 3, all cardinal steps
+    g = np.array([[100 - 10 * x for x in range(5)]] * 5, dtype=np.int16)
+    ys, xs, steps, nc, nd = terrain.flow_length_grid(g)
+    got = {(y, x): (s, c, d) for y, x, s, c, d
+           in zip(ys, xs, steps, nc, nd)}
+    for y in (1, 2, 3):
+        assert got[(y, 1)] == (2, 2, 0)
+        assert got[(y, 2)] == (1, 1, 0)
+        assert got[(y, 3)] == (0, 0, 0)
+
+
+def test_flow_path_length_spark_no_exchange(spark):
+    import __spark_entry__ as entry
+
+    df = terrain.flow_path_length(entry._synth_tiles(spark, n_tiles=2, size=17))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+    assert df.count() > 200
+
+
+# --------------------------------------------------------------- stream order
+
+def test_stream_order_matches_postorder_fold():
+    for seed in (8, 9, 10):
+        g = _noisy_grid(seed, shape=(25, 23))
+        ys, xs, acc, order = terrain.stream_order_grid(g, 3)
+        got = {(int(y), int(x)): (int(a), int(o))
+               for y, x, a, o in zip(ys, xs, acc, order)}
+        assert got == _strahler_fold(g, 3) and len(got) > 20
+
+
+def test_stream_mask_closed_under_descent():
+    # acc is nondecreasing along flow, so a stream cell's in-universe
+    # target is always a stream cell — the property stream_order_grid
+    # relies on to skip edge clipping
+    for seed in (11, 12):
+        g = _noisy_grid(seed)
+        ys, xs, acc, _, _ = terrain.flow_accumulate_grid(g)
+        ys2, xs2, d8, _ = terrain.d8_grid(g)
+        t = terrain.d8_targets(ys2, xs2, d8, g.shape)
+        for thr in (2, 5, 9):
+            stream = acc >= thr
+            src = np.flatnonzero(stream & (t >= 0))
+            assert stream[t[src]].all()
+
+
+def test_stream_order_handcrafted_confluence():
+    # Two parallel channels merging: carve a V of descending values
+    # into a high plateau so two order-1 streams join into an order-2
+    # reach. Plateau 1000; channel cells descend toward the junction
+    # at (4, 4) then run east.
+    g = np.full((9, 9), 1000, dtype=np.int16)
+    # north arm: (1,1) -> (2,2) -> (3,3) diagonal
+    for i, z in ((1, 400), (2, 300), (3, 200)):
+        g[i, i] = z
+    # south arm: (7,1) -> (6,2) -> (5,3)
+    for (y, x), z in (((7, 1), 400), ((6, 2), 300), ((5, 3), 200)):
+        g[y, x] = z
+    # junction + outflow east
+    g[4, 4] = 100
+    g[4, 5], g[4, 6], g[4, 7] = 90, 80, 70
+    ys, xs, acc, order = terrain.stream_order_grid(g, 3)
+    got = {(y, x): o for y, x, o in zip(ys, xs, order)}
+    # the junction drains both arms (acc >= 8) and must be order 2
+    assert got[(4, 4)] == 2
+    assert got[(4, 5)] == 2 and got[(4, 6)] == 2
+    # the arm tails just above the junction are order 1 (acc 3)
+    assert got.get((3, 3), 1) == 1 and got.get((5, 3), 1) == 1
+
+
+def test_stream_order_spark_no_exchange(spark):
+    import __spark_entry__ as entry
+
+    df = terrain.stream_order(entry._synth_tiles(spark, n_tiles=3, size=17),
+                              min_acc=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+    rows = df.collect()
+    assert len(rows) > 30 and max(r.sorder for r in rows) >= 2
+    # engine equals the fold twin through the full Spark surface
+    k = codecs
+    tiles = entry._synth_tiles(spark, n_tiles=3, size=17).collect()
+    want = []
+    for r in tiles:
+        grid = k.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+        want += [(r.image_id, y, x, a, o)
+                 for (y, x), (a, o) in sorted(_strahler_fold(grid, 4).items())]
+    got = sorted((r.image_id, r.y, r.x, r.acc, r.sorder) for r in rows)
+    assert got == sorted(want)

@@ -93,6 +93,22 @@ AUDITED = {
          r"Exchange", "absent"),
         ("vectorized Kahn rounds inside one mapInPandas", r"MapInPandas"),
     ],
+    "terrain_morphometry": [
+        ("TPI/TRI/curvature stencils in ONE narrow Arrow map (no shuffle)",
+         r"Exchange", "absent"),
+        ("tile-local numpy stencil via mapInPandas", r"MapInPandas"),
+    ],
+    "flow_length": [
+        ("pointer-doubling path resolution stays tile-local (no Exchange)",
+         r"Exchange", "absent"),
+        ("log-round doubling inside one mapInPandas", r"MapInPandas"),
+    ],
+    "stream_order": [
+        ("Strahler merge stays tile-local (no Exchange, no driver loop)",
+         r"Exchange", "absent"),
+        ("worklist-Kahn (max, count-at-max) rounds inside one mapInPandas",
+         r"MapInPandas"),
+    ],
     "basin_stats": [
         ("one Exchange only: the partial->final agg on the outlet key",
          r"HashAggregate .*partial|partial_"),

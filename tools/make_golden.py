@@ -618,6 +618,94 @@ def g_hillshade():
     ]))
 
 
+def g_stream_order():
+    """Twin of ops/terrain.stream_order over the 6 gate tiles
+    (min_acc = 5): a fully SCALAR re-derivation, independent of the
+    engine's vectorized machinery at every stage — per-cell loop D8
+    (ranked on 2*(drop/dist)^2 with the smallest-code tie rule),
+    memoized upstream-count recursion for the accumulation threshold,
+    and an explicit-stack POST-ORDER FOLD for the Strahler merge (vs
+    the engine's worklist-Kahn rounds with a (max, count-at-max)
+    combiner)."""
+    nv = int(codecs.NOVALUE)
+    # (code, dx, dy, cardinal) in ESRI order — smallest code wins ties
+    d8n = ((1, 1, 0), (2, 1, 1), (4, 0, 1), (8, -1, 1),
+           (16, -1, 0), (32, -1, -1), (64, 0, -1), (128, 1, -1))
+    rows = []
+    for idx in range(6):
+        row, grid = scalar_tile_grid(idx, 33)
+        h, w = grid.shape
+        target = {}  # (y, x) -> (ty, tx) or None for terminals
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                nb = [int(grid[y + dy, x + dx])
+                      for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+                if nv in nb:
+                    continue
+                e = int(grid[y, x])
+                best, code, tdxy = 0, 0, None
+                for c, dx, dy in d8n:
+                    drop = e - int(grid[y + dy, x + dx])
+                    if drop <= 0:
+                        continue
+                    score = drop * drop * (2 if dx == 0 or dy == 0 else 1)
+                    if score > best:
+                        best, code, tdxy = score, c, (dy, dx)
+                target[(y, x)] = (
+                    (y + tdxy[0], x + tdxy[1]) if code else None
+                )
+        # accumulation by memoized recursion on upstream counts
+        up = {}
+        for cell, t in target.items():
+            if t is not None and t in target:
+                up.setdefault(t, []).append(cell)
+        acc = {}
+        for root in target:
+            stack = [(root, False)]
+            while stack:
+                node, expanded = stack.pop()
+                if node in acc:
+                    continue
+                kids = up.get(node, [])
+                pend = [k for k in kids if k not in acc]
+                if not expanded and pend:
+                    stack.append((node, True))
+                    stack.extend((k, False) for k in pend)
+                else:
+                    acc[node] = 1 + sum(acc[k] for k in kids)
+        stream = {c for c, a in acc.items() if a >= 5}
+        sup = {c: [k for k in up.get(c, []) if k in stream]
+               for c in stream}
+        order = {}
+        for root in stream:
+            stack = [(root, False)]
+            while stack:
+                node, expanded = stack.pop()
+                if node in order:
+                    continue
+                kids = sup[node]
+                pend = [k for k in kids if k not in order]
+                if not expanded and pend:
+                    stack.append((node, True))
+                    stack.extend((k, False) for k in pend)
+                else:
+                    if not kids:
+                        order[node] = 1
+                    else:
+                        os_ = sorted(order[k] for k in kids)
+                        m = os_[-1]
+                        order[node] = (
+                            m + 1 if len(os_) >= 2 and os_[-2] == m else m
+                        )
+        for (y, x) in sorted(stream):
+            rows.append((row["image_id"], x, y, acc[(y, x)], order[(y, x)]))
+    df = pd.DataFrame(rows, columns=["image_id", "x", "y", "acc", "sorder"])
+    _write("stream_order", df, pa.schema([
+        ("image_id", pa.string()), ("x", pa.int32()), ("y", pa.int32()),
+        ("acc", pa.int64()), ("sorder", pa.int64()),
+    ]))
+
+
 def g_phash_near_dup():
     """Brute-force twin of ops/multimodal.phash_near_dup: all pairs,
     unsigned-xor popcount, id_a < id_b lexicographic (matching Spark's
@@ -1792,6 +1880,7 @@ GENERATORS = {
     "tokenizer_model": g_tokenizer_model,
     "subword_tokens": g_subword_tokens,
     "hillshade": g_hillshade,
+    "stream_order": g_stream_order,
     "phash_near_dup": g_phash_near_dup,
     "audio_features": g_audio_features,
     "video_features": g_video_features,
