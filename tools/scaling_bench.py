@@ -282,6 +282,20 @@ def main() -> None:
         )
     except (OSError, KeyError, ValueError):
         pass
+    # Everything below MANUAL_MARKER in the existing file is hand-written
+    # record-keeping (round ledgers, A/B write-ups) — carry it through
+    # verbatim so a scaling refresh never clobbers the bench history.
+    MANUAL_MARKER = "<!-- MANUAL SECTIONS BELOW -- preserved by scaling_bench.py -->"
+    manual_tail = ""
+    try:
+        with open(f"BENCH/BASELINE{args.suffix}.md") as f:
+            prev = f.read()
+        if MANUAL_MARKER in prev:
+            manual_tail = "\n" + MANUAL_MARKER + prev.split(MANUAL_MARKER, 1)[1]
+    except OSError:
+        pass
+    if not manual_tail:
+        manual_tail = "\n" + MANUAL_MARKER + "\n"
     with open(f"BENCH/BASELINE{args.suffix}.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE{args.suffix} — measured numbers
@@ -323,7 +337,7 @@ executors; the 8 -> 32 pair is reported as the worst-case bound.
 
 Reproduce: `python tools/scaling_bench.py`
 (env: SCALE_TILES={N_TILES}, SCALE_TILE_SIZE={TILE_SIZE}).
-{ab_section}"""
+{ab_section}{manual_tail}"""
         )
     print(f"wrote BENCH/BASELINE{args.suffix}.md, "
           f"BENCH/scaling{args.suffix}.json")
