@@ -1217,6 +1217,28 @@ def q_mosaic_basins(spark, sf_dir):
         synthetic.mosaic_tiles_df(spark, nx=2, ny=2, size=33, seed=7))
 
 
+def q_mosaic_terrain(spark, sf_dir):
+    """Seam-correct terrain derivatives (late r8): the full first- AND
+    second-order stencil surface (Horn ndx/ndy/slope_q/aspect_oct +
+    TPI/TRI/roughness/curvature numerators) in GLOBAL coordinates,
+    correct ACROSS tile seams — per-tile stencils never emit border
+    cells (no full 3x3 inside one tile; the reference is strictly
+    per-tile, Program.cs:93-113). Composition, not new kernels: the
+    drainage family's halo exchange (perimeter strips, the raster never
+    shuffles) feeds the UNCHANGED terrain.horn_grid / morph_grid over
+    the (h+2, w+2) augmented grid, with an ownership cut so every
+    mosaic cell is emitted exactly once; tests/test_mosaic.py pins the
+    union bit-equal to running the kernels on the assembled whole-mosaic
+    grid. The DuckDB oracle RECOMPUTES everything from the seam-checked
+    mosaic_cells golden with a neighborhood range-join on GLOBAL
+    coordinates — no tiles, no halos anywhere in the derivation; the
+    2x2 gate mosaic's NOVALUE patches straddle the seams."""
+    from hgt2osm2_spark.ops import mosaic
+
+    return mosaic.mosaic_terrain_cells(
+        synthetic.mosaic_tiles_df(spark, nx=2, ny=2, size=33, seed=7))
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (r7): per-polygon aggregation of raster cell
     values — the canonical raster x vector op, composed engine-first:
@@ -1973,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # persisted-vocab subword tokenizer pair, and hillshade
         "mosaic_flow_acc": q_mosaic_flow_acc,
         "mosaic_basins": q_mosaic_basins,
+        "mosaic_terrain": q_mosaic_terrain,
         "subword_tokens": q_subword_tokens,
         "subword_pack": q_subword_pack,
         "hillshade": q_hillshade,
@@ -2919,6 +2942,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(c.value) AS BIGINT) / count(*) AS mean_z
         FROM term t JOIN c USING (x, y)
         GROUP BY t.outlet_gx, t.outlet_gy
+    """
+    # mosaic_terrain (late r8): the seam-correct stencil surface
+    # RECOMPUTED from the mosaic_cells golden with a neighborhood
+    # range-join on GLOBAL coordinates — the terrain_slope +
+    # terrain_morphometry oracle shapes fused, but over the assembled
+    # mosaic (no tiles, halos, or ownership anywhere in the
+    # derivation). HAVING count(*)=8 keeps cells with a full global
+    # 3x3; any NOVALUE in it (center via e.v in the GROUP BY)
+    # suppresses the cell. The aspect CASE mirrors
+    # ops/terrain.aspect_octant's np.select order exactly.
+    golden["mosaic_terrain"] = f"""
+        WITH c AS (
+            SELECT gx, gy, CAST(value AS BIGINT) AS v
+            FROM read_parquet('{golden_dir}/mosaic_cells.parquet')
+        ),
+        n AS (
+            SELECT e.gx, e.gy, e.v AS ev,
+                   max(CASE WHEN o.v = -32768 OR e.v = -32768
+                            THEN 1 ELSE 0 END) AS bad,
+                   sum(o.v
+                       * (CASE WHEN o.gx = e.gx + 1 THEN 1
+                               WHEN o.gx = e.gx - 1 THEN -1 ELSE 0 END)
+                       * (CASE WHEN o.gy = e.gy THEN 2 ELSE 1 END)) AS ndx,
+                   sum(o.v
+                       * (CASE WHEN o.gy = e.gy + 1 THEN 1
+                               WHEN o.gy = e.gy - 1 THEN -1 ELSE 0 END)
+                       * (CASE WHEN o.gx = e.gx THEN 2 ELSE 1 END)) AS ndy,
+                   sum(o.v) AS s,
+                   sum(abs(o.v - e.v)) AS tri,
+                   max(o.v) AS mxo,
+                   min(o.v) AS mno,
+                   sum(o.v * (CASE WHEN o.gy = e.gy AND o.gx <> e.gx
+                                   THEN 1 ELSE 0 END)) AS sx,
+                   sum(o.v * (CASE WHEN o.gx = e.gx AND o.gy <> e.gy
+                                   THEN 1 ELSE 0 END)) AS sy,
+                   sum(o.v * (CASE WHEN o.gx <> e.gx AND o.gy <> e.gy
+                                   THEN (o.gx - e.gx) * (o.gy - e.gy)
+                                   ELSE 0 END)) AS ixy
+            FROM c e JOIN c o
+              ON o.gx BETWEEN e.gx - 1 AND e.gx + 1
+             AND o.gy BETWEEN e.gy - 1 AND e.gy + 1
+             AND NOT (o.gx = e.gx AND o.gy = e.gy)
+            GROUP BY e.gx, e.gy, e.v
+            HAVING count(*) = 8
+        )
+        SELECT gx, gy, CAST(ev AS INT) AS z,
+               CAST(ndx AS BIGINT) AS ndx, CAST(ndy AS BIGINT) AS ndy,
+               CAST(ndx * ndx + ndy * ndy AS BIGINT) AS slope_q,
+               CAST(CASE WHEN ndx = 0 AND ndy = 0 THEN -1
+                    WHEN ndx > 0 AND ndy >= 0 AND ndy < ndx THEN 0
+                    WHEN ndx > 0 AND ndy > 0 AND ndy >= ndx THEN 1
+                    WHEN ndy > 0 AND ndx <= 0 AND ndy > -ndx THEN 2
+                    WHEN ndy > 0 AND ndx <= -ndy THEN 3
+                    WHEN ndx < 0 AND ndy <= 0 AND ndy > ndx THEN 4
+                    WHEN ndx < 0 AND ndy < 0 AND ndx >= ndy THEN 5
+                    WHEN ndy < 0 AND ndx >= 0 AND ndx < -ndy THEN 6
+                    ELSE 7 END AS INT) AS aspect_oct,
+               CAST(8 * ev - s AS BIGINT) AS tpi8,
+               CAST(tri AS BIGINT) AS tri,
+               CAST(greatest(mxo, ev) - least(mno, ev) AS BIGINT) AS rough,
+               CAST(sx - 2 * ev AS BIGINT) AS zxx,
+               CAST(sy - 2 * ev AS BIGINT) AS zyy,
+               CAST(ixy AS BIGINT) AS ixy4
+        FROM n WHERE bad = 0
     """
     # zonal_stats (r7): cell lat/lon re-derived from the raster_cells
     # golden (tile SW corner parsed from image_id, w/h from max x/y,

@@ -163,6 +163,7 @@ def main():
         # flow-path length (pointer doubling), Strahler stream order
         "mosaic_flow_acc",
         "mosaic_basins",
+        "mosaic_terrain",
         "subword_tokens",
         "subword_pack",
         "hillshade",

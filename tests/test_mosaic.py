@@ -191,3 +191,102 @@ def test_kernel_weighted_pass_scalar():
               for y, x, a, b in zip(ys, xs, acc1, acc3) if b != a}
     assert all(v == 10 for v in gained.values())
     assert (1, 1) in gained
+
+
+# -------------------------------------------- seam-correct stencil surface
+
+def _stencil_bruteforce(rows, nx, ny, size, lat0, lon0):
+    """Whole-mosaic truth: the UNCHANGED per-tile stencil kernels run
+    on the assembled global grid."""
+    g, gx_off, gy_off = _assemble_global(rows, nx, ny, size, lat0, lon0)
+    ys, xs, ndx, ndy = terrain.horn_grid(g)
+    mys, mxs, tpi8, tri, rough, zxx, zyy, ixy4 = terrain.morph_grid(g)
+    assert np.array_equal(ys, mys) and np.array_equal(xs, mxs)
+    oct_ = terrain.aspect_octant(ndx, ndy)
+    return {
+        (gx_off + int(x), gy_off + int(y)): (
+            int(g[y, x]), int(dx), int(dy), int(dx * dx + dy * dy),
+            int(o), int(t8), int(tr), int(ro), int(xx), int(yy), int(i4),
+        )
+        for y, x, dx, dy, o, t8, tr, ro, xx, yy, i4 in zip(
+            ys, xs, ndx, ndy, oct_, tpi8, tri, rough, zxx, zyy, ixy4)
+    }
+
+
+def _stencil_distributed(spark, rows):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    out = mosaic.mosaic_terrain_cells(df).collect()
+    return {
+        (r["gx"], r["gy"]): (
+            r["z"], r["ndx"], r["ndy"], r["slope_q"], r["aspect_oct"],
+            r["tpi8"], r["tri"], r["rough"], r["zxx"], r["zyy"], r["ixy4"],
+        )
+        for r in out
+    }
+
+
+def _stencil_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8, skip=()):
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip)
+    want = _stencil_bruteforce(rows, nx, ny, size, lat0, lon0)
+    got = _stencil_distributed(spark, rows)
+    assert set(got) == set(want), (
+        f"universe mismatch: {len(got)} vs {len(want)}; "
+        f"extra={list(set(got) - set(want))[:5]} "
+        f"missing={list(set(want) - set(got))[:5]}"
+    )
+    bad = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not bad, f"{len(bad)} mismatched cells, first: {bad[:5]}"
+    return want
+
+
+def test_mosaic_terrain_2x2_bit_exact(spark):
+    want = _stencil_check(spark, 2, 2)
+    # the whole point: cells ON the internal seams must be emitted (a
+    # per-tile stencil has no full 3x3 there). Internal seam columns/
+    # rows sit at global offset 32 within the 65x65 gate mosaic.
+    gxs = {gx for gx, _gy in want}
+    gys = {gy for _gx, gy in want}
+    seam_x = min(gxs) - 1 + 32  # gx_off + (size-1); min emitted is off+1
+    seam_y = min(gys) - 1 + 32
+    assert any(gx == seam_x for gx, _ in want), "no seam-column cells emitted"
+    assert any(gy == seam_y for _, gy in want), "no seam-row cells emitted"
+
+
+def test_mosaic_terrain_lshape_bit_exact(spark):
+    # a missing tile: NOVALUE halo suppresses its whole seam, exactly
+    # as the assembled grid decides
+    _stencil_check(spark, 2, 2, seed=9, skip=((0, 1),))
+
+
+def test_mosaic_terrain_3x2_bit_exact(spark):
+    _stencil_check(spark, 3, 2, seed=11)
+
+
+def test_mosaic_terrain_single_tile_equals_per_tile_ops(spark):
+    """1x1 mosaic: the halo ring is all NOVALUE, so mosaic_terrain_cells
+    must equal the per-tile terrain_cells + morphometry_cells exactly
+    (interior cells only, translated to global coordinates)."""
+    import pandas as pd
+
+    size, lat0, lon0 = 33, 47, 8
+    rows = synthetic.mosaic_tile_rows(1, 1, size, 5, lat0, lon0)
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    got = _stencil_distributed(spark, rows)
+    gx0 = mosaic.cell_gx(lon0, 0, size)
+    gy0 = mosaic.cell_gy(lat0, 0, size)
+    per_t = {
+        (gx0 + r["x"], gy0 + r["y"]): (r["ndx"], r["ndy"], r["slope_q"],
+                                       r["aspect_oct"])
+        for r in terrain.terrain_cells(df).collect()
+    }
+    per_m = {
+        (gx0 + r["x"], gy0 + r["y"]): (r["tpi8"], r["tri"], r["rough"],
+                                       r["zxx"], r["zyy"], r["ixy4"])
+        for r in terrain.morphometry_cells(df).collect()
+    }
+    assert set(got) == set(per_t) == set(per_m)
+    for k, v in got.items():
+        assert v[1:5] == per_t[k]
+        assert v[5:] == per_m[k]
