@@ -1239,6 +1239,24 @@ def q_mosaic_terrain(spark, sf_dir):
         synthetic.mosaic_tiles_df(spark, nx=2, ny=2, size=33, seed=7))
 
 
+def q_mosaic_hillshade(spark, sf_dir):
+    """Seam-correct hillshade (late r8): quantized uint8 shade in
+    GLOBAL coordinates, correct ACROSS tile seams — the mosaic closure
+    of the r8 hillshade gate. Same composition as mosaic_terrain (halo
+    exchange + the UNCHANGED per-tile kernel + ownership cut); the gate
+    hashes ONLY the quantized integer. The golden twin re-derives every
+    cell with MATH-MODULE trig scalar loops over the scalar seam-checked
+    ASSEMBLED mosaic grid (tools/make_golden.py g_mosaic_hillshade) —
+    no tiles, halos, or vectorized numpy anywhere in the oracle path;
+    tests/test_mosaic.py additionally pins the engine bit-equal to the
+    assembled-grid kernel on rectangular, L-shaped and non-default-sun
+    mosaics."""
+    from hgt2osm2_spark.ops import mosaic
+
+    return mosaic.mosaic_hillshade_cells(
+        synthetic.mosaic_tiles_df(spark, nx=2, ny=2, size=33, seed=7))
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (r7): per-polygon aggregation of raster cell
     values — the canonical raster x vector op, composed engine-first:
@@ -1996,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_flow_acc": q_mosaic_flow_acc,
         "mosaic_basins": q_mosaic_basins,
         "mosaic_terrain": q_mosaic_terrain,
+        "mosaic_hillshade": q_mosaic_hillshade,
         "subword_tokens": q_subword_tokens,
         "subword_pack": q_subword_pack,
         "hillshade": q_hillshade,
@@ -2046,11 +2065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_counts": q_term_counts,
         "inverted_index": q_inverted_index,
         "point_store": q_point_store,
-        "salted_skew_agg": q_salted_skew_agg,
         # ---- driver window boundary (entry 50 ends above) ----
-        # displaced by the three late-r8 terrain ops (in-window day
-        # one): the r6-green maintenance/sampling trio joins the r9
-        # rotation queue
+        # displaced by the late-r8 ops (in-window day one): the
+        # r6-green maintenance/sampling trio + salted_skew_agg join the
+        # r9 rotation queue
+        "salted_skew_agg": q_salted_skew_agg,
         "merge_upsert": q_merge_upsert,
         "compaction": q_compaction,
         "doc_split_sample": q_doc_split_sample,
@@ -2166,7 +2185,7 @@ GOLDEN_ORACLES = [
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "ann_codebook", "phash_near_dup", "audio_features",
     "image_stats", "tile_clip", "subword_tokens", "hillshade",
-    "stream_order",
+    "stream_order", "mosaic_hillshade",
 ]
 
 

@@ -638,6 +638,81 @@ def _terrain_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+MOSAIC_HILLSHADE_SCHEMA = "gx long, gy long, shade int"
+
+
+def _hillshade_pass(
+    tile_pdf: pd.DataFrame,
+    strips: pd.DataFrame,
+    azimuth_deg: float,
+    altitude_deg: float,
+    z_factor: float,
+) -> pd.DataFrame:
+    """Cogroup body: halo-augmented grid -> quantized uint8 hillshade
+    over the tile's OWNED cells in global coordinates. Pure reuse:
+    ``terrain.hillshade_grid`` runs UNCHANGED on the (h+2, w+2)
+    augmented grid, so owned border cells render with their true
+    cross-seam 3x3 neighborhood."""
+    from .terrain import hillshade_grid, horn_grid
+
+    if len(tile_pdf) == 0:
+        return pd.DataFrame({
+            "gx": pd.Series([], dtype=np.int64),
+            "gy": pd.Series([], dtype=np.int64),
+            "shade": pd.Series([], dtype=np.int32),
+        })
+    img = tile_pdf["image_id"].iloc[0]
+    lat, lon, _k = parse_tile_id(img)
+    (_, grid), = codecs.iter_decoded_tiles(tile_pdf)
+    h, w = grid.shape
+    aug = _assemble_aug(grid, strips)
+    ys, xs, _ndx, _ndy = horn_grid(aug)  # valid cells, aug frame
+    shade = hillshade_grid(aug, azimuth_deg, altitude_deg, z_factor)
+    ly = ys - 1  # aug frame -> local tile frame; shade's interior
+    lx = xs - 1  # render is indexed by the same local coords
+    keep = (lx < w - 1) & (ly < h - 1)
+    ly, lx = ly[keep], lx[keep]
+    gx0 = cell_gx(lon, 0, w)
+    gy0 = cell_gy(lat, 0, h)
+    return pd.DataFrame({
+        "gx": gx0 + lx.astype(np.int64),
+        "gy": gy0 + ly.astype(np.int64),
+        "shade": shade[ly, lx].astype(np.int32),
+    })
+
+
+def mosaic_hillshade_cells(
+    tiles: DataFrame,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """PRODUCTION seam-correct hillshade: tiles (input_hint schema) ->
+    per-owned-cell QUANTIZED uint8 shade in GLOBAL coordinates,
+    correct ACROSS tile seams — the mosaic closure of
+    ``terrain.hillshade_cells`` (which, like every per-tile stencil,
+    cannot render tile-border cells and shades each seam cell from a
+    truncated neighborhood).
+
+    Same scale shape as mosaic_terrain_cells: one perimeter-sized halo
+    exchange, the UNCHANGED per-tile kernel over the augmented grid,
+    ownership cut, no Exchange downstream. The gate hashes ONLY the
+    quantized integer (0..255); the trig stays inside the kernel,
+    re-derived per-cell with math-module trig over the assembled
+    whole-mosaic grid by the golden twin (tools/make_golden.py)."""
+    strips = halo_strips(tiles)
+    return (
+        tiles.groupby("image_id")
+        .cogroup(strips.groupby("image_id"))
+        .applyInPandas(
+            lambda l, r: _hillshade_pass(
+                l, r, azimuth_deg, altitude_deg, z_factor
+            ),
+            schema=MOSAIC_HILLSHADE_SCHEMA,
+        )
+    )
+
+
 def mosaic_terrain_cells(tiles: DataFrame) -> DataFrame:
     """PRODUCTION seam-correct terrain derivatives: tiles (input_hint
     schema; one tile per (lat, lon), lossless formats) -> per-owned-cell

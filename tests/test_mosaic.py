@@ -290,3 +290,68 @@ def test_mosaic_terrain_single_tile_equals_per_tile_ops(spark):
     for k, v in got.items():
         assert v[1:5] == per_t[k]
         assert v[5:] == per_m[k]
+
+
+# ------------------------------------------------------- mosaic hillshade
+
+def _shade_bruteforce(rows, nx, ny, size, lat0, lon0):
+    g, gx_off, gy_off = _assemble_global(rows, nx, ny, size, lat0, lon0)
+    ys, xs, _ndx, _ndy = terrain.horn_grid(g)
+    shade = terrain.hillshade_grid(g)
+    return {
+        (gx_off + int(x), gy_off + int(y)): int(shade[y - 1, x - 1])
+        for y, x in zip(ys, xs)
+    }
+
+
+def _shade_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8, skip=()):
+    import pandas as pd
+
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip)
+    want = _shade_bruteforce(rows, nx, ny, size, lat0, lon0)
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    got = {
+        (r["gx"], r["gy"]): r["shade"]
+        for r in mosaic.mosaic_hillshade_cells(df).collect()
+    }
+    assert set(got) == set(want), (
+        f"universe mismatch: {len(got)} vs {len(want)}"
+    )
+    bad = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not bad, f"{len(bad)} mismatched cells, first: {bad[:5]}"
+    return want
+
+
+def test_mosaic_hillshade_2x2_bit_exact(spark):
+    want = _shade_check(spark, 2, 2)
+    gxs = {gx for gx, _gy in want}
+    seam_x = min(gxs) - 1 + 32
+    assert any(gx == seam_x for gx, _ in want), "no seam-column cells"
+
+
+def test_mosaic_hillshade_lshape_bit_exact(spark):
+    _shade_check(spark, 2, 2, seed=9, skip=((0, 1),))
+
+
+def test_mosaic_hillshade_nondefault_sun(spark):
+    """Non-default azimuth/altitude/z_factor thread through to the
+    kernel — compare against hillshade_grid with the same params on
+    the assembled mosaic."""
+    import pandas as pd
+
+    nx = ny = 2
+    size, seed, lat0, lon0 = 33, 13, 47, 8
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0)
+    g, gx_off, gy_off = _assemble_global(rows, nx, ny, size, lat0, lon0)
+    ys, xs, _dx, _dy = terrain.horn_grid(g)
+    shade = terrain.hillshade_grid(g, 135.0, 60.0, 2.0)
+    want = {
+        (gx_off + int(x), gy_off + int(y)): int(shade[y - 1, x - 1])
+        for y, x in zip(ys, xs)
+    }
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    got = {
+        (r["gx"], r["gy"]): r["shade"]
+        for r in mosaic.mosaic_hillshade_cells(df, 135.0, 60.0, 2.0).collect()
+    }
+    assert got == want

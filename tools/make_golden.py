@@ -480,6 +480,69 @@ def g_mosaic_cells():
 
 
 
+def _scalar_mosaic_grid(nx=2, ny=2, size=33, seed=7, lat0=47, lon0=8):
+    """Scalar seam-checked assembly of the gate mosaic from the ENCODED
+    tile rows (the g_mosaic_cells derivation, factored): returns the
+    (gh, gw) int grid plus the global offsets (gx_off, gy_off)."""
+    from hgt2osm2_spark.ops.mosaic import parse_tile_id
+
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0)
+    nv = int(codecs.NOVALUE)
+    gh, gw = ny * (size - 1) + 1, nx * (size - 1) + 1
+    g = np.full((gh, gw), nv, dtype=np.int32)
+    seen = np.zeros((gh, gw), dtype=bool)
+    for row in rows:
+        lat, lon, _k = parse_tile_id(row["image_id"])
+        r, c = (lat0 + ny - 1) - lat, lon - lon0
+        tile = codecs.decode(row["bytes"], row["fmt"], size, size).astype(np.int32)
+        y0, x0 = r * (size - 1), c * (size - 1)
+        win = g[y0 : y0 + size, x0 : x0 + size]
+        olap = seen[y0 : y0 + size, x0 : x0 + size]
+        assert np.array_equal(win[olap], tile[olap]), "mosaic seam mismatch"
+        g[y0 : y0 + size, x0 : x0 + size] = tile
+        seen[y0 : y0 + size, x0 : x0 + size] = True
+    gx_off = (lon0 + 180) * (size - 1)
+    gy_off = (89 - (lat0 + ny - 1)) * (size - 1)
+    return g, gx_off, gy_off
+
+
+def g_mosaic_hillshade():
+    """Twin of ops/mosaic.mosaic_hillshade_cells over the 2x2 gate
+    mosaic: the g_hillshade per-cell MATH-MODULE trig loop, run over
+    the scalar seam-checked ASSEMBLED global grid — no tiles, halos, or
+    ownership anywhere in the derivation, vs the engine's halo-exchange
+    decomposition of the vectorized kernel."""
+    import math
+
+    g, gx_off, gy_off = _scalar_mosaic_grid()
+    gh, gw = g.shape
+    nv = int(codecs.NOVALUE)
+    zen = math.radians(90.0 - 45.0)
+    az = math.radians(360.0 - 315.0 + 90.0)
+    rows = []
+    for y in range(1, gh - 1):
+        for x in range(1, gw - 1):
+            nb = [int(g[y + dy, x + dx])
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+            if nv in nb:
+                continue
+            a, b, c, d, _e, f, gg, hh, i = nb
+            ndx = (c + 2 * f + i) - (a + 2 * d + gg)
+            ndy = (gg + 2 * hh + i) - (a + 2 * b + c)
+            dzdx, dzdy = ndx / 8.0, ndy / 8.0
+            slope = math.atan(math.hypot(dzdx, dzdy))
+            aspect = math.atan2(-dzdy, dzdx)
+            shade = (math.cos(zen) * math.cos(slope)
+                     + math.sin(zen) * math.sin(slope)
+                     * math.cos(az - aspect))
+            q = int(np.rint(255.0 * min(max(shade, 0.0), 1.0)))
+            rows.append((gx_off + x, gy_off + y, q))
+    df = pd.DataFrame(rows, columns=["gx", "gy", "shade"])
+    _write("mosaic_hillshade", df, pa.schema([
+        ("gx", pa.int64()), ("gy", pa.int64()), ("shade", pa.int32()),
+    ]))
+
+
 TOKENIZER_PARAMS = dict(vocab_size=48, min_count=2, min_pair_count=2,
                         max_words=100_000, max_word_len=32)
 
@@ -1877,6 +1940,7 @@ GENERATORS = {
     "decode_stats": g_decode_stats,
     "raster_cells": g_raster_cells,
     "mosaic_cells": g_mosaic_cells,
+    "mosaic_hillshade": g_mosaic_hillshade,
     "tokenizer_model": g_tokenizer_model,
     "subword_tokens": g_subword_tokens,
     "hillshade": g_hillshade,
