@@ -1257,6 +1257,27 @@ def q_mosaic_hillshade(spark, sf_dir):
         synthetic.mosaic_tiles_df(spark, nx=2, ny=2, size=33, seed=7))
 
 
+def q_mosaic_flow_length(spark, sf_dir):
+    """Cross-tile (mosaic-scale) flow-path length (late r8): per-cell
+    downstream D8 steps split cardinal/diagonal where the path is the
+    WHOLE-MOSAIC path (the mosaic closure of the r8 flow_length gate,
+    whose paths stop at tile borders). Engine: halo exchange + border
+    pass shipping per-entry local path splits, the one-task border
+    solve chaining per-edge downstream splits through its reverse-Kahn,
+    then one per-tile pass + a broadcast join (ops/mosaic.py:
+    mosaic_flow_length — no weighted rerun; length is purely additive).
+    Oracle: DuckDB re-derives global D8 over the seam-checked
+    mosaic_cells golden and walks it ONE STEP AT A TIME with recursive
+    counters (no tiles, halos, border graph, or pointer doubling
+    anywhere) — maximally different derivations. tests/test_mosaic.py
+    additionally pins the engine bit-equal to flow_length_grid on the
+    assembled mosaic, incl. a river crossing two seams."""
+    from hgt2osm2_spark.ops import mosaic
+
+    return mosaic.mosaic_flow_length(
+        synthetic.mosaic_tiles_df(spark, nx=2, ny=2, size=33, seed=7))
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (r7): per-polygon aggregation of raster cell
     values — the canonical raster x vector op, composed engine-first:
@@ -2015,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_basins": q_mosaic_basins,
         "mosaic_terrain": q_mosaic_terrain,
         "mosaic_hillshade": q_mosaic_hillshade,
+        "mosaic_flow_length": q_mosaic_flow_length,
         "subword_tokens": q_subword_tokens,
         "subword_pack": q_subword_pack,
         "hillshade": q_hillshade,
@@ -2051,11 +2073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "phash_near_dup": q_phash_near_dup,
         "stream_dedup": q_stream_dedup,
-        "stream_image_stats": q_stream_image_stats,
         "image_stats": q_image_stats,
         "image_quarantine": q_image_quarantine,
         "audio_features": q_audio_features,
-        "video_features": q_video_features,
         "tile_pyramid": q_tile_pyramid,
         "tile_clip": q_tile_clip,
         "zorder_layout": q_zorder_layout,
@@ -2067,8 +2087,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_store": q_point_store,
         # ---- driver window boundary (entry 50 ends above) ----
         # displaced by the late-r8 ops (in-window day one): the
-        # r6-green maintenance/sampling trio + salted_skew_agg join the
-        # r9 rotation queue
+        # r6-green maintenance/sampling trio + salted_skew_agg, plus
+        # stream_image_stats (value-identical twin of the in-window
+        # image_stats) and video_features, join the r9 rotation queue
+        "stream_image_stats": q_stream_image_stats,
+        "video_features": q_video_features,
         "salted_skew_agg": q_salted_skew_agg,
         "merge_upsert": q_merge_upsert,
         "compaction": q_compaction,
@@ -2859,7 +2882,7 @@ def oracle_sql() -> dict[str, str]:
     # now on global (gx, gy). The engine side is the two-level
     # tile/border decomposition (ops/mosaic.py) — maximally different
     # derivations of an iterative, genuinely cross-partition result.
-    _mosaic_walk_cte = f"""
+    _mosaic_d8_cte = f"""
         WITH RECURSIVE c AS (
             SELECT gx AS x, gy AS y, value
             FROM read_parquet('{golden_dir}/mosaic_cells.parquet')
@@ -2926,8 +2949,10 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 4 THEN 1 WHEN 8 THEN 1
                                     WHEN 32 THEN -1 WHEN 64 THEN -1
                                     WHEN 128 THEN -1 ELSE 0 END)
-        ),
-        walk AS (
+        )
+    """
+    _mosaic_walk_cte = _mosaic_d8_cte + """
+        , walk AS (
             SELECT x AS sx, y AS sy, x AS cx, y AS cy FROM univ
             UNION ALL
             SELECT w.sx, w.sy, e.tx, e.ty
@@ -2961,6 +2986,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(c.value) AS BIGINT) / count(*) AS mean_z
         FROM term t JOIN c USING (x, y)
         GROUP BY t.outlet_gx, t.outlet_gy
+    """
+    # mosaic_flow_length (late r8): the SAME global drainage edges,
+    # walked one step at a time with cardinal/diagonal counters carried
+    # through the recursion (the flow_length oracle shape, now over
+    # global coordinates) — O(path) recursive stepping vs the engine's
+    # two-level decomposition with O(log path) pointer segments.
+    golden["mosaic_flow_length"] = _mosaic_d8_cte + """
+        , walk AS (
+            SELECT x AS sx, y AS sy, x AS cx, y AS cy,
+                   CAST(0 AS BIGINT) AS stp, CAST(0 AS BIGINT) AS crd
+            FROM univ
+            UNION ALL
+            SELECT w.sx, w.sy, e.tx, e.ty, w.stp + 1,
+                   w.crd + CASE WHEN e.x = e.tx OR e.y = e.ty
+                                THEN 1 ELSE 0 END
+            FROM walk w JOIN edge e
+              ON e.x = w.cx AND e.y = w.cy
+        )
+        SELECT CAST(w.sx AS BIGINT) AS gx, CAST(w.sy AS BIGINT) AS gy,
+               w.stp AS steps, w.crd AS n_card,
+               w.stp - w.crd AS n_diag
+        FROM walk w LEFT JOIN edge e
+          ON e.x = w.cx AND e.y = w.cy
+        WHERE e.x IS NULL
     """
     # mosaic_terrain (late r8): the seam-correct stencil surface
     # RECOMPUTED from the mosaic_cells golden with a neighborhood

@@ -90,13 +90,16 @@ _SIDES = {
 STRIP_SCHEMA = "image_id string, side string, pos int, pos2 int, val long"
 BORDER_SCHEMA = (
     "kind string, img string, ax long, ay long, bx long, by long, "
-    "lx int, ly int, v long"
+    "lx int, ly int, v long, s long, c long"
 )
 SOLVE_SCHEMA = (
     "kind string, img string, lx int, ly int, ax long, ay long, "
-    "bx long, by long, v long"
+    "bx long, by long, v long, s long, c long"
 )
 CELLS_SCHEMA = "gx long, gy long, z int, acc long, term_gx long, term_gy long"
+LEN_CELLS_SCHEMA = (
+    "gx long, gy long, lsteps long, lcard long, term_gx long, term_gy long"
+)
 
 
 def parse_tile_id(image_id: str) -> tuple[int, int, str]:
@@ -196,11 +199,19 @@ def mosaic_tile_arrays(aug: np.ndarray, weights: np.ndarray | None = None):
     assert n_done == n, "mosaic D8 graph must be acyclic (strict descent)"
 
     term = np.arange(n, dtype=np.int64)
+    steps = np.zeros(n, dtype=np.int64)
+    ncard = np.zeros(n, dtype=np.int64)
+    # step cell->target is cardinal iff the target shares a row or
+    # column (meaningful only where t >= 0)
+    is_card = ((t_xs == xs) | (t_ys == ys)).astype(np.int64)
     for frontier in reversed(rounds):
         ft = t[frontier]
         has_t = ft >= 0
-        term[frontier[has_t]] = term[ft[has_t]]
-    return ys, xs, acc, term, cross, t_ys, t_xs
+        idx = frontier[has_t]
+        term[idx] = term[ft[has_t]]
+        steps[idx] = steps[ft[has_t]] + 1
+        ncard[idx] = ncard[ft[has_t]] + is_card[idx]
+    return ys, xs, acc, term, cross, t_ys, t_xs, steps, ncard
 
 
 def _assemble_aug(grid: np.ndarray, strips: pd.DataFrame) -> np.ndarray:
@@ -296,12 +307,18 @@ def _empty_border() -> pd.DataFrame:
         "lx": pd.Series([], dtype=np.int32),
         "ly": pd.Series([], dtype=np.int32),
         "v": pd.Series([], dtype=np.int64),
+        "s": pd.Series([], dtype=np.int64),
+        "c": pd.Series([], dtype=np.int64),
     })
 
 
 def _border_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
     """Stage-2 cogroup body: unweighted local pass -> BORDER_SCHEMA
-    rows (exit edges kind='x', entry registry kind='e')."""
+    rows (exit edges kind='x', entry registry kind='e'). Entry rows
+    carry the entry cell's LOCAL path split (s=steps, c=cardinal steps
+    to its local terminal) so the border solve can also chain
+    whole-mosaic flow-path lengths; exit rows leave s/c at 0 (the
+    edge's own cardinality is derivable from its global endpoints)."""
     if len(tile_pdf) == 0:
         return _empty_border()
     img = tile_pdf["image_id"].iloc[0]
@@ -309,7 +326,7 @@ def _border_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
     (_, grid), = codecs.iter_decoded_tiles(tile_pdf)
     h, w = grid.shape
     aug = _assemble_aug(grid, strips)
-    ys, xs, acc, term, cross, t_ys, t_xs = mosaic_tile_arrays(aug)
+    ys, xs, acc, term, cross, t_ys, t_xs, steps, ncard = mosaic_tile_arrays(aug)
     gx0 = cell_gx(lon, 0, w)
     gy0 = cell_gy(lat, 0, h)
     out = []
@@ -324,6 +341,8 @@ def _border_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
             "lx": np.zeros(xi.size, np.int32),
             "ly": np.zeros(xi.size, np.int32),
             "v": acc[xi],
+            "s": np.zeros(xi.size, np.int64),
+            "c": np.zeros(xi.size, np.int64),
         }))
     ring = np.flatnonzero(
         (xs == 0) | (xs == w - 2) | (ys == 0) | (ys == h - 2)
@@ -339,6 +358,8 @@ def _border_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
             "lx": xs[ring].astype(np.int32),
             "ly": ys[ring].astype(np.int32),
             "v": cross[tr].astype(np.int64),
+            "s": steps[ring],
+            "c": ncard[ring],
         }))
     return pd.concat(out, ignore_index=True) if out else _empty_border()
 
@@ -348,7 +369,10 @@ def solve_border_graph(border: pd.DataFrame) -> pd.DataFrame:
     functional exit-edge graph (worklist Kahn, numpy) -> SOLVE_SCHEMA
     rows: per-entry inflow deltas (kind='d', with owner tile + local
     coords for the broadcast back) and the per-edge mosaic terminal
-    map (kind='t'). Pure pandas/numpy — runs as ONE executor task."""
+    map (kind='t', whose s/c columns carry the edge's DOWNSTREAM
+    whole-mosaic path split: total D8 steps / cardinal steps from the
+    edge's source terminal to the mosaic terminal). Pure pandas/numpy
+    — runs as ONE executor task."""
     ex = border[border["kind"] == "x"].reset_index(drop=True)
     en = border[border["kind"] == "e"].reset_index(drop=True)
     empty = pd.DataFrame({
@@ -361,6 +385,8 @@ def solve_border_graph(border: pd.DataFrame) -> pd.DataFrame:
         "bx": pd.Series([], dtype=np.int64),
         "by": pd.Series([], dtype=np.int64),
         "v": pd.Series([], dtype=np.int64),
+        "s": pd.Series([], dtype=np.int64),
+        "c": pd.Series([], dtype=np.int64),
     })
     if len(ex) == 0:
         return empty
@@ -427,13 +453,31 @@ def solve_border_graph(border: pd.DataFrame) -> pd.DataFrame:
 
     # mosaic terminal per edge: dead -> its own src; pit entry -> the
     # entry's local terminal; crossing -> terminal of the successor
-    # (final before us in reverse Kahn order)
+    # (final before us in reverse Kahn order). The SAME reverse pass
+    # chains the downstream path split: a dead edge contributes
+    # nothing (the whole-mosaic kernel terminates the path AT the
+    # source when the D8 target is mosaic-invalid); a live edge is one
+    # step (cardinal iff src/target share a global row or column) plus
+    # the entry's local split plus, when the entry's terminal crosses
+    # again, the successor edge's downstream split.
     t_out = np.where(dead, src_k, 0).astype(np.int64)
     pit = live & ~crossing
     t_out[pit] = term_k[ent[pit]]
+    ex_card = (
+        (ex["ax"].to_numpy(np.int64) == ex["bx"].to_numpy(np.int64))
+        | (ex["ay"].to_numpy(np.int64) == ex["by"].to_numpy(np.int64))
+    ).astype(np.int64)
+    en_s = en["s"].to_numpy(np.int64) if len(en) else np.zeros(0, np.int64)
+    en_c = en["c"].to_numpy(np.int64) if len(en) else np.zeros(0, np.int64)
+    d_steps = np.zeros(m, dtype=np.int64)
+    d_card = np.zeros(m, dtype=np.int64)
+    d_steps[live] = 1 + en_s[ent[live]]
+    d_card[live] = ex_card[live] + en_c[ent[live]]
     for frontier in reversed(rounds):
         fc = frontier[crossing[frontier]]
         t_out[fc] = t_out[succ[fc]]
+        d_steps[fc] += d_steps[succ[fc]]
+        d_card[fc] += d_card[succ[fc]]
 
     out = [pd.DataFrame({
         "kind": "t", "img": "",
@@ -443,6 +487,8 @@ def solve_border_graph(border: pd.DataFrame) -> pd.DataFrame:
         "bx": t_out >> np.int64(32),
         "by": t_out & np.int64(0xFFFFFFFF),
         "v": flow,
+        "s": d_steps,
+        "c": d_card,
     })]
     # per-entry inflow delta = sum of FINAL flow over live edges in
     li = np.flatnonzero(live)
@@ -464,6 +510,8 @@ def solve_border_graph(border: pd.DataFrame) -> pd.DataFrame:
             "bx": np.zeros(uniq_e.size, np.int64),
             "by": np.zeros(uniq_e.size, np.int64),
             "v": dsum,
+            "s": np.zeros(uniq_e.size, np.int64),
+            "c": np.zeros(uniq_e.size, np.int64),
         }))
     return pd.concat(out, ignore_index=True)
 
@@ -490,7 +538,7 @@ def _weighted_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame
     d = strips[strips["side"] == "d"]
     if len(d):
         weights[d["pos"].to_numpy(), d["pos2"].to_numpy()] += d["val"].to_numpy(np.int64)
-    ys, xs, acc, term, _cross, _t_ys, _t_xs = mosaic_tile_arrays(aug, weights)
+    ys, xs, acc, term, _cross, _t_ys, _t_xs, _steps, _ncard = mosaic_tile_arrays(aug, weights)
     gx0 = cell_gx(lon, 0, w)
     gy0 = cell_gy(lat, 0, h)
     return pd.DataFrame({
@@ -575,6 +623,95 @@ def mosaic_basin_stats(tiles: DataFrame) -> DataFrame:
         F.sum("z").cast("long").alias("sum_z"),
         (F.sum("z").cast("long") / F.count("*").cast("long")).alias("mean_z"),
     )
+
+def _length_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
+    """Cogroup body for mosaic_flow_length: unweighted local pass ->
+    per-owned-cell LOCAL path split (lsteps/lcard to the local
+    terminal) plus the terminal's global coords, so one broadcast join
+    to the solved edge map completes the whole-mosaic length."""
+    if len(tile_pdf) == 0:
+        return pd.DataFrame({
+            "gx": pd.Series([], dtype=np.int64),
+            "gy": pd.Series([], dtype=np.int64),
+            "lsteps": pd.Series([], dtype=np.int64),
+            "lcard": pd.Series([], dtype=np.int64),
+            "term_gx": pd.Series([], dtype=np.int64),
+            "term_gy": pd.Series([], dtype=np.int64),
+        })
+    img = tile_pdf["image_id"].iloc[0]
+    lat, lon, _k = parse_tile_id(img)
+    (_, grid), = codecs.iter_decoded_tiles(tile_pdf)
+    h, w = grid.shape
+    aug = _assemble_aug(grid, strips)
+    ys, xs, _acc, term, _cross, _t_ys, _t_xs, steps, ncard = mosaic_tile_arrays(aug)
+    gx0 = cell_gx(lon, 0, w)
+    gy0 = cell_gy(lat, 0, h)
+    return pd.DataFrame({
+        "gx": gx0 + xs.astype(np.int64),
+        "gy": gy0 + ys.astype(np.int64),
+        "lsteps": steps,
+        "lcard": ncard,
+        "term_gx": gx0 + xs[term].astype(np.int64),
+        "term_gy": gy0 + ys[term].astype(np.int64),
+    })
+
+
+def mosaic_flow_length(tiles: DataFrame) -> DataFrame:
+    """PRODUCTION mosaic flow-path length: tiles (input_hint schema) ->
+    per-owned-cell (gx, gy, steps, n_card, n_diag) where steps counts
+    the WHOLE-MOSAIC downstream D8 path (bit-equal to running
+    ``terrain.flow_length_grid`` on the assembled mosaic grid — pinned
+    in tests/test_mosaic.py). The mosaic closure of the per-tile
+    ``terrain.flow_path_length``, whose paths stop at tile borders.
+
+    Composition: the drainage family's halo exchange + border pass
+    (``_border_pass`` now also ships each entry cell's local path
+    split), the one-task border solve (whose reverse-Kahn chains
+    per-edge downstream splits alongside the terminal map), then ONE
+    more per-tile pass and a BROADCAST join from each cell's local
+    terminal to the solved edge map — total = local split + edge
+    downstream split. Unlike accumulation, length is purely additive
+    along the path (no inflow), so no weighted rerun / delta strips
+    are needed: the raster crosses exactly two cogroups and nothing
+    else shuffles (strips, border rows and the edge map stay
+    perimeter-sized). Integer-exact gate surface: steps/n_card/n_diag
+    are counts; the metric length n_card + sqrt(2)*n_diag never enters
+    a hashed column."""
+    strips = halo_strips(tiles)
+    border = (
+        tiles.groupby("image_id")
+        .cogroup(strips.groupby("image_id"))
+        .applyInPandas(lambda l, r: _border_pass(l, r), schema=BORDER_SCHEMA)
+    )
+    solved = border.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        lambda _k, pdf: solve_border_graph(pdf), schema=SOLVE_SCHEMA
+    )
+    edge_len = solved.filter(F.col("kind") == "t").select(
+        F.col("ax").alias("t_src_gx"),
+        F.col("ay").alias("t_src_gy"),
+        F.col("s").alias("d_steps"),
+        F.col("c").alias("d_card"),
+    )
+    cells = (
+        tiles.groupby("image_id")
+        .cogroup(strips.groupby("image_id"))
+        .applyInPandas(lambda l, r: _length_pass(l, r), schema=LEN_CELLS_SCHEMA)
+    )
+    steps = F.col("lsteps") + F.coalesce(F.col("d_steps"), F.lit(0))
+    n_card = F.col("lcard") + F.coalesce(F.col("d_card"), F.lit(0))
+    return cells.join(
+        F.broadcast(edge_len),
+        (F.col("term_gx") == F.col("t_src_gx"))
+        & (F.col("term_gy") == F.col("t_src_gy")),
+        "left",
+    ).select(
+        "gx",
+        "gy",
+        steps.cast("long").alias("steps"),
+        n_card.cast("long").alias("n_card"),
+        (steps - n_card).cast("long").alias("n_diag"),
+    )
+
 
 # -------------------------------------------------- seam-correct stencils
 

@@ -180,7 +180,7 @@ def test_kernel_weighted_pass_scalar():
          [9, 9, 9, 9, 0]], dtype=np.int64)
     aug = np.full((7, 7), NV, dtype=np.int64)
     aug[1:6, 1:6] = g
-    ys, xs, acc1, term, cross, t_ys, t_xs = mosaic.mosaic_tile_arrays(aug)
+    ys, xs, acc1, term, cross, t_ys, t_xs, _st, _nc = mosaic.mosaic_tile_arrays(aug)
     w = np.ones((4, 4), dtype=np.int64)
     ys2, xs2, acc2, *_ = mosaic.mosaic_tile_arrays(aug, w)
     assert np.array_equal(acc1, acc2)  # weight 1 == unweighted
@@ -290,6 +290,135 @@ def test_mosaic_terrain_single_tile_equals_per_tile_ops(spark):
     for k, v in got.items():
         assert v[1:5] == per_t[k]
         assert v[5:] == per_m[k]
+
+
+# ------------------------------------------------- mosaic flow-path length
+
+def _length_bruteforce(rows, nx, ny, size, lat0, lon0):
+    """Whole-mosaic truth: the UNCHANGED per-tile pointer-doubling
+    kernel run on the assembled global grid."""
+    g, gx_off, gy_off = _assemble_global(rows, nx, ny, size, lat0, lon0)
+    ys, xs, steps, n_card, n_diag = terrain.flow_length_grid(g)
+    return {
+        (gx_off + int(x), gy_off + int(y)): (int(s), int(c), int(d))
+        for y, x, s, c, d in zip(ys, xs, steps, n_card, n_diag)
+    }
+
+
+def _length_distributed(spark, rows):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    return {
+        (r["gx"], r["gy"]): (r["steps"], r["n_card"], r["n_diag"])
+        for r in mosaic.mosaic_flow_length(df).collect()
+    }
+
+
+def _length_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8, skip=()):
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip)
+    want = _length_bruteforce(rows, nx, ny, size, lat0, lon0)
+    got = _length_distributed(spark, rows)
+    assert set(got) == set(want), (
+        f"universe mismatch: {len(got)} vs {len(want)}; "
+        f"extra={list(set(got) - set(want))[:5]} "
+        f"missing={list(set(want) - set(got))[:5]}"
+    )
+    bad = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not bad, f"{len(bad)} mismatched cells, first: {bad[:5]}"
+    return rows, want
+
+
+def test_mosaic_flow_length_2x2_bit_exact(spark):
+    rows, want = _length_check(spark, 2, 2)
+    # the gate shape must exercise cross-tile paths: some cell's
+    # whole-mosaic length must EXCEED its per-tile length
+    per_tile = {}
+    for row in rows:
+        lat, lon, _k = mosaic.parse_tile_id(row["image_id"])
+        tile = codecs.decode(row["bytes"], row["fmt"], 33, 33)
+        gx0, gy0 = mosaic.cell_gx(lon, 0, 33), mosaic.cell_gy(lat, 0, 33)
+        ys, xs, steps, _c, _d = terrain.flow_length_grid(tile)
+        for y, x, s in zip(ys, xs, steps):
+            per_tile[(gx0 + int(x), gy0 + int(y))] = int(s)
+    longer = [k for k, v in want.items()
+              if k in per_tile and v[0] > per_tile[k]]
+    assert longer, "no path crosses a tile border - gate shape too weak"
+
+
+def test_mosaic_flow_length_3x2_bit_exact(spark):
+    _length_check(spark, 3, 2, seed=11)
+
+
+def test_mosaic_flow_length_lshape_bit_exact(spark):
+    _length_check(spark, 2, 2, seed=9, skip=((0, 1),))
+
+
+def test_mosaic_flow_length_river_two_seams(spark):
+    """The 3x1 pure-ramp mosaic: the east rim's path crosses BOTH
+    seams; its steps must count the whole west-bound run (gw-3 cardinal
+    steps from the easternmost interior column to the westmost)."""
+    size, nx, ny, lat0, lon0 = 17, 3, 1, 47, 8
+    gw = nx * (size - 1) + 1
+    g = (np.arange(size)[:, None] * 0
+         + np.arange(gw)[None, :] * 3 + 100).astype(np.int16)
+    from hgt2osm2_spark.ops.mosaic import tile_id
+
+    rows = []
+    for c in range(nx):
+        tile = g[:, c * (size - 1) : c * (size - 1) + size]
+        img = tile_id(lat0, lon0 + c, "0")
+        rows.append({
+            "image_id": img, "bytes": codecs.encode(tile, "hgt"),
+            "w": size, "h": size, "fmt": "hgt",
+            "caption": f"ramp {img}", "phash": codecs.phash64(tile),
+        })
+    want = _length_bruteforce(rows, nx, ny, size, lat0, lon0)
+    got = _length_distributed(spark, rows)
+    assert got == want
+    max_steps = max(s for s, _c, _d in got.values())
+    assert max_steps == gw - 3, "longest path must span the whole mosaic"
+    # pure west-bound run: every step is cardinal
+    assert all(d == 0 for _s, _c, d in got.values())
+
+
+def test_mosaic_flow_length_single_tile_equals_per_tile(spark):
+    """1x1 mosaic: all-NOVALUE halo, so mosaic_flow_length must equal
+    terrain.flow_length_grid on the bare tile translated to global."""
+    rows = synthetic.mosaic_tile_rows(1, 1, 33, seed=5)
+    tile = codecs.decode(rows[0]["bytes"], rows[0]["fmt"], 33, 33)
+    ys, xs, steps, n_card, n_diag = terrain.flow_length_grid(tile)
+    lat, lon, _k = mosaic.parse_tile_id(rows[0]["image_id"])
+    gx0, gy0 = mosaic.cell_gx(lon, 0, 33), mosaic.cell_gy(lat, 0, 33)
+    want = {
+        (gx0 + int(x), gy0 + int(y)): (int(s), int(c), int(d))
+        for y, x, s, c, d in zip(ys, xs, steps, n_card, n_diag)
+    }
+    assert _length_distributed(spark, rows) == want
+
+
+def test_kernel_steps_scalar():
+    """mosaic_tile_arrays steps/ncard: hand-walkable 4x4 owned box —
+    the ramp row drains west (cardinal), and steps equals each cell's
+    distance to the local terminal."""
+    g = np.array(
+        [[9, 9, 9, 9, 9],
+         [9, 5, 4, 3, 9],
+         [9, 6, 5, 2, 9],
+         [9, 7, 6, 1, 9],
+         [9, 9, 9, 9, 0]], dtype=np.int64)
+    aug = np.full((7, 7), NV, dtype=np.int64)
+    aug[1:6, 1:6] = g
+    ys, xs, _acc, term, _cross, _ty, _tx, steps, ncard = (
+        mosaic.mosaic_tile_arrays(aug))
+    by_cell = {(int(y), int(x)): (int(s), int(c))
+               for y, x, s, c in zip(ys, xs, steps, ncard)}
+    # terminals have zero-length paths
+    for i, t in enumerate(term):
+        if t == i:
+            assert by_cell[(int(ys[i]), int(xs[i]))][0] == 0
+    # diag count never exceeds steps; every non-terminal has steps >= 1
+    assert all(0 <= c <= s for s, c in by_cell.values())
 
 
 # ------------------------------------------------------- mosaic hillshade
