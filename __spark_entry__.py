@@ -1278,6 +1278,31 @@ def q_mosaic_flow_length(spark, sf_dir):
         synthetic.mosaic_tiles_df(spark, nx=2, ny=2, size=33, seed=7))
 
 
+def q_mosaic_stream_order(spark, sf_dir):
+    """Mosaic-scale Strahler stream order (late r8): both the stream
+    mask (WHOLE-MOSAIC accumulation >= 5) and the orders are mosaic
+    truths — the closure of the r8 per-tile stream_order gate, whose
+    orders reset at tile borders. Engine: the drainage pipeline through
+    the delta broadcast (so the weighted pass sees mosaic acc), a
+    stream pass emitting only the sparse skeleton, and one bounded
+    task running the (max, count-at-max) Kahn over it
+    (ops/mosaic.mosaic_stream_order — Strahler is neither additive nor
+    functional-path-shaped, so it rides the skeleton, not the border
+    solve). Oracle: the g_stream_order fully scalar derivation
+    (per-cell loop D8, memoized recursion, post-order fold) over the
+    scalar seam-checked ASSEMBLED mosaic grid
+    (tools/make_golden.py g_mosaic_stream_order) — no tiles, halos,
+    border graph, or Kahn rounds anywhere. tests/test_mosaic.py
+    additionally pins the engine bit-equal to stream_order_grid on the
+    assembled mosaic, incl. a cell that is a stream cell ONLY because
+    cross-tile inflow lifted its accumulation."""
+    from hgt2osm2_spark.ops import mosaic
+
+    return mosaic.mosaic_stream_order(
+        synthetic.mosaic_tiles_df(spark, nx=2, ny=2, size=33, seed=7),
+        min_acc=5)
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (r7): per-polygon aggregation of raster cell
     values — the canonical raster x vector op, composed engine-first:
@@ -2037,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_terrain": q_mosaic_terrain,
         "mosaic_hillshade": q_mosaic_hillshade,
         "mosaic_flow_length": q_mosaic_flow_length,
+        "mosaic_stream_order": q_mosaic_stream_order,
         "subword_tokens": q_subword_tokens,
         "subword_pack": q_subword_pack,
         "hillshade": q_hillshade,
@@ -2078,7 +2104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "tile_pyramid": q_tile_pyramid,
         "tile_clip": q_tile_clip,
-        "zorder_layout": q_zorder_layout,
         "pack_sequences": q_pack_sequences,
         "contour_nodes_banded": q_contour_nodes_banded,
         "pyfiles_contour": q_pyfiles_contour,
@@ -2089,9 +2114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by the late-r8 ops (in-window day one): the
         # r6-green maintenance/sampling trio + salted_skew_agg, plus
         # stream_image_stats (value-identical twin of the in-window
-        # image_stats) and video_features, join the r9 rotation queue
+        # image_stats), video_features and zorder_layout (pure-JVM
+        # Morton expression), join the r9 rotation queue
         "stream_image_stats": q_stream_image_stats,
         "video_features": q_video_features,
+        "zorder_layout": q_zorder_layout,
         "salted_skew_agg": q_salted_skew_agg,
         "merge_upsert": q_merge_upsert,
         "compaction": q_compaction,
@@ -2208,7 +2235,7 @@ GOLDEN_ORACLES = [
     "minhash_lsh", "simhash_pairs", "fingerprint", "embedding_near_dup",
     "ann_lsh", "ann_ivf", "ann_codebook", "phash_near_dup", "audio_features",
     "image_stats", "tile_clip", "subword_tokens", "hillshade",
-    "stream_order", "mosaic_hillshade",
+    "stream_order", "mosaic_hillshade", "mosaic_stream_order",
 ]
 
 

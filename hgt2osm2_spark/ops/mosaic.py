@@ -136,8 +136,13 @@ def mosaic_tile_arrays(aug: np.ndarray, weights: np.ndarray | None = None):
       term  index (into these arrays) of each cell's local terminal,
       cross boolean per cell index: True where the cell's own D8
             target leaves the owned box (an exit-edge source),
-      t_ys/t_xs the D8 target's local coords (only meaningful at
-            cross cells; may be -1 / w-1 / h-1).
+      t_ys/t_xs the D8 target's local coords (meaningful where the
+            cell has a descent target; may be -1 / w-1 / h-1),
+      steps/ncard per-cell D8 steps (total / cardinal) to the local
+            terminal,
+      t     index (into these arrays) of each cell's IMMEDIATE in-box
+            target, -1 at terminals and cross cells — so a cell has a
+            live mosaic target iff (t >= 0) | cross.
 
     Same vectorized worklist-Kahn rounds as
     terrain.flow_accumulate_grid (acyclic by strict descent), with two
@@ -211,7 +216,7 @@ def mosaic_tile_arrays(aug: np.ndarray, weights: np.ndarray | None = None):
         term[idx] = term[ft[has_t]]
         steps[idx] = steps[ft[has_t]] + 1
         ncard[idx] = ncard[ft[has_t]] + is_card[idx]
-    return ys, xs, acc, term, cross, t_ys, t_xs, steps, ncard
+    return ys, xs, acc, term, cross, t_ys, t_xs, steps, ncard, t
 
 
 def _assemble_aug(grid: np.ndarray, strips: pd.DataFrame) -> np.ndarray:
@@ -326,7 +331,7 @@ def _border_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
     (_, grid), = codecs.iter_decoded_tiles(tile_pdf)
     h, w = grid.shape
     aug = _assemble_aug(grid, strips)
-    ys, xs, acc, term, cross, t_ys, t_xs, steps, ncard = mosaic_tile_arrays(aug)
+    ys, xs, acc, term, cross, t_ys, t_xs, steps, ncard, _t = mosaic_tile_arrays(aug)
     gx0 = cell_gx(lon, 0, w)
     gy0 = cell_gy(lat, 0, h)
     out = []
@@ -538,7 +543,7 @@ def _weighted_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame
     d = strips[strips["side"] == "d"]
     if len(d):
         weights[d["pos"].to_numpy(), d["pos2"].to_numpy()] += d["val"].to_numpy(np.int64)
-    ys, xs, acc, term, _cross, _t_ys, _t_xs, _steps, _ncard = mosaic_tile_arrays(aug, weights)
+    ys, xs, acc, term, _cross, _t_ys, _t_xs, _steps, _ncard, _t = mosaic_tile_arrays(aug, weights)
     gx0 = cell_gx(lon, 0, w)
     gy0 = cell_gy(lat, 0, h)
     return pd.DataFrame({
@@ -624,6 +629,176 @@ def mosaic_basin_stats(tiles: DataFrame) -> DataFrame:
         (F.sum("z").cast("long") / F.count("*").cast("long")).alias("mean_z"),
     )
 
+STREAM_CELLS_SCHEMA = "gx long, gy long, acc long, tgt_gx long, tgt_gy long"
+MOSAIC_STREAM_SCHEMA = "gx long, gy long, acc long, sorder long"
+
+
+def _stream_pass(
+    tile_pdf: pd.DataFrame, strips: pd.DataFrame, min_acc: int
+) -> pd.DataFrame:
+    """Cogroup body for mosaic_stream_order: WEIGHTED local pass
+    (deltas riding the strip frame as side='d', so acc is the mosaic
+    accumulation) -> the tile's owned STREAM cells (acc >= min_acc)
+    with their immediate D8 target in global coordinates (-1/-1 at
+    terminals). Only the sparse stream skeleton leaves the task."""
+    if len(tile_pdf) == 0:
+        return pd.DataFrame({
+            "gx": pd.Series([], dtype=np.int64),
+            "gy": pd.Series([], dtype=np.int64),
+            "acc": pd.Series([], dtype=np.int64),
+            "tgt_gx": pd.Series([], dtype=np.int64),
+            "tgt_gy": pd.Series([], dtype=np.int64),
+        })
+    img = tile_pdf["image_id"].iloc[0]
+    lat, lon, _k = parse_tile_id(img)
+    (_, grid), = codecs.iter_decoded_tiles(tile_pdf)
+    h, w = grid.shape
+    aug = _assemble_aug(grid, strips)
+    weights = np.ones((h - 1, w - 1), dtype=np.int64)
+    d = strips[strips["side"] == "d"]
+    if len(d):
+        weights[d["pos"].to_numpy(), d["pos2"].to_numpy()] += d["val"].to_numpy(np.int64)
+    ys, xs, acc, _term, cross, t_ys, t_xs, _s, _c, t = mosaic_tile_arrays(aug, weights)
+    gx0 = cell_gx(lon, 0, w)
+    gy0 = cell_gy(lat, 0, h)
+    keep = acc >= min_acc
+    has_tgt = (t >= 0) | cross  # live descent target somewhere in the mosaic
+    tgx = np.where(has_tgt, gx0 + t_xs, np.int64(-1))
+    tgy = np.where(has_tgt, gy0 + t_ys, np.int64(-1))
+    return pd.DataFrame({
+        "gx": gx0 + xs[keep].astype(np.int64),
+        "gy": gy0 + ys[keep].astype(np.int64),
+        "acc": acc[keep],
+        "tgt_gx": tgx[keep],
+        "tgt_gy": tgy[keep],
+    })
+
+
+def solve_stream_order(cells: pd.DataFrame) -> pd.DataFrame:
+    """Strahler over the whole-mosaic stream skeleton: the
+    (max order, count-at-max) worklist-Kahn of
+    terrain.stream_order_grid, run once on the assembled sparse edge
+    list. A target absent from the node set is a terminal (dead edge
+    or sub-threshold — the latter cannot happen: mosaic acc is
+    nondecreasing along flow, so the skeleton is descent-closed).
+    Pure pandas/numpy — ONE executor task."""
+    n = len(cells)
+    if n == 0:
+        return pd.DataFrame({
+            "gx": pd.Series([], dtype=np.int64),
+            "gy": pd.Series([], dtype=np.int64),
+            "acc": pd.Series([], dtype=np.int64),
+            "sorder": pd.Series([], dtype=np.int64),
+        })
+    gx = cells["gx"].to_numpy(np.int64)
+    gy = cells["gy"].to_numpy(np.int64)
+    acc = cells["acc"].to_numpy(np.int64)
+    tgx = cells["tgt_gx"].to_numpy(np.int64)
+    tgy = cells["tgt_gy"].to_numpy(np.int64)
+    key = (gx << np.int64(32)) | gy
+    order_k = np.argsort(key, kind="stable")
+    key_sorted = key[order_k]
+    has = tgx >= 0
+    tkey = (tgx << np.int64(32)) | tgy
+    st = np.full(n, -1, dtype=np.int64)
+    pos = np.searchsorted(key_sorted, tkey[has])
+    pos_c = np.clip(pos, 0, n - 1)
+    ok = key_sorted[pos_c] == tkey[has]
+    st[np.flatnonzero(has)[ok]] = order_k[pos_c[ok]]
+
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, st[st >= 0], 1)
+    mx = np.zeros(n, dtype=np.int64)
+    cnt = np.zeros(n, dtype=np.int64)
+    sorder = np.zeros(n, dtype=np.int64)
+    frontier = np.flatnonzero(indeg == 0)
+    n_done = 0
+    while frontier.size:
+        sorder[frontier] = np.where(
+            mx[frontier] == 0, 1, mx[frontier] + (cnt[frontier] >= 2)
+        )
+        n_done += frontier.size
+        ft = st[frontier]
+        hs = ft >= 0
+        tgt = ft[hs]
+        if tgt.size == 0:
+            break
+        o = sorder[frontier][hs]
+        srt = np.lexsort((o, tgt))
+        tgt_s, o_s = tgt[srt], o[srt]
+        cuts = np.flatnonzero(np.r_[True, tgt_s[1:] != tgt_s[:-1]])
+        ends = np.r_[cuts[1:], len(tgt_s)] - 1
+        uniq = tgt_s[cuts]
+        rmx = o_s[ends]
+        at_max = (o_s == np.repeat(
+            rmx, np.diff(np.r_[cuts, len(tgt_s)]))).astype(np.int64)
+        rcnt = np.add.reduceat(at_max, cuts)
+        better = rmx > mx[uniq]
+        same = rmx == mx[uniq]
+        mx[uniq] = np.where(better, rmx, mx[uniq])
+        cnt[uniq] = np.where(better, rcnt, cnt[uniq] + np.where(same, rcnt, 0))
+        indeg[uniq] -= np.diff(np.r_[cuts, len(tgt_s)])
+        frontier = uniq[indeg[uniq] == 0]
+    assert n_done == n, "mosaic stream subgraph must be acyclic"
+    return pd.DataFrame({"gx": gx, "gy": gy, "acc": acc, "sorder": sorder})
+
+
+def mosaic_stream_order(tiles: DataFrame, min_acc: int = 5) -> DataFrame:
+    """PRODUCTION mosaic-scale Strahler stream order: tiles
+    (input_hint schema) -> per-stream-cell (gx, gy, acc, sorder) where
+    BOTH the stream mask (mosaic accumulation >= min_acc) and the
+    Strahler orders are WHOLE-MOSAIC truths (bit-equal to running
+    ``terrain.stream_order_grid`` on the assembled mosaic grid —
+    pinned in tests/test_mosaic.py). The mosaic closure of the r8
+    per-tile ``stream_order``, whose orders reset at tile borders.
+
+    Composition: the drainage pipeline through the delta broadcast
+    (halo exchange, border pass, one-task border solve — so the
+    weighted per-tile pass sees the MOSAIC accumulation), then a
+    stream pass that emits only the sparse stream skeleton (owned
+    cells at/above threshold + their immediate D8 target in global
+    coords), and ONE more bounded task running the (max, count-at-max)
+    Kahn over the assembled skeleton. Strahler is neither additive nor
+    functional-path-shaped (a junction's order depends on the multiset
+    of inflow orders), so it rides the skeleton, not the border solve.
+
+    Scale shape: the raster crosses two cogroups (co-located under
+    image_id bucketing); everything else is perimeter-sized except the
+    skeleton itself, which is ~n_valid/min_acc rows (production
+    thresholds ~10^3-10^4 make it 3-4 orders sparser than the raster;
+    the documented fallback if a mosaic's skeleton outgrows one
+    executor is the same distributed-rounds variant as the border
+    solve's). Integer-exact gate surface (counts and orders)."""
+    strips = halo_strips(tiles)
+    border = (
+        tiles.groupby("image_id")
+        .cogroup(strips.groupby("image_id"))
+        .applyInPandas(lambda l, r: _border_pass(l, r), schema=BORDER_SCHEMA)
+    )
+    solved = border.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        lambda _k, pdf: solve_border_graph(pdf), schema=SOLVE_SCHEMA
+    )
+    deltas = solved.filter(F.col("kind") == "d").select(
+        F.col("img").alias("image_id"),
+        F.lit("d").alias("side"),
+        F.col("ly").alias("pos"),
+        F.col("lx").alias("pos2"),
+        F.col("v").alias("val"),
+    )
+    strips2 = strips.unionByName(deltas)
+    skeleton = (
+        tiles.groupby("image_id")
+        .cogroup(strips2.groupby("image_id"))
+        .applyInPandas(
+            lambda l, r: _stream_pass(l, r, min_acc),
+            schema=STREAM_CELLS_SCHEMA,
+        )
+    )
+    return skeleton.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        lambda _k, pdf: solve_stream_order(pdf), schema=MOSAIC_STREAM_SCHEMA
+    )
+
+
 def _length_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
     """Cogroup body for mosaic_flow_length: unweighted local pass ->
     per-owned-cell LOCAL path split (lsteps/lcard to the local
@@ -643,7 +818,7 @@ def _length_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
     (_, grid), = codecs.iter_decoded_tiles(tile_pdf)
     h, w = grid.shape
     aug = _assemble_aug(grid, strips)
-    ys, xs, _acc, term, _cross, _t_ys, _t_xs, steps, ncard = mosaic_tile_arrays(aug)
+    ys, xs, _acc, term, _cross, _t_ys, _t_xs, steps, ncard, _t = mosaic_tile_arrays(aug)
     gx0 = cell_gx(lon, 0, w)
     gy0 = cell_gy(lat, 0, h)
     return pd.DataFrame({

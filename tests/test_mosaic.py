@@ -180,7 +180,7 @@ def test_kernel_weighted_pass_scalar():
          [9, 9, 9, 9, 0]], dtype=np.int64)
     aug = np.full((7, 7), NV, dtype=np.int64)
     aug[1:6, 1:6] = g
-    ys, xs, acc1, term, cross, t_ys, t_xs, _st, _nc = mosaic.mosaic_tile_arrays(aug)
+    ys, xs, acc1, term, cross, t_ys, t_xs, _st, _nc, _t = mosaic.mosaic_tile_arrays(aug)
     w = np.ones((4, 4), dtype=np.int64)
     ys2, xs2, acc2, *_ = mosaic.mosaic_tile_arrays(aug, w)
     assert np.array_equal(acc1, acc2)  # weight 1 == unweighted
@@ -409,7 +409,7 @@ def test_kernel_steps_scalar():
          [9, 9, 9, 9, 0]], dtype=np.int64)
     aug = np.full((7, 7), NV, dtype=np.int64)
     aug[1:6, 1:6] = g
-    ys, xs, _acc, term, _cross, _ty, _tx, steps, ncard = (
+    ys, xs, _acc, term, _cross, _ty, _tx, steps, ncard, _t = (
         mosaic.mosaic_tile_arrays(aug))
     by_cell = {(int(y), int(x)): (int(s), int(c))
                for y, x, s, c in zip(ys, xs, steps, ncard)}
@@ -419,6 +419,89 @@ def test_kernel_steps_scalar():
             assert by_cell[(int(ys[i]), int(xs[i]))][0] == 0
     # diag count never exceeds steps; every non-terminal has steps >= 1
     assert all(0 <= c <= s for s, c in by_cell.values())
+
+
+# --------------------------------------------------- mosaic stream order
+
+def _order_bruteforce(rows, nx, ny, size, lat0, lon0, min_acc):
+    """Whole-mosaic truth: the UNCHANGED per-tile (max, count-at-max)
+    kernel run on the assembled global grid."""
+    g, gx_off, gy_off = _assemble_global(rows, nx, ny, size, lat0, lon0)
+    ys, xs, acc, order = terrain.stream_order_grid(g, min_acc)
+    return {
+        (gx_off + int(x), gy_off + int(y)): (int(a), int(o))
+        for y, x, a, o in zip(ys, xs, acc, order)
+    }
+
+
+def _order_distributed(spark, rows, min_acc):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    return {
+        (r["gx"], r["gy"]): (r["acc"], r["sorder"])
+        for r in mosaic.mosaic_stream_order(df, min_acc).collect()
+    }
+
+
+def _order_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8,
+                 skip=(), min_acc=5):
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip)
+    want = _order_bruteforce(rows, nx, ny, size, lat0, lon0, min_acc)
+    got = _order_distributed(spark, rows, min_acc)
+    assert set(got) == set(want), (
+        f"stream-universe mismatch: {len(got)} vs {len(want)}; "
+        f"extra={list(set(got) - set(want))[:5]} "
+        f"missing={list(set(want) - set(got))[:5]}"
+    )
+    bad = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not bad, f"{len(bad)} mismatched cells, first: {bad[:5]}"
+    return rows, want
+
+
+def test_mosaic_stream_order_2x2_bit_exact(spark):
+    rows, want = _order_check(spark, 2, 2)
+    # the gate shape must have real junctions (order >= 2 somewhere)
+    # and its stream mask must differ from the per-tile one (some cell
+    # is a stream cell only because CROSS-TILE inflow lifted its acc)
+    assert max(o for _a, o in want.values()) >= 2, "no junction in gate"
+    per_tile = {}
+    for row in rows:
+        lat, lon, _k = mosaic.parse_tile_id(row["image_id"])
+        tile = codecs.decode(row["bytes"], row["fmt"], 33, 33)
+        gx0, gy0 = mosaic.cell_gx(lon, 0, 33), mosaic.cell_gy(lat, 0, 33)
+        ys, xs, _acc, _o = terrain.stream_order_grid(tile, 5)
+        for y, x in zip(ys, xs):
+            per_tile[(gx0 + int(x), gy0 + int(y))] = True
+    only_mosaic = [k for k in want if k not in per_tile]
+    assert only_mosaic, "stream mask identical to per-tile - shape too weak"
+
+
+def test_mosaic_stream_order_3x2_bit_exact(spark):
+    _order_check(spark, 3, 2, seed=11)
+
+
+def test_mosaic_stream_order_lshape_bit_exact(spark):
+    _order_check(spark, 2, 2, seed=9, skip=((0, 1),))
+
+
+def test_mosaic_stream_order_min_acc_threads(spark):
+    _order_check(spark, 2, 2, seed=7, min_acc=12)
+
+
+def test_mosaic_stream_order_single_tile_equals_per_tile(spark):
+    """1x1 mosaic: all-NOVALUE halo, so mosaic_stream_order must equal
+    terrain.stream_order_grid on the bare tile translated to global."""
+    rows = synthetic.mosaic_tile_rows(1, 1, 33, seed=5)
+    tile = codecs.decode(rows[0]["bytes"], rows[0]["fmt"], 33, 33)
+    ys, xs, acc, order = terrain.stream_order_grid(tile, 5)
+    lat, lon, _k = mosaic.parse_tile_id(rows[0]["image_id"])
+    gx0, gy0 = mosaic.cell_gx(lon, 0, 33), mosaic.cell_gy(lat, 0, 33)
+    want = {
+        (gx0 + int(x), gy0 + int(y)): (int(a), int(o))
+        for y, x, a, o in zip(ys, xs, acc, order)
+    }
+    assert _order_distributed(spark, rows, 5) == want
 
 
 # ------------------------------------------------------- mosaic hillshade

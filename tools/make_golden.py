@@ -543,6 +543,89 @@ def g_mosaic_hillshade():
     ]))
 
 
+def g_mosaic_stream_order():
+    """Twin of ops/mosaic.mosaic_stream_order over the 2x2 gate mosaic
+    (min_acc = 5): the g_stream_order fully SCALAR derivation — per-cell
+    loop D8 with the smallest-code tie rule, memoized upstream-count
+    recursion, explicit-stack post-order Strahler fold — run over the
+    scalar seam-checked ASSEMBLED global grid. No tiles, halos, border
+    graph, deltas, or (max, count-at-max) Kahn anywhere in the
+    derivation, vs the engine's two-level decomposition + one-task
+    skeleton solve."""
+    nv = int(codecs.NOVALUE)
+    d8n = ((1, 1, 0), (2, 1, 1), (4, 0, 1), (8, -1, 1),
+           (16, -1, 0), (32, -1, -1), (64, 0, -1), (128, 1, -1))
+    g, gx_off, gy_off = _scalar_mosaic_grid()
+    gh, gw = g.shape
+    target = {}
+    for y in range(1, gh - 1):
+        for x in range(1, gw - 1):
+            nb = [int(g[y + dy, x + dx])
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+            if nv in nb:
+                continue
+            e = int(g[y, x])
+            best, code, tdxy = 0, 0, None
+            for c, dx, dy in d8n:
+                drop = e - int(g[y + dy, x + dx])
+                if drop <= 0:
+                    continue
+                score = drop * drop * (2 if dx == 0 or dy == 0 else 1)
+                if score > best:
+                    best, code, tdxy = score, c, (dy, dx)
+            target[(y, x)] = (
+                (y + tdxy[0], x + tdxy[1]) if code else None
+            )
+    up = {}
+    for cell, t in target.items():
+        if t is not None and t in target:
+            up.setdefault(t, []).append(cell)
+    acc = {}
+    for root in target:
+        stack = [(root, False)]
+        while stack:
+            node, expanded = stack.pop()
+            if node in acc:
+                continue
+            kids = up.get(node, [])
+            pend = [k for k in kids if k not in acc]
+            if not expanded and pend:
+                stack.append((node, True))
+                stack.extend((k, False) for k in pend)
+            else:
+                acc[node] = 1 + sum(acc[k] for k in kids)
+    stream = {c for c, a in acc.items() if a >= 5}
+    sup = {c: [k for k in up.get(c, []) if k in stream] for c in stream}
+    order = {}
+    for root in stream:
+        stack = [(root, False)]
+        while stack:
+            node, expanded = stack.pop()
+            if node in order:
+                continue
+            kids = sup[node]
+            pend = [k for k in kids if k not in order]
+            if not expanded and pend:
+                stack.append((node, True))
+                stack.extend((k, False) for k in pend)
+            else:
+                if not kids:
+                    order[node] = 1
+                else:
+                    os_ = sorted(order[k] for k in kids)
+                    m = os_[-1]
+                    order[node] = (
+                        m + 1 if len(os_) >= 2 and os_[-2] == m else m
+                    )
+    rows = [(gx_off + x, gy_off + y, acc[(y, x)], order[(y, x)])
+            for (y, x) in sorted(stream)]
+    df = pd.DataFrame(rows, columns=["gx", "gy", "acc", "sorder"])
+    _write("mosaic_stream_order", df, pa.schema([
+        ("gx", pa.int64()), ("gy", pa.int64()),
+        ("acc", pa.int64()), ("sorder", pa.int64()),
+    ]))
+
+
 TOKENIZER_PARAMS = dict(vocab_size=48, min_count=2, min_pair_count=2,
                         max_words=100_000, max_word_len=32)
 
@@ -1941,6 +2024,7 @@ GENERATORS = {
     "raster_cells": g_raster_cells,
     "mosaic_cells": g_mosaic_cells,
     "mosaic_hillshade": g_mosaic_hillshade,
+    "mosaic_stream_order": g_mosaic_stream_order,
     "tokenizer_model": g_tokenizer_model,
     "subword_tokens": g_subword_tokens,
     "hillshade": g_hillshade,
