@@ -164,6 +164,9 @@ def main():
         "mosaic_flow_acc",
         "mosaic_basins",
         "mosaic_terrain",
+        "mosaic_hillshade",
+        "mosaic_flow_length",
+        "mosaic_stream_order",
         "subword_tokens",
         "subword_pack",
         "hillshade",

@@ -206,6 +206,42 @@ AUDITED = {
          r"Exchange", "absent"),
         ("no Python eval in the plan", r"EvalPython", "absent"),
     ],
+    # r8: mosaic family — the raster moves ONLY through cogrouped
+    # Arrow passes; everything cross-tile is perimeter-sized
+    "mosaic_flow_acc": [
+        ("raster crosses only cogrouped halo/tile passes",
+         r"FlatMapCoGroupsInPandas"),
+        ("border solve runs as ONE grouped task", r"FlatMapGroupsInPandas"),
+        ("outlet relabel is a broadcast join",
+         r"BroadcastHashJoin|BroadcastExchange"),
+        ("never all-pairs", r"CartesianProduct|BroadcastNestedLoop", "absent"),
+    ],
+    "mosaic_flow_length": [
+        ("raster crosses only cogrouped halo/tile passes",
+         r"FlatMapCoGroupsInPandas"),
+        ("local-terminal -> edge-map completion is a broadcast join",
+         r"BroadcastHashJoin|BroadcastExchange"),
+        ("never all-pairs", r"CartesianProduct|BroadcastNestedLoop", "absent"),
+    ],
+    "mosaic_stream_order": [
+        ("raster crosses only cogrouped halo/tile passes",
+         r"FlatMapCoGroupsInPandas"),
+        ("skeleton solve runs as ONE grouped task", r"FlatMapGroupsInPandas"),
+        ("no join anywhere (skeleton rides groupBy, not a join)",
+         r"SortMergeJoin|BroadcastHashJoin|CartesianProduct", "absent"),
+    ],
+    "mosaic_terrain": [
+        ("halo exchange + stencil in cogrouped Arrow passes",
+         r"FlatMapCoGroupsInPandas"),
+        ("no join at all (exactly-once by ownership cut, not dedup)",
+         r"SortMergeJoin|BroadcastHashJoin|CartesianProduct", "absent"),
+    ],
+    "mosaic_hillshade": [
+        ("halo exchange + render in cogrouped Arrow passes",
+         r"FlatMapCoGroupsInPandas"),
+        ("no join at all (exactly-once by ownership cut, not dedup)",
+         r"SortMergeJoin|BroadcastHashJoin|CartesianProduct", "absent"),
+    ],
     # r6 new operators
     "salted_stitch": [
         ("bands spread across tasks via hash repartition",
