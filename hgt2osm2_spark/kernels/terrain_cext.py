@@ -183,6 +183,106 @@ int64_t flow_accumulate_c(const int16_t* g, int64_t h, int64_t w,
     free(t); free(indeg); free(queue); free(outl);
     return rc == 0 ? n : rc;
 }
+
+/* Mosaic drainage pass (ops/mosaic.mosaic_tile_arrays): the same
+   d8 + FIFO-worklist Kahn over one tile's AUGMENTED grid
+   (ha = h + 2, wa = w + 2 where h, w are the tile dims), with the
+   two mosaic generalizations — per-cell int64 initial weights
+   (has_w = 0 means all-ones) and the owned-box universe cut
+   (tile coords x < w-1, y < h-1).  Output arrays are compact over
+   owned valid cells in row-major order (the numpy keep order):
+   ys/xs tile coords, acc weighted accumulation, term index of the
+   local terminal, cross flag (own D8 target leaves the owned box),
+   tys/txs the D8 target's tile coords (own coords at pits/flats),
+   steps/ncard D8 steps to the local terminal (total / cardinal),
+   t the immediate in-box target index (-1 at terminals and cross
+   cells).  Returns n, -1 on alloc failure, -2 on a cycle. */
+int64_t mosaic_accumulate_c(const int16_t* g, int64_t ha, int64_t wa,
+                            const int64_t* wts, int64_t has_w,
+                            int32_t* ys, int32_t* xs, int64_t* acc,
+                            int64_t* term, uint8_t* cross,
+                            int64_t* tys, int64_t* txs,
+                            int64_t* steps, int64_t* ncard, int64_t* t)
+{
+    if (ha < 3 || wa < 3) return 0;
+    int64_t w = wa - 2, h = ha - 2;   /* tile dims; interior plane h x w */
+    int64_t np_ = w * h;
+    int32_t* d8 = (int32_t*)malloc(np_ * sizeof(int32_t));
+    int64_t* dp = (int64_t*)malloc(np_ * sizeof(int64_t));
+    int8_t*  kx = (int8_t*)malloc(np_);
+    uint8_t* va = (uint8_t*)malloc(np_);
+    int64_t* lut = (int64_t*)malloc(np_ * sizeof(int64_t));
+    if (!d8 || !dp || !kx || !va || !lut) {
+        free(d8); free(dp); free(kx); free(va); free(lut); return -1;
+    }
+    d8_planes(g, ha, wa, d8, dp, kx, va);
+    for (int64_t o = 0; o < np_; o++) lut[o] = -1;
+    int64_t n = 0;
+    for (int64_t y = 0; y < h - 1; y++) {
+        for (int64_t x = 0; x < w - 1; x++) {
+            int64_t o = y * w + x;
+            if (!va[o]) continue;
+            lut[o] = n;
+            ys[n] = (int32_t)y;
+            xs[n] = (int32_t)x;
+            n++;
+        }
+    }
+    int64_t* indeg = (int64_t*)calloc(n ? n : 1, sizeof(int64_t));
+    int64_t* queue = (int64_t*)malloc((n ? n : 1) * sizeof(int64_t));
+    if (!indeg || !queue) {
+        free(d8); free(dp); free(kx); free(va); free(lut);
+        free(indeg); free(queue); return -1;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        int64_t x = xs[i], y = ys[i], o = y * w + x;
+        int8_t k = kx[o];
+        int64_t tx = x, ty = y, ti = -1;
+        uint8_t cr = 0;
+        if (k >= 0) {  /* k >= 0 iff d8 > 0: a strict-descent target */
+            tx = x + DX[k]; ty = y + DY[k];
+            if (tx >= 0 && tx < w - 1 && ty >= 0 && ty < h - 1)
+                ti = lut[ty * w + tx];  /* -1 at dead in-box targets */
+            else
+                cr = 1;
+        }
+        txs[i] = tx; tys[i] = ty;
+        t[i] = ti; cross[i] = cr;
+        acc[i] = has_w ? wts[y * (w - 1) + x] : 1;
+        if (ti >= 0) indeg[ti]++;
+    }
+    int64_t head = 0, tail = 0;
+    for (int64_t i = 0; i < n; i++) if (indeg[i] == 0) queue[tail++] = i;
+    while (head < tail) {
+        int64_t c = queue[head++];
+        int64_t ti = t[c];
+        if (ti >= 0) {
+            acc[ti] += acc[c];
+            if (--indeg[ti] == 0) queue[tail++] = ti;
+        }
+    }
+    int rc = (tail == n) ? 0 : -2;
+    if (rc == 0) {
+        for (int64_t i = 0; i < n; i++) {
+            term[i] = i; steps[i] = 0; ncard[i] = 0;
+        }
+        /* reverse retirement order: a cell's target retires later, so
+           its term/steps/ncard are final before the source copies */
+        for (int64_t q = n - 1; q >= 0; q--) {
+            int64_t c = queue[q];
+            int64_t ti = t[c];
+            if (ti >= 0) {
+                term[c] = term[ti];
+                steps[c] = steps[ti] + 1;
+                ncard[c] = ncard[ti]
+                    + ((txs[c] == xs[c] || tys[c] == ys[c]) ? 1 : 0);
+            }
+        }
+    }
+    free(d8); free(dp); free(kx); free(va); free(lut);
+    free(indeg); free(queue);
+    return rc == 0 ? n : rc;
+}
 """
 
 _lib = None
@@ -200,6 +300,7 @@ def available() -> bool:
         lib = cext.build_lib("terrain", _C_SOURCE)
         lib.d8_grid_c.restype = ctypes.c_int64
         lib.flow_accumulate_c.restype = ctypes.c_int64
+        lib.mosaic_accumulate_c.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -271,3 +372,49 @@ def flow_accumulate(grid: np.ndarray):
         return None
     return (ys[:n].copy(), xs[:n].copy(), acc[:n].copy(),
             oy[:n].copy(), ox[:n].copy())
+
+
+def mosaic_accumulate(aug: np.ndarray, weights: np.ndarray | None = None):
+    """C twin of ops/mosaic.mosaic_tile_arrays over the augmented grid
+    -> the same (ys, xs, acc, term, cross, t_ys, t_xs, steps, ncard, t)
+    10-tuple, or None (unavailable / non-int16-ranged input)."""
+    if not available():
+        return None
+    g = _as_i16(aug)
+    if g is None:
+        return None
+    ha, wa = g.shape
+    h, w = ha - 2, wa - 2
+    cap = max((h - 1) * (w - 1), 0)
+    if cap == 0:
+        z32, z64 = np.empty(0, np.int32), np.empty(0, np.int64)
+        return (z32, z32.copy(), z64, z64.copy(),
+                np.empty(0, bool), z64.copy(), z64.copy(),
+                z64.copy(), z64.copy(), z64.copy())
+    if weights is None:
+        wts, has_w = np.empty(0, np.int64), 0
+    else:
+        if weights.shape != (h - 1, w - 1):
+            return None
+        wts, has_w = np.ascontiguousarray(weights, dtype=np.int64), 1
+    ys = np.empty(cap, np.int32)
+    xs = np.empty(cap, np.int32)
+    acc = np.empty(cap, np.int64)
+    term = np.empty(cap, np.int64)
+    cross = np.empty(cap, np.uint8)
+    t_ys = np.empty(cap, np.int64)
+    t_xs = np.empty(cap, np.int64)
+    steps = np.empty(cap, np.int64)
+    ncard = np.empty(cap, np.int64)
+    t = np.empty(cap, np.int64)
+    n = _lib.mosaic_accumulate_c(
+        _ptr(g), ctypes.c_int64(ha), ctypes.c_int64(wa),
+        _ptr(wts), ctypes.c_int64(has_w),
+        _ptr(ys), _ptr(xs), _ptr(acc), _ptr(term), _ptr(cross),
+        _ptr(t_ys), _ptr(t_xs), _ptr(steps), _ptr(ncard), _ptr(t))
+    if n < 0:
+        return None
+    return (ys[:n].copy(), xs[:n].copy(), acc[:n].copy(),
+            term[:n].copy(), cross[:n].astype(bool),
+            t_ys[:n].copy(), t_xs[:n].copy(),
+            steps[:n].copy(), ncard[:n].copy(), t[:n].copy())

@@ -41,9 +41,11 @@ digital elevation models") re-expressed Spark-first:
     (rows in the same strip frame) and the per-tile kernel reruns with
     cell weights 1 + delta: the weighted local accumulation IS the
     mosaic accumulation (every external upstream cell is counted by
-    the delta at the entry it flowed through). Outlets resolve by one
-    broadcast join from each cell's local terminal to the solved
-    edge-terminal map.
+    the delta at the entry it flowed through). The solved
+    edge-terminal map rides the SAME strip frame back to its owner
+    tile (side='t'), so outlets resolve in-kernel with one
+    searchsorted over the tile's own exit edges — never a
+    raster-sized join.
 
 Everything the gate hashes is integer-exact: counts, int16 elevations,
 global int64 cell coordinates gx = (lon+180)*(w-1)+x,
@@ -96,10 +98,27 @@ SOLVE_SCHEMA = (
     "kind string, img string, lx int, ly int, ax long, ay long, "
     "bx long, by long, v long, s long, c long"
 )
-CELLS_SCHEMA = "gx long, gy long, z int, acc long, term_gx long, term_gy long"
-LEN_CELLS_SCHEMA = (
-    "gx long, gy long, lsteps long, lcard long, term_gx long, term_gy long"
-)
+CELLS_SCHEMA = "gx long, gy long, z int, acc long, outlet_gx long, outlet_gy long"
+LEN_CELLS_SCHEMA = "gx long, gy long, steps long, n_card long, n_diag long"
+
+# Solved per-edge maps ride BACK to their owner tile inside the strip
+# frame (sides the halo assembler ignores), so the second per-tile pass
+# resolves whole-mosaic outlets/lengths IN-KERNEL instead of a
+# raster-sized broadcast join afterwards (measured ~20% of the
+# flow_acc wall at SRTM-1 grain, BENCH/mosaic_srtm1.json):
+#   side='t'  pos/pos2 = edge src ly/lx, val = (outlet_gx<<32)|outlet_gy
+#   side='u'  pos/pos2 = edge src ly/lx, val = (d_steps<<32)|d_card
+# Packing is safe: global coords < 2^21, and a 2^31-step drainage path
+# would need two billion cells in ONE path — beyond any planet mosaic.
+_PACK = np.int64(1) << np.int64(32)
+
+
+def _unpack_map(rows: pd.DataFrame, w: int):
+    """side='t'/'u' strip rows -> (sorted local src key, hi, lo)."""
+    src = rows["pos"].to_numpy(np.int64) * w + rows["pos2"].to_numpy(np.int64)
+    val = rows["val"].to_numpy(np.int64)
+    order = np.argsort(src, kind="stable")
+    return src[order], (val >> np.int64(32))[order], (val & np.int64(0xFFFFFFFF))[order]
 
 
 def parse_tile_id(image_id: str) -> tuple[int, int, str]:
@@ -127,6 +146,22 @@ def cell_gy(lat: int, y: int, h: int) -> int:
 # ------------------------------------------------------------------ kernel
 
 def mosaic_tile_arrays(aug: np.ndarray, weights: np.ndarray | None = None):
+    """One tile's drainage pass over its (h+2, w+2) augmented grid.
+    Dispatches to the C fast path (kernels/terrain_cext.py
+    mosaic_accumulate — the r8 drainage C twin generalized to weights
+    and the owned-box cut); the numpy body (mosaic_tile_arrays_py)
+    stays the ORACLE and the fallback, bit-equality pinned in
+    tests/test_terrain_cext.py. See mosaic_tile_arrays_py for the
+    full return contract."""
+    from ..kernels import terrain_cext
+
+    res = terrain_cext.mosaic_accumulate(aug, weights)
+    if res is not None:
+        return res
+    return mosaic_tile_arrays_py(aug, weights)
+
+
+def mosaic_tile_arrays_py(aug: np.ndarray, weights: np.ndarray | None = None):
     """One tile's drainage pass over its (h+2, w+2) augmented grid.
 
     Returns (ys, xs, acc, term, cross, t_ys, t_xs) over the tile's
@@ -226,7 +261,7 @@ def _assemble_aug(grid: np.ndarray, strips: pd.DataFrame) -> np.ndarray:
     aug = np.full((h + 2, w + 2), NOVALUE, dtype=np.int64)
     aug[1 : h + 1, 1 : w + 1] = grid.astype(np.int64)
     for side, g in strips.groupby("side"):
-        if side == "d":
+        if side in ("d", "t", "u"):  # weight deltas / solved edge maps
             continue
         pos = g["pos"].to_numpy()
         val = g["val"].to_numpy()
@@ -343,8 +378,8 @@ def _border_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
             "ay": gy0 + ys[xi].astype(np.int64),
             "bx": gx0 + t_xs[xi],
             "by": gy0 + t_ys[xi],
-            "lx": np.zeros(xi.size, np.int32),
-            "ly": np.zeros(xi.size, np.int32),
+            "lx": xs[xi].astype(np.int32),
+            "ly": ys[xi].astype(np.int32),
             "v": acc[xi],
             "s": np.zeros(xi.size, np.int64),
             "c": np.zeros(xi.size, np.int64),
@@ -374,10 +409,11 @@ def solve_border_graph(border: pd.DataFrame) -> pd.DataFrame:
     functional exit-edge graph (worklist Kahn, numpy) -> SOLVE_SCHEMA
     rows: per-entry inflow deltas (kind='d', with owner tile + local
     coords for the broadcast back) and the per-edge mosaic terminal
-    map (kind='t', whose s/c columns carry the edge's DOWNSTREAM
-    whole-mosaic path split: total D8 steps / cardinal steps from the
-    edge's source terminal to the mosaic terminal). Pure pandas/numpy
-    — runs as ONE executor task."""
+    map (kind='t', also owner-tile-addressed via img/lx/ly so it can
+    ride the strip frame back; its s/c columns carry the edge's
+    DOWNSTREAM whole-mosaic path split: total D8 steps / cardinal
+    steps from the edge's source terminal to the mosaic terminal).
+    Pure pandas/numpy — runs as ONE executor task."""
     ex = border[border["kind"] == "x"].reset_index(drop=True)
     en = border[border["kind"] == "e"].reset_index(drop=True)
     empty = pd.DataFrame({
@@ -485,8 +521,8 @@ def solve_border_graph(border: pd.DataFrame) -> pd.DataFrame:
         d_card[fc] += d_card[succ[fc]]
 
     out = [pd.DataFrame({
-        "kind": "t", "img": "",
-        "lx": np.zeros(m, np.int32), "ly": np.zeros(m, np.int32),
+        "kind": "t", "img": ex["img"].to_numpy(object),
+        "lx": ex["lx"].to_numpy(np.int32), "ly": ex["ly"].to_numpy(np.int32),
         "ax": src_k >> np.int64(32),
         "ay": src_k & np.int64(0xFFFFFFFF),
         "bx": t_out >> np.int64(32),
@@ -524,15 +560,18 @@ def solve_border_graph(border: pd.DataFrame) -> pd.DataFrame:
 def _weighted_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
     """Stage-4 cogroup body: weighted local pass (weights 1 + delta
     rows riding the strip frame as side='d') -> CELLS_SCHEMA rows in
-    global coordinates."""
+    global coordinates. The solved edge-terminal map rides the same
+    frame as side='t' rows, so whole-mosaic outlets resolve HERE with
+    one searchsorted over the tile's own exit edges — no raster-sized
+    join downstream."""
     if len(tile_pdf) == 0:
         return pd.DataFrame({
             "gx": pd.Series([], dtype=np.int64),
             "gy": pd.Series([], dtype=np.int64),
             "z": pd.Series([], dtype=np.int32),
             "acc": pd.Series([], dtype=np.int64),
-            "term_gx": pd.Series([], dtype=np.int64),
-            "term_gy": pd.Series([], dtype=np.int64),
+            "outlet_gx": pd.Series([], dtype=np.int64),
+            "outlet_gy": pd.Series([], dtype=np.int64),
         })
     img = tile_pdf["image_id"].iloc[0]
     lat, lon, _k = parse_tile_id(img)
@@ -546,13 +585,26 @@ def _weighted_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame
     ys, xs, acc, term, _cross, _t_ys, _t_xs, _steps, _ncard, _t = mosaic_tile_arrays(aug, weights)
     gx0 = cell_gx(lon, 0, w)
     gy0 = cell_gy(lat, 0, h)
+    # local terminal -> whole-mosaic outlet, where the terminal is an
+    # exit-edge source the border solve resolved; pits keep themselves
+    out_gx = gx0 + xs[term].astype(np.int64)
+    out_gy = gy0 + ys[term].astype(np.int64)
+    tmap = strips[strips["side"] == "t"]
+    if len(tmap):
+        src_sorted, hi, lo = _unpack_map(tmap, w)
+        tk = ys[term].astype(np.int64) * w + xs[term]
+        pos = np.searchsorted(src_sorted, tk)
+        pos_c = np.clip(pos, 0, len(src_sorted) - 1)
+        ok = src_sorted[pos_c] == tk
+        out_gx = np.where(ok, hi[pos_c], out_gx)
+        out_gy = np.where(ok, lo[pos_c], out_gy)
     return pd.DataFrame({
         "gx": gx0 + xs.astype(np.int64),
         "gy": gy0 + ys.astype(np.int64),
         "z": grid[ys, xs].astype(np.int32),
         "acc": acc,
-        "term_gx": gx0 + xs[term].astype(np.int64),
-        "term_gy": gy0 + ys[term].astype(np.int64),
+        "outlet_gx": out_gx,
+        "outlet_gy": out_gy,
     })
 
 
@@ -564,14 +616,16 @@ def mosaic_flow_accumulation(tiles: DataFrame) -> DataFrame:
     the assembled mosaic grid — pinned in tests/test_mosaic.py)."""
     from ..cache import scope
 
-    strips = halo_strips(tiles)
+    sc = scope("mosaic")
+    sc.release()  # drop the previous call's perimeter caches
+    # strips feed BOTH cogroups; perimeter-sized, so caching trades a
+    # few MB for a second decode+strip pass over every tile
+    strips = sc.hold(halo_strips(tiles).cache())
     border = (
         tiles.groupby("image_id")
         .cogroup(strips.groupby("image_id"))
         .applyInPandas(lambda l, r: _border_pass(l, r), schema=BORDER_SCHEMA)
     )
-    sc = scope("mosaic")
-    sc.release()  # drop the previous call's solve cache
     solved = sc.hold(
         border.groupBy(F.lit(0).alias("_g"))
         .applyInPandas(
@@ -586,32 +640,22 @@ def mosaic_flow_accumulation(tiles: DataFrame) -> DataFrame:
         F.col("lx").alias("pos2"),
         F.col("v").alias("val"),
     )
-    edge_term = solved.filter(F.col("kind") == "t").select(
-        F.col("ax").alias("t_src_gx"),
-        F.col("ay").alias("t_src_gy"),
-        F.col("bx").alias("t_out_gx"),
-        F.col("by").alias("t_out_gy"),
+    # solved edge -> mosaic outlet, routed back to the OWNER tile in
+    # the strip frame (side='t', val packs the outlet's global coords)
+    # so _weighted_pass resolves outlets in-kernel
+    terms = solved.filter(F.col("kind") == "t").select(
+        F.col("img").alias("image_id"),
+        F.lit("t").alias("side"),
+        F.col("ly").alias("pos"),
+        F.col("lx").alias("pos2"),
+        (F.col("bx") * F.lit(int(_PACK)) + F.col("by")).alias("val"),
     )
-    strips2 = strips.unionByName(deltas)
-    cells = (
+    strips2 = strips.unionByName(deltas).unionByName(terms)
+    return (
         tiles.groupby("image_id")
         .cogroup(strips2.groupby("image_id"))
         .applyInPandas(lambda l, r: _weighted_pass(l, r), schema=CELLS_SCHEMA)
     )
-    out = cells.join(
-        F.broadcast(edge_term),
-        (F.col("term_gx") == F.col("t_src_gx"))
-        & (F.col("term_gy") == F.col("t_src_gy")),
-        "left",
-    ).select(
-        "gx",
-        "gy",
-        "z",
-        "acc",
-        F.coalesce("t_out_gx", "term_gx").alias("outlet_gx"),
-        F.coalesce("t_out_gy", "term_gy").alias("outlet_gy"),
-    )
-    return out
 
 
 def mosaic_basin_stats(tiles: DataFrame) -> DataFrame:
@@ -769,7 +813,11 @@ def mosaic_stream_order(tiles: DataFrame, min_acc: int = 5) -> DataFrame:
     the documented fallback if a mosaic's skeleton outgrows one
     executor is the same distributed-rounds variant as the border
     solve's). Integer-exact gate surface (counts and orders)."""
-    strips = halo_strips(tiles)
+    from ..cache import scope
+
+    sc = scope("mosaic")
+    sc.release()
+    strips = sc.hold(halo_strips(tiles).cache())
     border = (
         tiles.groupby("image_id")
         .cogroup(strips.groupby("image_id"))
@@ -801,17 +849,18 @@ def mosaic_stream_order(tiles: DataFrame, min_acc: int = 5) -> DataFrame:
 
 def _length_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
     """Cogroup body for mosaic_flow_length: unweighted local pass ->
-    per-owned-cell LOCAL path split (lsteps/lcard to the local
-    terminal) plus the terminal's global coords, so one broadcast join
-    to the solved edge map completes the whole-mosaic length."""
+    per-owned-cell WHOLE-MOSAIC path split. The solved per-edge
+    downstream splits ride the strip frame as side='u' rows
+    (val = (d_steps<<32)|d_card keyed by the edge src's local coords),
+    so total = local split + the terminal edge's downstream split
+    resolves HERE — no raster-sized join downstream."""
     if len(tile_pdf) == 0:
         return pd.DataFrame({
             "gx": pd.Series([], dtype=np.int64),
             "gy": pd.Series([], dtype=np.int64),
-            "lsteps": pd.Series([], dtype=np.int64),
-            "lcard": pd.Series([], dtype=np.int64),
-            "term_gx": pd.Series([], dtype=np.int64),
-            "term_gy": pd.Series([], dtype=np.int64),
+            "steps": pd.Series([], dtype=np.int64),
+            "n_card": pd.Series([], dtype=np.int64),
+            "n_diag": pd.Series([], dtype=np.int64),
         })
     img = tile_pdf["image_id"].iloc[0]
     lat, lon, _k = parse_tile_id(img)
@@ -821,13 +870,21 @@ def _length_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
     ys, xs, _acc, term, _cross, _t_ys, _t_xs, steps, ncard, _t = mosaic_tile_arrays(aug)
     gx0 = cell_gx(lon, 0, w)
     gy0 = cell_gy(lat, 0, h)
+    umap = strips[strips["side"] == "u"]
+    if len(umap):
+        src_sorted, d_steps, d_card = _unpack_map(umap, w)
+        tk = ys[term].astype(np.int64) * w + xs[term]
+        pos = np.searchsorted(src_sorted, tk)
+        pos_c = np.clip(pos, 0, len(src_sorted) - 1)
+        ok = src_sorted[pos_c] == tk
+        steps = steps + np.where(ok, d_steps[pos_c], 0)
+        ncard = ncard + np.where(ok, d_card[pos_c], 0)
     return pd.DataFrame({
         "gx": gx0 + xs.astype(np.int64),
         "gy": gy0 + ys.astype(np.int64),
-        "lsteps": steps,
-        "lcard": ncard,
-        "term_gx": gx0 + xs[term].astype(np.int64),
-        "term_gy": gy0 + ys[term].astype(np.int64),
+        "steps": steps,
+        "n_card": ncard,
+        "n_diag": steps - ncard,
     })
 
 
@@ -843,16 +900,20 @@ def mosaic_flow_length(tiles: DataFrame) -> DataFrame:
     (``_border_pass`` now also ships each entry cell's local path
     split), the one-task border solve (whose reverse-Kahn chains
     per-edge downstream splits alongside the terminal map), then ONE
-    more per-tile pass and a BROADCAST join from each cell's local
-    terminal to the solved edge map — total = local split + edge
-    downstream split. Unlike accumulation, length is purely additive
-    along the path (no inflow), so no weighted rerun / delta strips
-    are needed: the raster crosses exactly two cogroups and nothing
-    else shuffles (strips, border rows and the edge map stay
-    perimeter-sized). Integer-exact gate surface: steps/n_card/n_diag
-    are counts; the metric length n_card + sqrt(2)*n_diag never enters
-    a hashed column."""
-    strips = halo_strips(tiles)
+    more per-tile pass with the solved per-edge splits riding the
+    strip frame back (side='u') — total = local split + edge
+    downstream split, resolved in-kernel. Unlike accumulation, length
+    is purely additive along the path (no inflow), so no weighted
+    rerun / delta strips are needed: the raster crosses exactly two
+    cogroups and nothing else shuffles (strips, border rows and the
+    edge map stay perimeter-sized). Integer-exact gate surface:
+    steps/n_card/n_diag are counts; the metric length
+    n_card + sqrt(2)*n_diag never enters a hashed column."""
+    from ..cache import scope
+
+    sc = scope("mosaic")
+    sc.release()
+    strips = sc.hold(halo_strips(tiles).cache())
     border = (
         tiles.groupby("image_id")
         .cogroup(strips.groupby("image_id"))
@@ -862,29 +923,17 @@ def mosaic_flow_length(tiles: DataFrame) -> DataFrame:
         lambda _k, pdf: solve_border_graph(pdf), schema=SOLVE_SCHEMA
     )
     edge_len = solved.filter(F.col("kind") == "t").select(
-        F.col("ax").alias("t_src_gx"),
-        F.col("ay").alias("t_src_gy"),
-        F.col("s").alias("d_steps"),
-        F.col("c").alias("d_card"),
+        F.col("img").alias("image_id"),
+        F.lit("u").alias("side"),
+        F.col("ly").alias("pos"),
+        F.col("lx").alias("pos2"),
+        (F.col("s") * F.lit(int(_PACK)) + F.col("c")).alias("val"),
     )
-    cells = (
+    strips2 = strips.unionByName(edge_len)
+    return (
         tiles.groupby("image_id")
-        .cogroup(strips.groupby("image_id"))
+        .cogroup(strips2.groupby("image_id"))
         .applyInPandas(lambda l, r: _length_pass(l, r), schema=LEN_CELLS_SCHEMA)
-    )
-    steps = F.col("lsteps") + F.coalesce(F.col("d_steps"), F.lit(0))
-    n_card = F.col("lcard") + F.coalesce(F.col("d_card"), F.lit(0))
-    return cells.join(
-        F.broadcast(edge_len),
-        (F.col("term_gx") == F.col("t_src_gx"))
-        & (F.col("term_gy") == F.col("t_src_gy")),
-        "left",
-    ).select(
-        "gx",
-        "gy",
-        steps.cast("long").alias("steps"),
-        n_card.cast("long").alias("n_card"),
-        (steps - n_card).cast("long").alias("n_diag"),
     )
 
 

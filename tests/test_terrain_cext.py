@@ -105,11 +105,21 @@ def test_no_ckernel_env_disables(monkeypatch):
         importlib.reload(tc)
 
 
-def test_mosaic_kernel_agrees_with_c_d8():
-    """mosaic_tile_arrays consumes d8_grid — with the C path engaged
-    its accumulation must equal the pure-Python run of the same aug."""
+def _py_mosaic(aug, weights=None):
+    """Force the pure-numpy mosaic kernel (no C d8, no C mosaic)."""
     import unittest.mock as mock
 
+    from hgt2osm2_spark.ops import mosaic
+
+    with mock.patch.object(terrain_cext, "d8", lambda g: None), \
+         mock.patch.object(terrain_cext, "mosaic_accumulate",
+                           lambda a, w=None: None):
+        return mosaic.mosaic_tile_arrays(aug, weights)
+
+
+def test_mosaic_kernel_agrees_with_c_d8():
+    """mosaic_tile_arrays with the C path engaged must equal the
+    pure-Python run of the same aug."""
     from hgt2osm2_spark.ops import mosaic
 
     rng = np.random.default_rng(9)
@@ -117,7 +127,67 @@ def test_mosaic_kernel_agrees_with_c_d8():
     aug[0, :] = NV
     aug[:, 0] = NV
     a = mosaic.mosaic_tile_arrays(aug)
-    with mock.patch.object(terrain_cext, "d8", lambda g: None):
-        b = mosaic.mosaic_tile_arrays(aug)
+    b = _py_mosaic(aug)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+def _augs():
+    """Augmented grids covering the mosaic universe edge cases: full
+    NOVALUE halo (isolated tile), partial halo (real neighbors), holes
+    crossing the ownership cut, flats, a monotone ramp draining across
+    the halo."""
+    rng = np.random.default_rng(41)
+    out = []
+    for n, holes in ((11, 0.0), (34, 0.03), (67, 0.12), (23, 0.4)):
+        a = rng.integers(-200, 3000, size=(n, n + 3)).astype(np.int64)
+        if holes:
+            a[rng.random(a.shape) < holes] = NV
+        out.append(a)
+    iso = rng.integers(0, 500, size=(21, 21)).astype(np.int64)
+    iso[0, :] = iso[-1, :] = iso[:, 0] = iso[:, -1] = NV
+    out.append(iso)
+    flat = np.full((19, 19), 70, dtype=np.int64)
+    flat[5:9, 5:9] = 50
+    flat[7, 7] = NV
+    out.append(flat)
+    ramp = (np.arange(27)[None, :] * 2 + np.arange(31)[:, None]).astype(
+        np.int64
+    )
+    out.append(ramp)
+    return out
+
+
+@pytest.mark.parametrize("idx", range(7))
+@pytest.mark.parametrize("weighted", [False, True])
+def test_mosaic_accumulate_bit_equal(idx, weighted):
+    aug = _augs()[idx]
+    h, w = aug.shape[0] - 2, aug.shape[1] - 2
+    weights = None
+    if weighted:
+        rng = np.random.default_rng(idx)
+        weights = rng.integers(1, 1000, size=(h - 1, w - 1)).astype(
+            np.int64
+        )
+    a = terrain_cext.mosaic_accumulate(aug, weights)
+    b = _py_mosaic(aug, weights)
+    assert a is not None
+    assert len(a) == len(b) == 10
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+def test_mosaic_accumulate_guards():
+    # out-of-int16-range aug falls back (None), never truncates
+    aug = np.full((9, 9), 1 << 20, dtype=np.int64)
+    assert terrain_cext.mosaic_accumulate(aug) is None
+    # wrong weights shape falls back rather than misindexing
+    ok = np.zeros((9, 9), dtype=np.int64)
+    bad_w = np.ones((3, 3), dtype=np.int64)
+    assert terrain_cext.mosaic_accumulate(ok, bad_w) is None
+    # degenerate aug -> the same empty 10-tuple as the numpy body
+    tiny = np.zeros((2, 2), dtype=np.int64)
+    a = terrain_cext.mosaic_accumulate(tiny)
+    b = _py_mosaic(tiny)
     for x, y in zip(a, b):
         assert np.array_equal(x, y)

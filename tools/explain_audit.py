@@ -212,15 +212,15 @@ AUDITED = {
         ("raster crosses only cogrouped halo/tile passes",
          r"FlatMapCoGroupsInPandas"),
         ("border solve runs as ONE grouped task", r"FlatMapGroupsInPandas"),
-        ("outlet relabel is a broadcast join",
-         r"BroadcastHashJoin|BroadcastExchange"),
+        ("outlets resolve in-kernel: NO raster-sized join",
+         r"SortMergeJoin|BroadcastHashJoin", "absent"),
         ("never all-pairs", r"CartesianProduct|BroadcastNestedLoop", "absent"),
     ],
     "mosaic_flow_length": [
         ("raster crosses only cogrouped halo/tile passes",
          r"FlatMapCoGroupsInPandas"),
-        ("local-terminal -> edge-map completion is a broadcast join",
-         r"BroadcastHashJoin|BroadcastExchange"),
+        ("edge splits ride the strip frame: NO raster-sized join",
+         r"SortMergeJoin|BroadcastHashJoin", "absent"),
         ("never all-pairs", r"CartesianProduct|BroadcastNestedLoop", "absent"),
     ],
     "mosaic_stream_order": [
