@@ -1019,6 +1019,37 @@ def q_flow_accumulation(spark, sf_dir):
     return terrain.flow_accumulation(_synth_tiles(spark, n_tiles=6, size=33))
 
 
+def q_fill_sinks(spark, sf_dir):
+    """Depression filling (r8, Priority-Flood eps=0): the standard
+    hydrological conditioning step before D8 — W(c) = max(z, minimax
+    path to a seed), seeds = valid cells with < 8 valid neighbors
+    (tile border / NOVALUE-adjacent). Runs over the CRATER gate tiles
+    (synthetic.crater_tiles_df: deterministic closed depressions, 436
+    genuinely filled cells — the plain gate terrain is almost
+    pit-free). ONE narrow Arrow pass, no Exchange; inside the kernel
+    the C fast path is a Barnes-2014 priority-flood heap and the
+    numpy oracle/fallback is reconstruction-by-erosion — different
+    algorithms pinned bit-equal (tests/test_terrain_cext.py); the
+    make_golden twin is a THIRD (scalar heapq). The DuckDB oracle
+    re-VERIFIES every golden row against the fixpoint equations
+    recomputed from the raw crater_cells table (see oracle_sql
+    comment). Integer-exact surface."""
+    return terrain.fill_sinks(
+        synthetic.crater_tiles_df(spark, n_tiles=6, size=33))
+
+
+def q_filled_flow(spark, sf_dir):
+    """Hydrologically-conditioned flow accumulation (r8): fill_grid
+    then the UNCHANGED drainage kernel on the filled surface — the
+    composition a real watershed delineation runs (unfilled DEMs
+    scatter drainage into spurious pits). Same one-narrow-Arrow-pass
+    shape as flow_accumulation. The oracle composes the fill
+    relaxation with the D8 + RECURSIVE-walk derivation ON the filled
+    values — both stages structurally independent of the engine."""
+    return terrain.filled_flow_accumulation(
+        synthetic.crater_tiles_df(spark, n_tiles=6, size=33))
+
+
 def q_stream_terrain(spark, sf_dir):
     """Streaming terrain path (r7): the SAME 6 gate tiles arrive as a
     file stream in three micro-batches and the Horn stencil runs
@@ -2069,6 +2100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_morphometry": q_terrain_morphometry,
         "flow_length": q_flow_length,
         "stream_order": q_stream_order,
+        "fill_sinks": q_fill_sinks,
+        "filled_flow": q_filled_flow,
         # rotated IN for r8 (VERDICT r7 "Next round" #4): the eleven
         # entries whose last driver check predated r5 - the r1-r4
         # relational/streaming tail, the oldest rows in the registry
@@ -2698,11 +2731,15 @@ def oracle_sql() -> dict[str, str]:
     # or a D8 target outside the valid universe — border / NOVALUE
     # halo). Transitive closure vs the engine's vectorized Kahn
     # rounds: fully independent derivations of an iterative result.
-    _d8_walk_cte = f"""
+    # split as head + body so the filled-surface variant (fill_sinks /
+    # filled_flow, r8) can swap in a different `c` relation and reuse
+    # the identical nb..edge derivation
+    _d8_head = f"""
         WITH RECURSIVE c AS (
             SELECT image_id, x, y, value
             FROM read_parquet('{golden_dir}/raster_cells.parquet')
-        ),
+        )"""
+    _d8_body = """,
         nb AS (
             SELECT e.image_id, e.x, e.y,
                    CASE WHEN o.x = e.x + 1 AND o.y = e.y     THEN 1
@@ -2770,9 +2807,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         edge_end AS (SELECT 1 AS _one)
     """
-    # NOTE: _d8_walk_cte (the shared c..edge prefix) is reused by THREE
+    _d8_walk_cte = _d8_head + _d8_body
+    # NOTE: _d8_walk_cte (the shared c..edge prefix) is reused by FOUR
     # oracle families: the plain walk below (flow_accumulation /
-    # basin_stats), and the step-counting walk of flow_length (r8).
+    # basin_stats), the step-counting walk of flow_length (r8), and —
+    # with the `c` head swapped for the filled surface — filled_flow.
     _d8_plain_walk = """
         , walk AS (
             SELECT image_id, x AS sx, y AS sy, x AS cx, y AS cy FROM univ
@@ -2812,6 +2851,76 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(c.value) AS BIGINT) / count(*) AS mean_z
         FROM term t JOIN c USING (image_id, x, y)
         GROUP BY t.image_id, t.outlet_x, t.outlet_y
+    """
+    # fill_sinks (r8): the filled surface is the MINIMAX-path value
+    # W(c) = max(z(c), min over 8-connected paths to a seed of the max
+    # z along the path); seeds = valid cells with < 8 valid neighbors
+    # (tile border / NOVALUE-adjacent), W(seed) = z. That is the
+    # GREATEST fixpoint of W = max(z, min of 8-neighbor W), which the
+    # gate pins three independent ways: the engine's C priority-flood
+    # heap, the numpy reconstruction-by-erosion fallback (bit-equality
+    # in tests/test_terrain_cext.py), and the make_golden scalar-heapq
+    # twin cross-asserted against the numpy path at golden-build time
+    # (an exact per-key recursive fixpoint is not expressible in
+    # DuckDB 1.0 SQL: recursive CTEs allow one self-reference, so no
+    # Jacobi self-join, and unkeyed (cell, pathmax) relaxation
+    # explodes combinatorially). The SQL below does NOT trust the
+    # golden surface: it re-verifies every row against the fixpoint
+    # equations recomputed from the RAW crater_cells table (seed rows
+    # must satisfy zfill = z; interior rows zfill = max(z, min of
+    # neighbor zfill); z must equal the raw cell value) and emits only
+    # rows that pass — one silently-wrong golden row would drop a row
+    # and fail the gate's count+hash compare.
+    golden["fill_sinks"] = f"""
+        WITH vc AS (
+            SELECT image_id, x, y, CAST(value AS BIGINT) AS z
+            FROM read_parquet('{golden_dir}/crater_cells.parquet')
+            WHERE value <> -32768
+        ),
+        g AS (
+            SELECT image_id, x, y, CAST(z AS BIGINT) AS z,
+                   CAST(zfill AS BIGINT) AS zfill
+            FROM read_parquet('{golden_dir}/fill_cells.parquet')
+        ),
+        nbagg AS (
+            SELECT e.image_id, e.x, e.y,
+                   count(*) AS nn, MIN(og.zfill) AS mnb
+            FROM vc e
+            JOIN vc o
+              ON o.image_id = e.image_id
+             AND o.x BETWEEN e.x - 1 AND e.x + 1
+             AND o.y BETWEEN e.y - 1 AND e.y + 1
+             AND NOT (o.x = e.x AND o.y = e.y)
+            JOIN g og
+              ON og.image_id = o.image_id AND og.x = o.x AND og.y = o.y
+            GROUP BY 1, 2, 3
+        )
+        SELECT gg.image_id, gg.x, gg.y,
+               CAST(gg.z AS INT) AS z, CAST(gg.zfill AS INT) AS zfill
+        FROM g gg
+        JOIN vc ON vc.image_id = gg.image_id
+               AND vc.x = gg.x AND vc.y = gg.y AND vc.z = gg.z
+        LEFT JOIN nbagg nb
+          ON nb.image_id = gg.image_id AND nb.x = gg.x AND nb.y = gg.y
+        WHERE CASE WHEN COALESCE(nb.nn, 0) < 8 THEN gg.zfill = gg.z
+                   ELSE gg.zfill = GREATEST(gg.z, nb.mnb) END
+    """
+    # filled_flow (r8): the full D8 + RECURSIVE-walk derivation run on
+    # the FILLED surface — `c` is the fixpoint-verified fill golden
+    # (NOVALUE rows passed through untouched) and the identical
+    # nb..edge..walk SQL follows, so the drainage side stays fully
+    # SQL-recomputed.
+    golden["filled_flow"] = f"""
+        WITH RECURSIVE c AS (
+            SELECT image_id, x, y, CAST(zfill AS BIGINT) AS value
+            FROM read_parquet('{golden_dir}/fill_cells.parquet')
+            UNION ALL
+            SELECT image_id, x, y, CAST(value AS BIGINT) AS value
+            FROM read_parquet('{golden_dir}/crater_cells.parquet')
+            WHERE value = -32768
+        )""" + _d8_body + _d8_plain_walk + """
+        SELECT a.image_id, a.x, a.y, a.acc, t.outlet_x, t.outlet_y
+        FROM acc a JOIN term t USING (image_id, x, y)
     """
     # flow_length (r8): the SAME drainage edges, walked one step at a
     # time with per-step cardinal/diagonal counters carried through

@@ -283,6 +283,111 @@ int64_t mosaic_accumulate_c(const int16_t* g, int64_t ha, int64_t wa,
     free(indeg); free(queue);
     return rc == 0 ? n : rc;
 }
+
+/* Depression fill (Priority-Flood, Barnes 2014, eps = 0): one
+   min-heap pass computing W(c) = max(z(c), minimax path to a seed),
+   where a seed is a valid cell with < 8 valid neighbors (tile border
+   or NOVALUE-adjacent).  W is the FULL h*w int64 surface with
+   NOVALUE preserved at invalid cells.  Bit-equal to the numpy
+   reconstruction-by-erosion oracle (ops/terrain.fill_grid): both
+   compute the unique minimax surface, all-integer.  Lazy-deletion
+   heap: stale entries (key != current W) are skipped on pop; a push
+   happens only on strict improvement, so heap traffic is O(n) in
+   practice.  Returns the valid-cell count, -1 on alloc failure,
+   -3 if a valid cell is unreachable from every seed (impossible:
+   every valid region touches its own boundary). */
+typedef struct { int64_t key; int64_t idx; } HK;
+
+static void hk_up(HK* hp, int64_t i)
+{
+    while (i > 0) {
+        int64_t p = (i - 1) / 2;
+        if (hp[p].key <= hp[i].key) break;
+        HK t = hp[p]; hp[p] = hp[i]; hp[i] = t;
+        i = p;
+    }
+}
+
+static void hk_down(HK* hp, int64_t sz, int64_t i)
+{
+    for (;;) {
+        int64_t l = 2 * i + 1, r = l + 1, m = i;
+        if (l < sz && hp[l].key < hp[m].key) m = l;
+        if (r < sz && hp[r].key < hp[m].key) m = r;
+        if (m == i) break;
+        HK t = hp[m]; hp[m] = hp[i]; hp[i] = t;
+        i = m;
+    }
+}
+
+int64_t fill_c(const int16_t* g, int64_t h, int64_t w, int64_t* W)
+{
+    const int64_t INF = (int64_t)1 << 62;
+    int64_t n = h * w, nvalid = 0;
+    if (n <= 0) return 0;
+    uint8_t* done = (uint8_t*)calloc(n, 1);
+    if (!done) return -1;
+    int64_t cap = n + 1024, sz = 0;
+    HK* hp = (HK*)malloc(cap * sizeof(HK));
+    if (!hp) { free(done); return -1; }
+    for (int64_t y = 0; y < h; y++) {
+        for (int64_t x = 0; x < w; x++) {
+            int64_t o = y * w + x;
+            if (g[o] == NOVALUE) { W[o] = NOVALUE; done[o] = 1; continue; }
+            nvalid++;
+            int nn = 0;
+            for (int dy = -1; dy <= 1; dy++) {
+                for (int dx = -1; dx <= 1; dx++) {
+                    if (!dx && !dy) continue;
+                    int64_t xx = x + dx, yy = y + dy;
+                    if (xx >= 0 && xx < w && yy >= 0 && yy < h
+                        && g[yy * w + xx] != NOVALUE) nn++;
+                }
+            }
+            if (nn < 8) {
+                W[o] = g[o];
+                hp[sz].key = W[o]; hp[sz].idx = o; hk_up(hp, sz); sz++;
+            } else {
+                W[o] = INF;
+            }
+        }
+    }
+    while (sz) {
+        HK top = hp[0];
+        hp[0] = hp[--sz];
+        if (sz) hk_down(hp, sz, 0);
+        int64_t c = top.idx;
+        if (done[c] || top.key != W[c]) continue;  /* stale entry */
+        done[c] = 1;
+        int64_t cy = c / w, cx = c % w;
+        for (int dy = -1; dy <= 1; dy++) {
+            for (int dx = -1; dx <= 1; dx++) {
+                if (!dx && !dy) continue;
+                int64_t xx = cx + dx, yy = cy + dy;
+                if (xx < 0 || xx >= w || yy < 0 || yy >= h) continue;
+                int64_t o = yy * w + xx;
+                if (done[o]) continue;
+                int64_t cand = g[o] > W[c] ? g[o] : W[c];
+                if (cand < W[o]) {
+                    W[o] = cand;
+                    if (sz == cap) {
+                        cap *= 2;
+                        HK* nh = (HK*)realloc(hp, cap * sizeof(HK));
+                        if (!nh) { free(hp); free(done); return -1; }
+                        hp = nh;
+                    }
+                    hp[sz].key = cand; hp[sz].idx = o; hk_up(hp, sz); sz++;
+                }
+            }
+        }
+    }
+    int64_t rc = nvalid;
+    for (int64_t o = 0; o < n; o++) {
+        if (!done[o]) { rc = -3; break; }
+    }
+    free(hp); free(done);
+    return rc;
+}
 """
 
 _lib = None
@@ -301,6 +406,7 @@ def available() -> bool:
         lib.d8_grid_c.restype = ctypes.c_int64
         lib.flow_accumulate_c.restype = ctypes.c_int64
         lib.mosaic_accumulate_c.restype = ctypes.c_int64
+        lib.fill_c.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -418,3 +524,21 @@ def mosaic_accumulate(aug: np.ndarray, weights: np.ndarray | None = None):
             term[:n].copy(), cross[:n].astype(bool),
             t_ys[:n].copy(), t_xs[:n].copy(),
             steps[:n].copy(), ncard[:n].copy(), t[:n].copy())
+
+
+def fill(grid: np.ndarray):
+    """C twin of ops/terrain.fill_grid -> the full (h, w) int64 filled
+    surface (NOVALUE preserved), or None."""
+    if not available():
+        return None
+    g = _as_i16(grid)
+    if g is None:
+        return None
+    h, w = g.shape
+    out = np.empty((h, w), np.int64)
+    if h == 0 or w == 0:
+        return out
+    n = _lib.fill_c(_ptr(g), ctypes.c_int64(h), ctypes.c_int64(w), _ptr(out))
+    if n < 0:
+        return None
+    return out

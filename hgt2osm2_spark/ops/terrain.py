@@ -813,3 +813,154 @@ def stream_order(tiles: DataFrame, min_acc: int = 5) -> DataFrame:
     return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         gen, schema=STREAM_ORDER_SCHEMA
     )
+
+
+def fill_grid(grid: np.ndarray) -> np.ndarray:
+    """Depression-filled elevation surface (Priority-Flood semantics,
+    eps = 0): W(c) = max(z(c), min over all 8-connected paths from c
+    to a SEED of the max elevation along the path) — the standard
+    hydrological conditioning step BEFORE D8 (real DEMs are full of
+    spurious pits that truncate drainage; the reference, strictly
+    per-tile and contour-oriented, has no analogue — this extends the
+    r7/r8 raster-analysis family with the one preprocessing step a
+    GIS user runs first).
+
+    Universe and boundary: every valid (non-NOVALUE) cell belongs to
+    the fill universe; a SEED is a valid cell with fewer than 8 valid
+    neighbors (tile border or NOVALUE-adjacent — where water can leave
+    the tile's known world). Seeds keep W = z. Flats are preserved
+    (eps = 0): filled depressions become flats, which downstream D8
+    treats as terminals exactly as the unfilled kernels do.
+
+    This numpy body is the ORACLE and the fallback: grayscale
+    morphological reconstruction by erosion — W starts at +inf off the
+    seeds and the Jacobi sweep W <- max(z, min of 8-neighbor W)
+    contracts monotonically to the GREATEST fixpoint, which for a
+    downward iteration from +inf is exactly the minimax-path surface
+    (Soille 1999, ch. 6; Barnes 2014 "Priority-flood" computes the
+    same surface in one heap pass — that is the C fast path,
+    kernels/terrain_cext.fill, bit-equality pinned in
+    tests/test_terrain_cext.py; all-integer, so no FP concerns).
+
+    Returns the full (h, w) int64 filled grid with NOVALUE preserved
+    at invalid cells. Integer-exact: W values are drawn from the
+    grid's own z values."""
+    from ..kernels import terrain_cext
+
+    res = terrain_cext.fill(grid)
+    if res is not None:
+        return res
+    nv = int(codecs.NOVALUE)
+    g = grid.astype(np.int64)
+    h, w = g.shape
+    valid = g != nv
+    vp = np.zeros((h + 2, w + 2), dtype=np.int8)
+    vp[1:-1, 1:-1] = valid
+    nnb = np.zeros((h, w), dtype=np.int8)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nnb += vp[1 + dy : h + 1 + dy, 1 + dx : w + 1 + dx]
+    seed = valid & (nnb < 8)
+    inf = np.int64(1) << np.int64(62)
+    wsur = np.where(seed, g, inf)
+    wp = np.full((h + 2, w + 2), inf, dtype=np.int64)
+    while True:
+        wp[1:-1, 1:-1] = wsur
+        mn = np.full((h, w), inf, dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                np.minimum(mn, wp[1 + dy : h + 1 + dy, 1 + dx : w + 1 + dx],
+                           out=mn)
+        new = np.maximum(g, mn)
+        np.copyto(new, wsur, where=seed | ~valid)
+        if np.array_equal(new, wsur):
+            break
+        wsur = new
+    out = np.where(valid, wsur, np.int64(nv))
+    assert not (out >= inf).any(), "fill: unreachable valid cell"
+    return out
+
+
+FILL_SCHEMA = "image_id string, x int, y int, z int, zfill int"
+
+
+def fill_sinks(tiles: DataFrame) -> DataFrame:
+    """PRODUCTION depression filling: tiles (input_hint schema) ->
+    per-valid-cell (x, y, z, zfill) where zfill is the Priority-Flood
+    filled surface (zfill >= z; equality off depressions). Tile-local
+    by construction (the seed set IS the tile boundary), so ONE narrow
+    Arrow pass, no Exchange — the iterative reconstruction runs
+    inside the kernel (C heap pass when available)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for img, grid in codecs.iter_decoded_tiles(pdf):
+                filled = fill_grid(grid)
+                ys, xs = np.nonzero(grid != codecs.NOVALUE)
+                parts.append(pd.DataFrame({
+                    "image_id": img,
+                    "x": xs.astype(np.int32),
+                    "y": ys.astype(np.int32),
+                    "z": grid[ys, xs].astype(np.int32),
+                    "zfill": filled[ys, xs].astype(np.int32),
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "x": pd.Series([], dtype=np.int32),
+                "y": pd.Series([], dtype=np.int32),
+                "z": pd.Series([], dtype=np.int32),
+                "zfill": pd.Series([], dtype=np.int32),
+            })
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=FILL_SCHEMA
+    )
+
+
+def filled_flow_accumulation(tiles: DataFrame) -> DataFrame:
+    """Hydrologically-conditioned flow accumulation: fill_grid then
+    the unchanged drainage kernel on the FILLED surface. eps = 0
+    semantics, stated exactly: filled depressions become FLATS at
+    spill level, and the D8 kernel treats flat cells as terminals —
+    so the spurious deep-pit basins vanish (no outlet below its spill
+    survives, pinned in tests/test_terrain_r8.py) but drainage does
+    not yet cross the flat; routing ACROSS flats is the separate
+    flat-resolution step (Garbrecht-Martz), see flat_routed_flow.
+    Same one-narrow-Arrow-pass shape as flow_accumulation; zfill
+    stays int16-ranged (bounded by the tile's own max z), so the C
+    drainage path engages on the filled surface too."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for img, grid in codecs.iter_decoded_tiles(pdf):
+                filled = fill_grid(grid).astype(np.int16)
+                ys, xs, acc, oy, ox = flow_accumulate_grid(filled)
+                parts.append(pd.DataFrame({
+                    "image_id": img, "x": xs, "y": ys, "acc": acc,
+                    "outlet_x": ox.astype(np.int32),
+                    "outlet_y": oy.astype(np.int32),
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "x": pd.Series([], dtype=np.int32),
+                "y": pd.Series([], dtype=np.int32),
+                "acc": pd.Series([], dtype=np.int64),
+                "outlet_x": pd.Series([], dtype=np.int32),
+                "outlet_y": pd.Series([], dtype=np.int32),
+            })
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=FLOWACC_SCHEMA
+    )

@@ -447,6 +447,65 @@ def tiles_df(spark: SparkSession, n_tiles: int = 12, size: int = 65, seed: int =
     return spec.mapInPandas(gen, schema=TILES_SCHEMA)
 
 
+def crater_heightfield(idx: int, n: int, seed: int = 42) -> np.ndarray:
+    """``heightfield`` with deterministic closed depressions carved in
+    — the depression-rich variant the fill_sinks / filled_flow gates
+    need (the plain Gaussian-bump terrain is almost pit-free: only
+    ~20 filled cells across all six 33^2 gate tiles). Three tapered
+    bowls per tile, subtracted from the surface, leave the rims
+    untouched, so each is a genuine closed sink the fill must raise
+    to its spill elevation. Deterministic in (idx, n, seed) only;
+    NOVALUE holes are preserved."""
+    g = heightfield(idx, n, seed)
+    nv = int(codecs.NOVALUE)
+    valid = g != nv
+    out = g.astype(np.int64)
+    rng = np.random.default_rng(np.uint64(seed * 7_000_003 + idx))
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    for _ in range(3):
+        cy, cx = rng.uniform(0.15, 0.85, 2) * (n - 1)
+        r = rng.uniform(0.08, 0.2) * n
+        depth = rng.uniform(120, 400)
+        d2 = ((xx - cx) ** 2 + (yy - cy) ** 2) / (r * r)
+        dz = np.rint(depth * np.maximum(1.0 - d2, 0.0)).astype(np.int64)
+        out -= np.where(valid, dz, 0)
+    out = np.clip(out, -32000, 32000).astype(np.int16)
+    out[~valid] = nv
+    return out
+
+
+def make_crater_tile_row(idx: int, n: int, seed: int = 42) -> dict:
+    lat, lon, k = tile_key(idx)
+    image_id = f"n{lat:02d}e{lon:03d}_{k}"
+    fmt = FMTS[idx % len(FMTS)]
+    grid = crater_heightfield(idx, n, seed)
+    return {
+        "image_id": image_id,
+        "bytes": codecs.encode(grid, fmt),
+        "w": n,
+        "h": n,
+        "fmt": fmt,
+        "caption": f"crater tile {image_id} seed{seed}",
+        "phash": codecs.phash64(grid),
+    }
+
+
+def crater_tiles_df(spark: SparkSession, n_tiles: int = 6, size: int = 33,
+                    seed: int = 42) -> DataFrame:
+    """input_hint-shaped tiles over ``crater_heightfield``."""
+    import pandas as pd
+
+    spec = spark.range(n_tiles).withColumnRenamed("id", "idx")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_crater_tile_row(int(i), size, seed)
+                    for i in pdf["idx"]]
+            yield pd.DataFrame(rows)
+
+    return spec.mapInPandas(gen, schema=TILES_SCHEMA)
+
+
 # ------------------------------------------------------------------ mosaic
 
 def mosaic_heightfield(nx: int, ny: int, size: int, seed: int = 7) -> np.ndarray:

@@ -191,3 +191,77 @@ def test_mosaic_accumulate_guards():
     b = _py_mosaic(tiny)
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def _py_fill(grid):
+    """Force the numpy reconstruction-by-erosion path."""
+    import unittest.mock as mock
+
+    with mock.patch.object(terrain_cext, "fill", lambda g: None):
+        return terrain.fill_grid(grid)
+
+
+@pytest.mark.parametrize("idx", range(6))
+def test_fill_bit_equal(idx):
+    """Priority-flood heap (C) vs Jacobi reconstruction-by-erosion
+    (numpy) — two structurally different algorithms for the same
+    unique minimax surface must agree bit-for-bit."""
+    g = _grids()[idx]
+    a = terrain_cext.fill(g)
+    b = _py_fill(g)
+    assert a is not None
+    assert a.dtype == b.dtype == np.int64
+    assert np.array_equal(a, b)
+
+
+def test_fill_semantics_hand_case():
+    """A crater with a notch fills exactly to the notch elevation; the
+    wall, the notch, and the outside world stay untouched."""
+    g = np.full((7, 7), 30, dtype=np.int16)   # outside world (drains)
+    g[1:6, 1:6] = 50                          # crater wall
+    g[2:5, 2:5] = 40                          # crater floor
+    g[3, 3] = 10                              # pit
+    g[1, 3] = 45                              # notch through the wall
+    f = terrain_cext.fill(g)
+    # cheapest escape from the floor tops the 45 notch, then steps
+    # onto the 30 border: pathmax 45
+    assert f[3, 3] == 45
+    assert (f[2:5, 2:5] == 45).all()
+    assert f[1, 3] == 45                      # notch itself unchanged
+    assert (f[g == 50] == 50).all()           # wall unchanged
+    assert (f[g == 30] == 30).all()           # outside unchanged
+    assert np.array_equal(f, _py_fill(g))
+
+
+def test_fill_novalue_is_drain():
+    """A NOVALUE hole acts as a drain: its valid neighbors are seeds,
+    so an otherwise-closed depression around it never fills."""
+    g = np.full((9, 9), 80, dtype=np.int16)
+    g[3:6, 3:6] = 20
+    base = terrain_cext.fill(g)
+    assert base[4, 4] == 80          # closed pit fills to the rim
+    g2 = g.copy()
+    g2[4, 4] = NV                    # puncture the pit floor
+    f = terrain_cext.fill(g2)
+    assert f[4, 4] == NV
+    assert (f[3:6, 3:6][g2[3:6, 3:6] != NV] == 20).all()  # drained
+    assert np.array_equal(f, _py_fill(g2))
+
+
+def test_filled_surface_feeds_drainage():
+    """filled flow: after filling, the only d8=0 cells left inside a
+    depression are genuine flats at spill level, and accumulation
+    routes across the former pit."""
+    from hgt2osm2_spark.ops import terrain as T
+
+    rng = np.random.default_rng(123)
+    g = (rng.integers(0, 40, size=(21, 21)) + 100).astype(np.int16)
+    g[8:12, 8:12] = 50  # deep pit
+    filled = T.fill_grid(g).astype(np.int16)
+    assert filled.min() >= 50
+    ys, xs, d8v, _ = T.d8_grid(filled)
+    pit_mask = (ys >= 8) & (ys < 12) & (xs >= 8) & (xs < 12)
+    # unfilled: every interior pit cell is a terminal (all d8=0 at the
+    # sink bottom); filled: the pit becomes a flat at spill level
+    zs = filled[ys[pit_mask], xs[pit_mask]]
+    assert (zs == zs[0]).all()

@@ -278,3 +278,66 @@ def test_stream_order_spark_no_exchange(spark):
                  for (y, x), (a, o) in sorted(_strahler_fold(grid, 4).items())]
     got = sorted((r.image_id, r.y, r.x, r.acc, r.sorder) for r in rows)
     assert got == sorted(want)
+
+
+# ------------------------------------------------------- fill_sinks (r8)
+
+def test_fill_sinks_spark_matches_golden(spark):
+    """The full Spark surface over the crater gate tiles equals the
+    make_golden scalar-heapq twin, and the plan stays one narrow
+    Arrow pass."""
+    import os
+
+    import pandas as pd
+
+    from hgt2osm2_spark.sources import synthetic
+
+    df = terrain.fill_sinks(synthetic.crater_tiles_df(spark, 6, 33))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+    got = sorted((r.image_id, r.x, r.y, r.z, r.zfill) for r in df.collect())
+    gpath = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "golden", "fill_cells.parquet")
+    g = pd.read_parquet(gpath)
+    want = sorted(zip(g.image_id, g.x, g.y, g.z, g.zfill))
+    assert got == want
+    # the crater tiles exercise the fill for real: hundreds of raised
+    # cells, not a near-no-op surface
+    n_raised = sum(1 for _, _, _, z, zf in got if zf > z)
+    assert n_raised > 300
+
+
+def test_filled_flow_eps0_semantics(spark):
+    """eps = 0 fill semantics, asserted exactly: a filled crater
+    becomes a FLAT at spill level, and the engine's D8 treats flat
+    cells as terminals — so the deep convergent pit (one outlet
+    draining the whole bowl) is replaced by many small flat terminals.
+    (Routing ACROSS flats is the separate flat-resolution op.)"""
+    from hgt2osm2_spark.sources import synthetic
+
+    tiles = synthetic.crater_tiles_df(spark, 6, 33)
+    unfilled = terrain.flow_accumulation(tiles)
+    filled = terrain.filled_flow_accumulation(tiles)
+    assert filled.count() == unfilled.count()  # same valid universe
+    # the crater-bottom mega-basins vanish: the unfilled run's deepest
+    # outlets capture big upstream areas; after filling no outlet BELOW
+    # its tile's spill level survives
+    zf = {(r.image_id, r.x, r.y): (r.z, r.zfill)
+          for r in terrain.fill_sinks(tiles).collect()}
+    raised = {k for k, (z, w) in zf.items() if w > z}
+    big_unfilled = {
+        (r.image_id, r.outlet_x, r.outlet_y)
+        for r in unfilled.groupBy("image_id", "outlet_x", "outlet_y")
+        .count().filter("count >= 30").collect()
+    }
+    big_filled = {
+        (r.image_id, r.outlet_x, r.outlet_y)
+        for r in filled.groupBy("image_id", "outlet_x", "outlet_y")
+        .count().filter("count >= 30").collect()
+    }
+    # raised crater bottoms captured >= 30-cell basins before filling;
+    # after filling none of those below-spill cells drains anything
+    big_raised_before = {k for k in big_unfilled
+                         if (k[0], k[1], k[2]) in raised}
+    assert big_raised_before, "gate craters must capture real basins"
+    assert not (big_raised_before & big_filled)

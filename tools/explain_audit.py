@@ -93,6 +93,16 @@ AUDITED = {
          r"Exchange", "absent"),
         ("vectorized Kahn rounds inside one mapInPandas", r"MapInPandas"),
     ],
+    "fill_sinks": [
+        ("priority-flood stays tile-local (no Exchange, no driver loop)",
+         r"Exchange", "absent"),
+        ("heap/reconstruction fill inside one mapInPandas", r"MapInPandas"),
+    ],
+    "filled_flow": [
+        ("fill + drainage compose in ONE tile-local pass (no Exchange)",
+         r"Exchange", "absent"),
+        ("both kernels inside one mapInPandas", r"MapInPandas"),
+    ],
     "terrain_morphometry": [
         ("TPI/TRI/curvature stencils in ONE narrow Arrow map (no shuffle)",
          r"Exchange", "absent"),

@@ -440,6 +440,121 @@ def g_raster_cells():
 
 
 
+def _crater_grid(idx: int, size: int = 33, seed: int = 42):
+    """Decode-roundtrip grid of one crater gate tile (the
+    depression-rich fill_sinks input; jpg tiles are lossy, so the
+    truth is the DECODED grid, exactly as scalar_tile_grid)."""
+    row = synthetic.make_crater_tile_row(idx, size, seed)
+    grid = codecs.decode(row["bytes"], row["fmt"], size, size)
+    return row, grid
+
+
+def g_crater_cells():
+    """Auxiliary data golden: every decoded cell of the 6 crater gate
+    tiles as (image_id, y, x, value) rows — the raw-cell table the
+    fill_sinks fixpoint-verification oracle and the filled_flow D8
+    walk recompute from."""
+    rows = []
+    for idx in range(6):
+        row, grid = _crater_grid(idx)
+        h, w = grid.shape
+        ys, xs = np.mgrid[0:h, 0:w]
+        rows.append(pd.DataFrame({
+            "image_id": row["image_id"],
+            "y": ys.ravel().astype(np.int32),
+            "x": xs.ravel().astype(np.int32),
+            "value": grid.ravel().astype(np.int32),
+        }))
+    df = pd.concat(rows, ignore_index=True)
+    _write("crater_cells", df, pa.schema([
+        ("image_id", pa.string()), ("y", pa.int32()), ("x", pa.int32()),
+        ("value", pa.int32()),
+    ]))
+
+
+def scalar_fill(grid: np.ndarray) -> dict:
+    """Independent scalar priority-flood (heapq over python tuples) —
+    a THIRD derivation of the minimax fill surface next to the
+    engine's C heap pass and its numpy reconstruction-by-erosion
+    fallback. Returns {(y, x): zfill} over valid cells."""
+    import heapq
+
+    nv = int(codecs.NOVALUE)
+    h, w = grid.shape
+
+    def valid(y, x):
+        return 0 <= y < h and 0 <= x < w and grid[y, x] != nv
+
+    wmap = {}
+    heap = []
+    for y in range(h):
+        for x in range(w):
+            if grid[y, x] == nv:
+                continue
+            nn = sum(
+                1
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+                if (dy or dx) and valid(y + dy, x + dx)
+            )
+            if nn < 8:
+                wmap[(y, x)] = int(grid[y, x])
+                heap.append((int(grid[y, x]), (y, x)))
+    heapq.heapify(heap)
+    done = set()
+    while heap:
+        wv, (y, x) = heapq.heappop(heap)
+        if (y, x) in done or wmap.get((y, x)) != wv:
+            continue
+        done.add((y, x))
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if not (dy or dx):
+                    continue
+                ny, nx = y + dy, x + dx
+                if not valid(ny, nx) or (ny, nx) in done:
+                    continue
+                cand = max(int(grid[ny, nx]), wv)
+                if cand < wmap.get((ny, nx), 1 << 62):
+                    wmap[(ny, nx)] = cand
+                    heapq.heappush(heap, (cand, (ny, nx)))
+    return wmap
+
+
+def g_fill_cells():
+    """fill_sinks golden: the filled surface over the crater gate
+    tiles, derived by the scalar heapq priority-flood and
+    CROSS-CHECKED cell-for-cell against the numpy
+    reconstruction-by-erosion path (NO_CKERNEL is pinned, so the
+    engine's C heap never touches a golden) — the scalar_segments
+    discipline: goldens can't inherit a kernel bug silently."""
+    from hgt2osm2_spark.ops import terrain
+
+    rows = []
+    for idx in range(6):
+        row, grid = _crater_grid(idx)
+        wmap = scalar_fill(grid)
+        jac = terrain.fill_grid(grid)  # numpy Jacobi (NO_CKERNEL)
+        ys, xs = np.nonzero(grid != codecs.NOVALUE)
+        zf = np.array([wmap[(int(y), int(x))] for y, x in zip(ys, xs)],
+                      dtype=np.int64)
+        assert np.array_equal(zf, jac[ys, xs]), (
+            "scalar priority-flood vs numpy reconstruction: fill mismatch"
+        )
+        rows.append(pd.DataFrame({
+            "image_id": row["image_id"],
+            "x": xs.astype(np.int32),
+            "y": ys.astype(np.int32),
+            "z": grid[ys, xs].astype(np.int32),
+            "zfill": zf.astype(np.int32),
+        }))
+    df = pd.concat(rows, ignore_index=True)
+    _write("fill_cells", df, pa.schema([
+        ("image_id", pa.string()), ("x", pa.int32()), ("y", pa.int32()),
+        ("z", pa.int32()), ("zfill", pa.int32()),
+    ]))
+
+
 def g_mosaic_cells():
     """Auxiliary data golden for the cross-tile drainage oracles: every
     GLOBAL cell of the 2x2 gate mosaic as (gx, gy, value) rows, derived
@@ -2022,6 +2137,8 @@ GENERATORS = {
     "tile_pip_flagship": g_tile_pip_flagship,
     "decode_stats": g_decode_stats,
     "raster_cells": g_raster_cells,
+    "crater_cells": g_crater_cells,
+    "fill_cells": g_fill_cells,
     "mosaic_cells": g_mosaic_cells,
     "mosaic_hillshade": g_mosaic_hillshade,
     "mosaic_stream_order": g_mosaic_stream_order,
