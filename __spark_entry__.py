@@ -1050,6 +1050,22 @@ def q_filled_flow(spark, sf_dir):
         synthetic.crater_tiles_df(spark, n_tiles=6, size=33))
 
 
+def q_flat_routed_flow(spark, sf_dir):
+    """Flat-routed conditioned drainage (r8): fill + Garbrecht-Martz
+    flat routing + accumulation — drainage CROSSES filled depressions
+    (filled_flow's eps=0 flats are terminals; here every reachable
+    flat cell routes to the equal-elevation neighbor minimizing
+    (BFS distance to a draining cell, ESRI code), a deterministic
+    integer rule). Acyclic by construction: strict edges drop
+    elevation, flat edges drop BFS distance. ONE narrow Arrow pass.
+    The oracle re-derives the BFS distances (bounded recursion,
+    bound pinned by a pytest at ~4x the gate's true flat diameter),
+    the (dist, code) argmin as a ROW_NUMBER, and the full walk over
+    strict+routed edges — all from the fixpoint-verified fill golden."""
+    return terrain.flat_routed_flow(
+        synthetic.crater_tiles_df(spark, n_tiles=6, size=33))
+
+
 def q_stream_terrain(spark, sf_dir):
     """Streaming terrain path (r7): the SAME 6 gate tiles arrive as a
     file stream in three micro-batches and the Horn stencil runs
@@ -2102,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_order": q_stream_order,
         "fill_sinks": q_fill_sinks,
         "filled_flow": q_filled_flow,
+        "flat_routed_flow": q_flat_routed_flow,
         # rotated IN for r8 (VERDICT r7 "Next round" #4): the eleven
         # entries whose last driver check predated r5 - the r1-r4
         # relational/streaming tail, the oldest rows in the registry
@@ -2921,6 +2938,95 @@ def oracle_sql() -> dict[str, str]:
         )""" + _d8_body + _d8_plain_walk + """
         SELECT a.image_id, a.x, a.y, a.acc, t.outlet_x, t.outlet_y
         FROM acc a JOIN term t USING (image_id, x, y)
+    """
+    # flat_routed_flow (r8): D8 on the filled surface, plus ROUTED
+    # edges for flat cells — BFS hop distance to a draining
+    # equal-elevation universe cell (RECURSIVE (cell, z, dist) rows;
+    # the bound 64 only caps recursion depth and sits ~4x above the
+    # gate flats' true diameter, pinned in tests/test_terrain_r8.py),
+    # then the (dist ASC, code ASC) argmin as a ROW_NUMBER, then the
+    # standard RECURSIVE walk over strict UNION routed edges. Engine
+    # twin does synchronized-frontier numpy BFS + vectorized argmin +
+    # Kahn — fully independent mechanics.
+    golden["flat_routed_flow"] = f"""
+        WITH RECURSIVE c AS (
+            SELECT image_id, x, y, CAST(zfill AS BIGINT) AS value
+            FROM read_parquet('{golden_dir}/fill_cells.parquet')
+            UNION ALL
+            SELECT image_id, x, y, CAST(value AS BIGINT) AS value
+            FROM read_parquet('{golden_dir}/crater_cells.parquet')
+            WHERE value = -32768
+        )""" + _d8_body + """
+        , uz AS (
+            SELECT u.image_id, u.x, u.y, u.d8, cv.value AS z
+            FROM univ u JOIN c cv USING (image_id, x, y)
+        ),
+        bfs AS (
+            SELECT image_id, x, y, z, 0 AS dist FROM uz WHERE d8 > 0
+            UNION
+            SELECT f.image_id, f.x, f.y, f.z, b.dist + 1
+            FROM bfs b JOIN uz f
+              ON f.image_id = b.image_id AND f.z = b.z AND f.d8 = 0
+             AND f.x BETWEEN b.x - 1 AND b.x + 1
+             AND f.y BETWEEN b.y - 1 AND b.y + 1
+             AND NOT (f.x = b.x AND f.y = b.y)
+            WHERE b.dist + 1 <= 64
+        ),
+        mind AS (
+            SELECT image_id, x, y, MIN(dist) AS dist
+            FROM bfs GROUP BY 1, 2, 3
+        ),
+        routed AS (
+            SELECT image_id, x, y, tx, ty FROM (
+                SELECT fz.image_id, fz.x, fz.y, n.x AS tx, n.y AS ty,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY fz.image_id, fz.x, fz.y
+                           ORDER BY nd.dist ASC,
+                                    CASE WHEN n.x = fz.x + 1 AND n.y = fz.y     THEN 1
+                                         WHEN n.x = fz.x + 1 AND n.y = fz.y + 1 THEN 2
+                                         WHEN n.x = fz.x     AND n.y = fz.y + 1 THEN 4
+                                         WHEN n.x = fz.x - 1 AND n.y = fz.y + 1 THEN 8
+                                         WHEN n.x = fz.x - 1 AND n.y = fz.y     THEN 16
+                                         WHEN n.x = fz.x - 1 AND n.y = fz.y - 1 THEN 32
+                                         WHEN n.x = fz.x     AND n.y = fz.y - 1 THEN 64
+                                         ELSE 128 END ASC) AS rn
+                FROM uz fz
+                JOIN uz n
+                  ON n.image_id = fz.image_id AND n.z = fz.z
+                 AND n.x BETWEEN fz.x - 1 AND fz.x + 1
+                 AND n.y BETWEEN fz.y - 1 AND fz.y + 1
+                 AND NOT (n.x = fz.x AND n.y = fz.y)
+                JOIN mind nd
+                  ON nd.image_id = n.image_id AND nd.x = n.x AND nd.y = n.y
+                WHERE fz.d8 = 0
+            ) WHERE rn = 1
+        ),
+        edge2 AS (
+            SELECT image_id, x, y, tx, ty FROM edge
+            UNION ALL
+            SELECT image_id, x, y, tx, ty FROM routed
+        ),
+        walk2 AS (
+            SELECT image_id, x AS sx, y AS sy, x AS cx, y AS cy FROM univ
+            UNION ALL
+            SELECT w.image_id, w.sx, w.sy, e.tx, e.ty
+            FROM walk2 w JOIN edge2 e
+              ON e.image_id = w.image_id AND e.x = w.cx AND e.y = w.cy
+        ),
+        acc2 AS (
+            SELECT image_id, cx AS x, cy AS y,
+                   CAST(count(*) AS BIGINT) AS acc
+            FROM walk2 GROUP BY 1, 2, 3
+        ),
+        term2 AS (
+            SELECT w.image_id, w.sx AS x, w.sy AS y,
+                   CAST(w.cx AS INT) AS outlet_x, CAST(w.cy AS INT) AS outlet_y
+            FROM walk2 w LEFT JOIN edge2 e
+              ON e.image_id = w.image_id AND e.x = w.cx AND e.y = w.cy
+            WHERE e.x IS NULL
+        )
+        SELECT a.image_id, a.x, a.y, a.acc, t.outlet_x, t.outlet_y
+        FROM acc2 a JOIN term2 t USING (image_id, x, y)
     """
     # flow_length (r8): the SAME drainage edges, walked one step at a
     # time with per-step cardinal/diagonal counters carried through

@@ -964,3 +964,158 @@ def filled_flow_accumulation(tiles: DataFrame) -> DataFrame:
     return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         gen, schema=FLOWACC_SCHEMA
     )
+
+
+def routed_flow_grid(filled: np.ndarray):
+    """Flow accumulation WITH flat resolution over an (already filled)
+    surface: strict-descent cells keep their D8 target; a flat cell
+    (d8 = 0) routes to the 8-neighbor of EQUAL elevation minimizing
+    (BFS distance to a draining equal-elevation cell, ESRI code) —
+    the Garbrecht-Martz "gradient toward lower terrain" half, which
+    is the only half an eps=0-filled surface needs (filled flats
+    always have a spill; the away-from-higher half only shapes
+    aesthetics, not reachability). Draining = universe cell with
+    d8 > 0 at the same elevation. Cells whose flat has no reachable
+    draining cell (true plateau tops, NOVALUE-locked flats) stay
+    terminals.
+
+    Acyclicity: strict edges drop elevation; flat edges keep
+    elevation and strictly drop BFS distance — so the union graph is
+    a DAG and the same vectorized worklist-Kahn propagates
+    accumulation and outlets. Returns (ys, xs, acc, outlet_y,
+    outlet_x) over the d8 universe of the filled grid — identical
+    shape to flow_accumulate_grid.
+
+    All-integer (elevations, BFS hop counts): the gate surface is
+    exact across engines."""
+    ys, xs, d8, _ = d8_grid(filled)
+    n = len(ys)
+    h, w = filled.shape
+    g = filled.astype(np.int64)
+    lookup = np.full(h * w, -1, dtype=np.int64)
+    lookup[ys.astype(np.int64) * w + xs] = np.arange(n)
+    zz = g[ys, xs]
+
+    # strict-descent targets (same derivation as flow_accumulate_grid)
+    tx = xs.astype(np.int64).copy()
+    ty = ys.astype(np.int64).copy()
+    for c, dx, dy, _card in D8_NEIGHBORS:
+        sel = d8 == c
+        tx[sel] += dx
+        ty[sel] += dy
+    t = np.where(d8 > 0, lookup[ty * w + tx], np.int64(-1))
+
+    # BFS distance to a draining equal-elevation cell, per flat
+    INF = np.int64(1) << np.int64(60)
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[(d8 > 0)] = 0
+    # neighbor index table (n x 8) in ESRI code order, -1 where the
+    # neighbor is outside the universe
+    nbr = np.full((n, 8), -1, dtype=np.int64)
+    same = np.zeros((n, 8), dtype=bool)
+    for k, (c, dx, dy, _card) in enumerate(D8_NEIGHBORS):
+        nx2 = xs.astype(np.int64) + dx
+        ny2 = ys.astype(np.int64) + dy
+        ok = (nx2 >= 1) & (nx2 < w - 1) & (ny2 >= 1) & (ny2 < h - 1)
+        idx = np.where(ok, lookup[np.clip(ny2, 0, h - 1) * w
+                                  + np.clip(nx2, 0, w - 1)], -1)
+        nbr[:, k] = idx
+        valid_nb = idx >= 0
+        same[valid_nb, k] = zz[idx[valid_nb]] == zz[valid_nb.nonzero()[0]]
+    frontier = np.flatnonzero(dist == 0)
+    d = np.int64(0)
+    while frontier.size:
+        d += 1
+        # flat cells adjacent (equal-z) to the frontier and not reached
+        cand = nbr[frontier]                       # (f, 8)
+        eq = same[frontier]
+        flat_nb = cand[eq & (cand >= 0)]
+        flat_nb = flat_nb[(d8[flat_nb] == 0) & (dist[flat_nb] == INF)]
+        if flat_nb.size == 0:
+            break
+        flat_nb = np.unique(flat_nb)
+        dist[flat_nb] = d
+        frontier = flat_nb
+
+    # route each reachable flat cell: argmin over equal-z neighbors of
+    # (dist, code order) — code order is the column order of nbr
+    flat = np.flatnonzero((d8 == 0) & (dist < INF))
+    if flat.size:
+        cand = nbr[flat]                           # (m, 8)
+        eq = same[flat] & (cand >= 0)
+        nd = np.full(cand.shape, INF, dtype=np.int64)
+        cc = np.clip(cand, 0, max(n - 1, 0))
+        nd[eq] = dist[cc[eq]]
+        best = np.argmin(nd, axis=1)               # first (smallest code) wins
+        chosen = cand[np.arange(flat.size), best]
+        ok = nd[np.arange(flat.size), best] < INF
+        t[flat[ok]] = chosen[ok]
+
+    # worklist Kahn over the union DAG (same idiom as
+    # flow_accumulate_grid; integer sums are order-free)
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, t[t >= 0], 1)
+    acc = np.ones(n, dtype=np.int64)
+    rounds = []
+    frontier = np.flatnonzero(indeg == 0)
+    n_done = 0
+    while frontier.size:
+        rounds.append(frontier)
+        n_done += frontier.size
+        ft = t[frontier]
+        has = ft >= 0
+        tgt = ft[has]
+        if tgt.size == 0:
+            break
+        order = np.argsort(tgt, kind="stable")
+        st = tgt[order]
+        sa = acc[frontier][has][order]
+        cuts = np.flatnonzero(np.r_[True, st[1:] != st[:-1]])
+        uniq = st[cuts]
+        acc[uniq] += np.add.reduceat(sa, cuts)
+        indeg[uniq] -= np.diff(np.r_[cuts, len(st)])
+        frontier = uniq[indeg[uniq] == 0]
+    assert n_done == n, "flat-routed graph must be acyclic"
+    outlet = np.arange(n, dtype=np.int64)
+    for frontier in reversed(rounds):
+        ft = t[frontier]
+        has_t = ft >= 0
+        outlet[frontier[has_t]] = outlet[ft[has_t]]
+    return ys, xs, acc, ys[outlet], xs[outlet]
+
+
+def flat_routed_flow(tiles: DataFrame) -> DataFrame:
+    """PRODUCTION hydrologically-conditioned drainage, complete: fill
+    (priority-flood) + flat routing (Garbrecht-Martz toward-spill
+    half) + accumulation, all on the filled surface — drainage CROSSES
+    former depressions instead of terminating on them (the eps=0
+    filled_flow keeps flats as terminals; this op is the full
+    conditioning a watershed delineation uses). Tile-local: ONE narrow
+    Arrow pass, no Exchange."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for img, grid in codecs.iter_decoded_tiles(pdf):
+                filled = fill_grid(grid).astype(np.int16)
+                ys, xs, acc, oy, ox = routed_flow_grid(filled)
+                parts.append(pd.DataFrame({
+                    "image_id": img, "x": xs, "y": ys, "acc": acc,
+                    "outlet_x": ox.astype(np.int32),
+                    "outlet_y": oy.astype(np.int32),
+                }))
+            yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "x": pd.Series([], dtype=np.int32),
+                "y": pd.Series([], dtype=np.int32),
+                "acc": pd.Series([], dtype=np.int64),
+                "outlet_x": pd.Series([], dtype=np.int32),
+                "outlet_y": pd.Series([], dtype=np.int32),
+            })
+
+    return tiles.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, schema=FLOWACC_SCHEMA
+    )

@@ -341,3 +341,93 @@ def test_filled_flow_eps0_semantics(spark):
                          if (k[0], k[1], k[2]) in raised}
     assert big_raised_before, "gate craters must capture real basins"
     assert not (big_raised_before & big_filled)
+
+
+# --------------------------------------------- flat_routed_flow (r8)
+
+def test_routed_flow_crosses_crater():
+    """Hand case: a notched crater on a plateau. Unrouted (eps=0)
+    leaves every bowl cell a flat terminal; routing drains the whole
+    bowl across the flat — zero flat terminals remain inside."""
+    g = np.full((11, 11), 100, dtype=np.int16)
+    g[3:8, 3:8] = 60
+    g[5, 5] = 20
+    g[0:11, 0] = 50
+    filled = terrain.fill_grid(g).astype(np.int16)
+    ys, xs, _acc, oy, ox = terrain.routed_flow_grid(filled)
+    raised = filled > g
+    n_flat_term = sum(
+        1 for y, x, yy, xx in zip(ys, xs, oy, ox)
+        if (yy, xx) == (y, x) and raised[y, x]
+    )
+    assert n_flat_term == 0
+    # every raised cell's outlet lies OUTSIDE the raised set
+    out = {(y, x): (yy, xx) for y, x, yy, xx in zip(ys, xs, oy, ox)}
+    for (y, x), (yy, xx) in out.items():
+        if raised[y, x]:
+            assert not raised[yy, xx]
+
+
+def test_routed_flow_unreachable_flats_stay_terminal():
+    """A flat with NO draining cell anywhere (constant grid: nothing
+    ever descends) keeps every cell a terminal — routing never invents
+    descent. And a plateau's strict interior routes THROUGH the
+    plateau edge, which drains off the cliff at equal z."""
+    g = np.full((9, 9), 7, dtype=np.int16)
+    ys, xs, acc, oy, ox = terrain.routed_flow_grid(g)
+    assert (acc == 1).all()
+    assert np.array_equal(oy, ys) and np.array_equal(ox, xs)
+    # plateau-on-plain: the interior flat cell is NOT a terminal (its
+    # equal-z neighbors on the plateau edge drain off the cliff), and
+    # its path exits the plateau
+    g2 = np.zeros((9, 9), dtype=np.int16)
+    g2[3:6, 3:6] = 50
+    ys2, xs2, _a2, oy2, ox2 = terrain.routed_flow_grid(g2)
+    out = {(y, x): (yy, xx) for y, x, yy, xx in zip(ys2, xs2, oy2, ox2)}
+    ty, tx = out[(4, 4)]
+    assert (ty, tx) != (4, 4)
+    assert g2[ty, tx] == 0  # outlet left the plateau
+
+
+def test_routed_flow_bfs_bound_pin():
+    """The flat_routed_flow ORACLE bounds its BFS recursion at 64
+    hops; pin that the gate input's true flat diameters sit far below
+    (< 16), so the bound can never truncate a real path. Re-derives
+    the distances with an independent scalar BFS."""
+    from collections import deque
+
+    from hgt2osm2_spark.sources import synthetic
+
+    worst = 0
+    for i in range(6):
+        row = synthetic.make_crater_tile_row(i, 33, 42)
+        grid = codecs.decode(row["bytes"], row["fmt"], 33, 33)
+        filled = terrain.fill_grid(grid).astype(np.int16)
+        ys, xs, d8v, _ = terrain.d8_grid(filled)
+        univ = {(y, x): c for y, x, c in zip(ys, xs, d8v)}
+        z = {k: int(filled[k]) for k in univ}
+        dist = {k: 0 for k, c in univ.items() if c > 0}
+        q = deque(dist)
+        while q:
+            cur = q.popleft()
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if not (dy or dx):
+                        continue
+                    nb = (cur[0] + dy, cur[1] + dx)
+                    if (nb in univ and univ[nb] == 0 and nb not in dist
+                            and z[nb] == z[cur]):
+                        dist[nb] = dist[cur] + 1
+                        q.append(nb)
+        if dist:
+            worst = max(worst, max(dist.values()))
+    assert 0 < worst < 16
+
+
+def test_flat_routed_flow_spark_no_exchange(spark):
+    from hgt2osm2_spark.sources import synthetic
+
+    df = terrain.flat_routed_flow(synthetic.crater_tiles_df(spark, 3, 33))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+    assert df.count() > 2000

@@ -103,6 +103,11 @@ AUDITED = {
          r"Exchange", "absent"),
         ("both kernels inside one mapInPandas", r"MapInPandas"),
     ],
+    "flat_routed_flow": [
+        ("fill + BFS flat routing + Kahn in ONE tile-local pass (no Exchange)",
+         r"Exchange", "absent"),
+        ("all three kernels inside one mapInPandas", r"MapInPandas"),
+    ],
     "terrain_morphometry": [
         ("TPI/TRI/curvature stencils in ONE narrow Arrow map (no shuffle)",
          r"Exchange", "absent"),
