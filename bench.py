@@ -173,6 +173,11 @@ def main():
         "terrain_morphometry",
         "flow_length",
         "stream_order",
+        # r8 late: depression filling (priority-flood C heap) + the
+        # conditioned-drainage compositions over the crater tiles
+        "fill_sinks",
+        "filled_flow",
+        "flat_routed_flow",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the

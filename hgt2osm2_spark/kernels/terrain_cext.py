@@ -388,6 +388,123 @@ int64_t fill_c(const int16_t* g, int64_t h, int64_t w, int64_t* W)
     free(hp); free(done);
     return rc;
 }
+
+/* Flat-routed drainage (ops/terrain.routed_flow_grid): D8 over an
+   (already filled) surface, then every flat cell (d8 = 0) routes to
+   the equal-elevation universe neighbor minimizing (BFS hop distance
+   to a draining equal-elevation cell, ESRI code); strict + routed
+   edges feed the same FIFO Kahn + reverse outlet sweep.  The BFS runs
+   as one FIFO pass seeded by all draining cells (dist 0), expanding
+   through flat cells of equal z — FIFO order IS breadth order because
+   every edge has weight 1.  Returns n, -1 alloc, -2 cycle. */
+int64_t routed_flow_c(const int16_t* g, int64_t h, int64_t w,
+                      int32_t* ys, int32_t* xs, int64_t* acc,
+                      int32_t* oy, int32_t* ox)
+{
+    if (h < 3 || w < 3) return 0;
+    int64_t iw = w - 2, ih = h - 2, np_ = iw * ih;
+    int32_t* d8 = (int32_t*)malloc(np_ * sizeof(int32_t));
+    int64_t* dp = (int64_t*)malloc(np_ * sizeof(int64_t));
+    int8_t*  kx = (int8_t*)malloc(np_);
+    uint8_t* va = (uint8_t*)malloc(np_);
+    int64_t* lut = (int64_t*)malloc(np_ * sizeof(int64_t));
+    if (!d8 || !dp || !kx || !va || !lut) {
+        free(d8); free(dp); free(kx); free(va); free(lut); return -1;
+    }
+    d8_planes(g, h, w, d8, dp, kx, va);
+    int64_t n = 0;
+    for (int64_t o = 0; o < np_; o++) {
+        if (va[o]) { lut[o] = n; ys[n] = (int32_t)(o / iw + 1);
+                     xs[n] = (int32_t)(o % iw + 1); n++; }
+        else lut[o] = -1;
+    }
+    int64_t* t = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t* dist = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t* indeg = (int64_t*)calloc(n ? n : 1, sizeof(int64_t));
+    int64_t* queue = (int64_t*)malloc((n ? n : 1) * sizeof(int64_t));
+    int64_t* outl = (int64_t*)malloc(n * sizeof(int64_t));
+    if (!t || !dist || !indeg || !queue || !outl) {
+        free(d8); free(dp); free(kx); free(va); free(lut);
+        free(t); free(dist); free(indeg); free(queue); free(outl);
+        return -1;
+    }
+    const int64_t INF = (int64_t)1 << 60;
+    /* strict-descent targets + BFS seed (draining cells, dist 0) */
+    int64_t head = 0, tail = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t o = (int64_t)(ys[i] - 1) * iw + (xs[i] - 1);
+        int8_t k = kx[o];
+        int64_t ti = -1;
+        if (k >= 0) {
+            int64_t txx = xs[i] + DX[k], tyy = ys[i] + DY[k];
+            if (txx >= 1 && txx <= iw && tyy >= 1 && tyy <= ih)
+                ti = lut[(tyy - 1) * iw + (txx - 1)];
+        }
+        t[i] = ti;
+        if (k >= 0) { dist[i] = 0; queue[tail++] = i; }
+        else dist[i] = INF;
+    }
+    /* BFS across equal-z flat cells (unit edges: FIFO = breadth) */
+    while (head < tail) {
+        int64_t c = queue[head++];
+        int16_t zc = g[(int64_t)ys[c] * w + xs[c]];
+        for (int k = 0; k < 8; k++) {
+            int64_t nx2 = xs[c] + DX[k], ny2 = ys[c] + DY[k];
+            if (nx2 < 1 || nx2 > iw || ny2 < 1 || ny2 > ih) continue;
+            int64_t ni = lut[(ny2 - 1) * iw + (nx2 - 1)];
+            if (ni < 0 || dist[ni] != INF) continue;
+            if (g[ny2 * w + nx2] != zc) continue;
+            /* dist[ni] == INF implies d8 == 0 (flat) — draining cells
+               were all seeded at 0 */
+            dist[ni] = dist[c] + 1;
+            queue[tail++] = ni;
+        }
+    }
+    /* route reachable flat cells: argmin (dist, code order) over
+       equal-z universe neighbors; code order = the k loop order */
+    for (int64_t i = 0; i < n; i++) {
+        if (t[i] >= 0 || dist[i] == 0) continue;  /* strict or draining */
+        if (dist[i] == INF) continue;             /* unreachable flat */
+        int16_t zc = g[(int64_t)ys[i] * w + xs[i]];
+        int64_t best = INF, bi = -1;
+        for (int k = 0; k < 8; k++) {
+            int64_t nx2 = xs[i] + DX[k], ny2 = ys[i] + DY[k];
+            if (nx2 < 1 || nx2 > iw || ny2 < 1 || ny2 > ih) continue;
+            int64_t ni = lut[(ny2 - 1) * iw + (nx2 - 1)];
+            if (ni < 0 || g[ny2 * w + nx2] != zc) continue;
+            if (dist[ni] < best) { best = dist[ni]; bi = ni; }
+        }
+        if (bi >= 0 && best < INF) t[i] = bi;
+    }
+    /* FIFO Kahn over strict + routed edges */
+    for (int64_t i = 0; i < n; i++) { acc[i] = 1; }
+    for (int64_t i = 0; i < n; i++) if (t[i] >= 0) indeg[t[i]]++;
+    head = 0; tail = 0;
+    for (int64_t i = 0; i < n; i++) if (indeg[i] == 0) queue[tail++] = i;
+    while (head < tail) {
+        int64_t c = queue[head++];
+        int64_t ti = t[c];
+        if (ti >= 0) {
+            acc[ti] += acc[c];
+            if (--indeg[ti] == 0) queue[tail++] = ti;
+        }
+    }
+    int rc = (tail == n) ? 0 : -2;
+    if (rc == 0) {
+        for (int64_t i = 0; i < n; i++) outl[i] = i;
+        for (int64_t q = n - 1; q >= 0; q--) {
+            int64_t c = queue[q];
+            if (t[c] >= 0) outl[c] = outl[t[c]];
+        }
+        for (int64_t i = 0; i < n; i++) {
+            oy[i] = ys[outl[i]];
+            ox[i] = xs[outl[i]];
+        }
+    }
+    free(d8); free(dp); free(kx); free(va); free(lut);
+    free(t); free(dist); free(indeg); free(queue); free(outl);
+    return rc == 0 ? n : rc;
+}
 """
 
 _lib = None
@@ -407,6 +524,7 @@ def available() -> bool:
         lib.flow_accumulate_c.restype = ctypes.c_int64
         lib.mosaic_accumulate_c.restype = ctypes.c_int64
         lib.fill_c.restype = ctypes.c_int64
+        lib.routed_flow_c.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -542,3 +660,30 @@ def fill(grid: np.ndarray):
     if n < 0:
         return None
     return out
+
+
+def routed_flow(filled: np.ndarray):
+    """C twin of ops/terrain.routed_flow_grid ->
+    (ys, xs, acc, outlet_y, outlet_x) or None."""
+    if not available():
+        return None
+    g = _as_i16(filled)
+    if g is None:
+        return None
+    h, w = g.shape
+    cap = max((h - 2) * (w - 2), 0)
+    if cap == 0:
+        z32, z64 = np.empty(0, np.int32), np.empty(0, np.int64)
+        return z32, z32.copy(), z64, z32.copy(), z32.copy()
+    ys = np.empty(cap, np.int32)
+    xs = np.empty(cap, np.int32)
+    acc = np.empty(cap, np.int64)
+    oy = np.empty(cap, np.int32)
+    ox = np.empty(cap, np.int32)
+    n = _lib.routed_flow_c(_ptr(g), ctypes.c_int64(h), ctypes.c_int64(w),
+                           _ptr(ys), _ptr(xs), _ptr(acc),
+                           _ptr(oy), _ptr(ox))
+    if n < 0:
+        return None
+    return (ys[:n].copy(), xs[:n].copy(), acc[:n].copy(),
+            oy[:n].copy(), ox[:n].copy())

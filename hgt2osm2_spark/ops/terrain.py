@@ -987,7 +987,17 @@ def routed_flow_grid(filled: np.ndarray):
     shape to flow_accumulate_grid.
 
     All-integer (elevations, BFS hop counts): the gate surface is
-    exact across engines."""
+    exact across engines. Dispatches to the C fast path
+    (kernels/terrain_cext.routed_flow: the whole d8 + FIFO-BFS +
+    argmin + Kahn in one call — the numpy body below builds n x 8
+    neighbor tables, which at SRTM-1 grain cost ~16 s/tile against
+    the C pass's ~1 s); this numpy body stays the ORACLE and the
+    fallback."""
+    from ..kernels import terrain_cext
+
+    res = terrain_cext.routed_flow(filled)
+    if res is not None:
+        return res
     ys, xs, d8, _ = d8_grid(filled)
     n = len(ys)
     h, w = filled.shape

@@ -265,3 +265,33 @@ def test_filled_surface_feeds_drainage():
     # sink bottom); filled: the pit becomes a flat at spill level
     zs = filled[ys[pit_mask], xs[pit_mask]]
     assert (zs == zs[0]).all()
+
+
+def _py_routed(filled):
+    """Force the numpy routed-flow path (no C d8, no C routed)."""
+    import unittest.mock as mock
+
+    with mock.patch.object(terrain_cext, "d8", lambda g: None), \
+         mock.patch.object(terrain_cext, "routed_flow", lambda g: None):
+        return terrain.routed_flow_grid(filled)
+
+
+@pytest.mark.parametrize("idx", range(6))
+def test_routed_flow_bit_equal(idx):
+    """C FIFO-BFS + argmin + Kahn vs the numpy n x 8 table derivation
+    — on FILLED surfaces (the op's real input: big flats) and raw
+    grids (plain flats/pits) alike."""
+    g = _grids()[idx]
+    filled = terrain.fill_grid(g)
+    f16 = filled.astype(np.int16)
+    f16[filled == NV] = NV
+    a = terrain_cext.routed_flow(f16)
+    b = _py_routed(f16)
+    assert a is not None
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    # raw (unfilled) grids too: routed must also agree there
+    a2 = terrain_cext.routed_flow(g)
+    b2 = _py_routed(g)
+    for x, y in zip(a2, b2):
+        assert np.array_equal(x, y)
