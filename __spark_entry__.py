@@ -1232,6 +1232,30 @@ def q_subword_pack(spark, sf_dir):
     )
 
 
+def q_mosaic_fill(spark, sf_dir):
+    """Mosaic-scale depression filling (r8): block-Jacobi with exact
+    per-tile Priority-Flood solves — round 1 treats every interior
+    seam as an impassable-high wall, each round cogroups the tiles
+    with the current perimeter W strips and reruns the UNCHANGED fill
+    kernel on the halo-augmented grid, and the monotone-decreasing
+    iteration converges to the greatest fixpoint = the whole-mosaic
+    fill (bowls deliberately straddle both seams of the crater gate
+    mosaic: a cross-seam depression's spill lives in ANOTHER tile, the
+    case per-tile fill provably gets wrong —
+    test_mosaic_fill_plain_and_per_tile_divergence). Convergence is an
+    order-free bit_xor checksum over the perimeter strips (never a
+    driver collect). The oracle re-verifies the golden surface against
+    the fixpoint equations recomputed from the raw crater_mosaic_cells
+    table at GLOBAL coordinates; the golden itself is the scalar-heapq
+    flood on the assembled grid cross-asserted vs the numpy
+    reconstruction path (make_golden)."""
+    from hgt2osm2_spark.ops import mosaic
+
+    return mosaic.mosaic_fill(
+        synthetic.mosaic_tiles_df(spark, nx=2, ny=2, size=33, seed=7,
+                                  craters=True))
+
+
 def q_mosaic_flow_acc(spark, sf_dir):
     """Cross-tile (mosaic-scale) flow accumulation (r8, VERDICT r7 #1):
     the r7 terrain family's one genuine scale boundary, closed. Per-tile
@@ -2119,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_sinks": q_fill_sinks,
         "filled_flow": q_filled_flow,
         "flat_routed_flow": q_flat_routed_flow,
+        "mosaic_fill": q_mosaic_fill,
         # rotated IN for r8 (VERDICT r7 "Next round" #4): the eleven
         # entries whose last driver check predated r5 - the r1-r4
         # relational/streaming tail, the oldest rows in the registry
@@ -2919,6 +2944,43 @@ def oracle_sql() -> dict[str, str]:
                AND vc.x = gg.x AND vc.y = gg.y AND vc.z = gg.z
         LEFT JOIN nbagg nb
           ON nb.image_id = gg.image_id AND nb.x = gg.x AND nb.y = gg.y
+        WHERE CASE WHEN COALESCE(nb.nn, 0) < 8 THEN gg.zfill = gg.z
+                   ELSE gg.zfill = GREATEST(gg.z, nb.mnb) END
+    """
+    # mosaic_fill (r8): the fill_sinks fixpoint-verification oracle at
+    # GLOBAL coordinates — every golden row re-checked against the
+    # fixpoint equations recomputed from the raw crater_mosaic_cells
+    # table (seeds = valid cells with < 8 valid neighbors in the
+    # MOSAIC universe: mosaic edge / NOVALUE-adjacent; interior
+    # zfill = max(z, min of neighbor zfill)). The engine's halo
+    # iteration, the golden's scalar heap flood, and this SQL check
+    # share no mechanics.
+    golden["mosaic_fill"] = f"""
+        WITH vc AS (
+            SELECT gx, gy, CAST(value AS BIGINT) AS z
+            FROM read_parquet('{golden_dir}/crater_mosaic_cells.parquet')
+            WHERE value <> -32768
+        ),
+        g AS (
+            SELECT gx, gy, CAST(z AS BIGINT) AS z,
+                   CAST(zfill AS BIGINT) AS zfill
+            FROM read_parquet('{golden_dir}/mosaic_fill_cells.parquet')
+        ),
+        nbagg AS (
+            SELECT e.gx, e.gy, count(*) AS nn, MIN(og.zfill) AS mnb
+            FROM vc e
+            JOIN vc o
+              ON o.gx BETWEEN e.gx - 1 AND e.gx + 1
+             AND o.gy BETWEEN e.gy - 1 AND e.gy + 1
+             AND NOT (o.gx = e.gx AND o.gy = e.gy)
+            JOIN g og ON og.gx = o.gx AND og.gy = o.gy
+            GROUP BY 1, 2
+        )
+        SELECT gg.gx, gg.gy,
+               CAST(gg.z AS INT) AS z, CAST(gg.zfill AS INT) AS zfill
+        FROM g gg
+        JOIN vc ON vc.gx = gg.gx AND vc.gy = gg.gy AND vc.z = gg.z
+        LEFT JOIN nbagg nb ON nb.gx = gg.gx AND nb.gy = gg.gy
         WHERE CASE WHEN COALESCE(nb.nn, 0) < 8 THEN gg.zfill = gg.z
                    ELSE gg.zfill = GREATEST(gg.z, nb.mnb) END
     """

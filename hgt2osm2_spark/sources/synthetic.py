@@ -540,12 +540,63 @@ def mosaic_heightfield(nx: int, ny: int, size: int, seed: int = 7) -> np.ndarray
     return out
 
 
+def crater_mosaic_heightfield(nx: int, ny: int, size: int,
+                              seed: int = 7) -> np.ndarray:
+    """``mosaic_heightfield`` with deterministic closed depressions
+    carved in, CENTERED ON the interior seams (plus one in-tile bowl)
+    — the cross-seam-depression input the mosaic_fill gate needs: a
+    bowl straddling a seam can only fill correctly if the halo
+    iteration converges across tiles. NOVALUE patches and the
+    mosaic-wide tilt of the base generator are preserved."""
+    g = mosaic_heightfield(nx, ny, size, seed)
+    nv = int(codecs.NOVALUE)
+    valid = g != nv
+    out = g.astype(np.int64)
+    gh, gw = out.shape
+    rng = np.random.default_rng(np.uint64(seed * 9_000_019 + nx * 17 + ny))
+    yy, xx = np.mgrid[0:gh, 0:gw].astype(np.float64)
+
+    def clear_of_novalue(cy, cx, r):
+        """The base generator parks NOVALUE patches ON the seams; a
+        patch inside a bowl DRAINS it (holes are seeds), so seam bowls
+        must dodge them to stay genuine depressions."""
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        return valid[d2 <= (r + 1.5) ** 2].all()
+
+    centers = []
+    for sx in range(1, nx):   # bowls straddling vertical seams
+        cx = float(sx * (size - 1))
+        r = rng.uniform(0.15, 0.25) * size
+        cands = [f * (gh - 1) for f in (0.2, 0.35, 0.5, 0.65, 0.8)]
+        cy = next((c for c in cands if clear_of_novalue(c, cx, r)),
+                  cands[0])
+        centers.append((cy, cx, r))
+    for sy in range(1, ny):   # bowls straddling horizontal seams
+        cy = float(sy * (size - 1))
+        r = rng.uniform(0.15, 0.25) * size
+        cands = [f * (gw - 1) for f in (0.2, 0.35, 0.5, 0.65, 0.8)]
+        cx = next((c for c in cands if clear_of_novalue(cy, c, r)),
+                  cands[0])
+        centers.append((cy, cx, r))
+    centers.append((0.3 * (gh - 1), 0.7 * (gw - 1),
+                    rng.uniform(0.12, 0.2) * size))  # in-tile bowl
+    for cy, cx, r in centers:
+        depth = rng.uniform(250, 500)
+        d2 = ((xx - cx) ** 2 + (yy - cy) ** 2) / (r * r)
+        dz = np.rint(depth * np.maximum(1.0 - d2, 0.0)).astype(np.int64)
+        out -= np.where(valid, dz, 0)
+    out = np.clip(out, -32000, 32000).astype(np.int16)
+    out[~valid] = nv
+    return out
+
+
 MOSAIC_FMTS = ("hgt", "png")  # lossless only: seams must match bit-exactly
 
 
 def mosaic_tile_rows(
     nx: int = 2, ny: int = 2, size: int = 33, seed: int = 7,
     lat0: int = 47, lon0: int = 8, skip: tuple = (),
+    craters: bool = False,
 ) -> list:
     """Slice the global heightfield into overlapping HGT-convention
     tiles (adjacent tiles SHARE their border row/column). Tile (r, c)
@@ -555,7 +606,8 @@ def mosaic_tile_rows(
     cell table from these ENCODED rows, not from mosaic_heightfield."""
     from ..ops.mosaic import tile_id
 
-    g = mosaic_heightfield(nx, ny, size, seed)
+    g = (crater_mosaic_heightfield if craters
+         else mosaic_heightfield)(nx, ny, size, seed)
     rows = []
     for r in range(ny):
         for c in range(nx):
@@ -581,9 +633,12 @@ def mosaic_tile_rows(
 def mosaic_tiles_df(
     spark: SparkSession, nx: int = 2, ny: int = 2, size: int = 33,
     seed: int = 7, lat0: int = 47, lon0: int = 8, skip: tuple = (),
+    craters: bool = False,
 ) -> DataFrame:
     """Deterministic adjacent-tile mosaic table (input_hint schema) —
-    the gate input for the cross-tile drainage family."""
+    the gate input for the cross-tile drainage family. craters=True
+    carves seam-straddling depressions (the mosaic_fill gate input)."""
     return spark.createDataFrame(
-        mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip), TILES_SCHEMA
+        mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip, craters),
+        TILES_SCHEMA,
     )

@@ -567,3 +567,115 @@ def test_mosaic_hillshade_nondefault_sun(spark):
         for r in mosaic.mosaic_hillshade_cells(df, 135.0, 60.0, 2.0).collect()
     }
     assert got == want
+
+
+# -------------------------------------------------------- mosaic fill
+
+def _fill_bruteforce(rows, nx, ny, size, lat0, lon0):
+    g, gx_off, gy_off = _assemble_global(rows, nx, ny, size, lat0, lon0)
+    f = terrain.fill_grid(g)
+    ys, xs = np.nonzero(g != NV)
+    return {
+        (gx_off + int(x), gy_off + int(y)): (int(g[y, x]), int(f[y, x]))
+        for y, x in zip(ys, xs)
+    }
+
+
+def _fill_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8, skip=(),
+                craters=True):
+    import pandas as pd
+
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip,
+                                      craters)
+    want = _fill_bruteforce(rows, nx, ny, size, lat0, lon0)
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    got = {(r.gx, r.gy): (r.z, r.zfill)
+           for r in mosaic.mosaic_fill(df).collect()}
+    assert set(got) == set(want), (
+        f"universe mismatch: {len(got)} vs {len(want)}; "
+        f"extra={list(set(got) - set(want))[:5]} "
+        f"missing={list(set(want) - set(got))[:5]}"
+    )
+    bad = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not bad, f"{len(bad)} mismatched cells, first: {bad[:5]}"
+    return want, got
+
+
+def test_mosaic_fill_2x2_bit_exact(spark):
+    """Whole-mosaic fill == fill_grid on the assembled grid, with
+    bowls deliberately straddling both seams — the case per-tile fill
+    CANNOT get right (a cross-seam depression's spill is in another
+    tile)."""
+    want, got = _fill_check(spark, 2, 2)
+    n_raised = sum(1 for z, w in got.values() if w > z)
+    assert n_raised > 100  # the crater mosaic fills for real
+    # and the filling is genuinely cross-seam: raised cells exist on
+    # BOTH sides of the vertical seam (gx == seam col +- a few)
+    seam_gx = mosaic.cell_gx(8 + 1, 0, 33)
+    west = sum(1 for (gx, gy), (z, w) in got.items()
+               if w > z and seam_gx - 5 <= gx < seam_gx)
+    east = sum(1 for (gx, gy), (z, w) in got.items()
+               if w > z and seam_gx < gx <= seam_gx + 5)
+    assert west > 0 and east > 0
+
+
+def test_mosaic_fill_3x2_bit_exact(spark):
+    _fill_check(spark, 3, 2)
+
+
+def test_mosaic_fill_lshape_bit_exact(spark):
+    """Missing tile: its seam becomes a mosaic edge (drains); the
+    assembled-grid oracle sees the same NOVALUE region."""
+    _fill_check(spark, 2, 2, seed=9, skip=((1, 1),))
+
+
+def test_mosaic_fill_plain_and_per_tile_divergence(spark):
+    """On the plain (depression-poor) mosaic the fill is a near-no-op;
+    and per-tile fill_sinks provably DISAGREES with mosaic truth on
+    the crater mosaic (the op exists because tiles alone cannot know
+    their spill)."""
+    import pandas as pd
+
+    rows = synthetic.mosaic_tile_rows(2, 2, 33, 7)
+    want, got = {}, {}
+    _fill_check(spark, 2, 2, craters=False)
+    # divergence: per-tile fill of the SW crater tile drains bowls at
+    # the tile border that the mosaic knows are closed (or vice versa)
+    crater_rows = synthetic.mosaic_tile_rows(2, 2, 33, 7, craters=True)
+    df = spark.createDataFrame(pd.DataFrame(crater_rows),
+                               synthetic.TILES_SCHEMA)
+    mosaic_truth = {(r.gx, r.gy): r.zfill
+                    for r in mosaic.mosaic_fill(df).collect()}
+    per_tile = {}
+    for row in crater_rows:
+        lat, lon, _k = mosaic.parse_tile_id(row["image_id"])
+        grid = codecs.decode(row["bytes"], row["fmt"], 33, 33)
+        f = terrain.fill_grid(grid)
+        gx0 = mosaic.cell_gx(lon, 0, 33)
+        gy0 = mosaic.cell_gy(lat, 0, 33)
+        ys, xs = np.nonzero(grid != NV)
+        for y, x in zip(ys, xs):
+            per_tile[(gx0 + int(x), gy0 + int(y))] = int(f[y, x])
+    diverged = sum(1 for k, w in mosaic_truth.items()
+                   if per_tile.get(k, w) != w)
+    assert diverged > 20
+
+
+def test_mosaic_fill_single_tile_equals_per_tile(spark):
+    """1x1 mosaic: no seams, mosaic_fill must equal the per-tile
+    kernel exactly (walls vanish after round 1)."""
+    import pandas as pd
+
+    rows = synthetic.mosaic_tile_rows(1, 1, 33, 7, craters=True)
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    got = {(r.gx, r.gy): (r.z, r.zfill)
+           for r in mosaic.mosaic_fill(df).collect()}
+    grid = codecs.decode(rows[0]["bytes"], rows[0]["fmt"], 33, 33)
+    f = terrain.fill_grid(grid)
+    lat, lon, _k = mosaic.parse_tile_id(rows[0]["image_id"])
+    gx0 = mosaic.cell_gx(lon, 0, 33)
+    gy0 = mosaic.cell_gy(lat, 0, 33)
+    ys, xs = np.nonzero(grid != NV)
+    want = {(gx0 + int(x), gy0 + int(y)): (int(grid[y, x]), int(f[y, x]))
+            for y, x in zip(ys, xs)}
+    assert got == want

@@ -103,6 +103,13 @@ AUDITED = {
          r"Exchange", "absent"),
         ("both kernels inside one mapInPandas", r"MapInPandas"),
     ],
+    "mosaic_fill": [
+        ("raster crosses only cogrouped halo/tile passes",
+         r"FlatMapCoGroupsInPandas"),
+        ("no raster-sized join anywhere",
+         r"SortMergeJoin|BroadcastHashJoin", "absent"),
+        ("never all-pairs", r"CartesianProduct|BroadcastNestedLoop", "absent"),
+    ],
     "flat_routed_flow": [
         ("fill + BFS flat routing + Kahn in ONE tile-local pass (no Exchange)",
          r"Exchange", "absent"),

@@ -555,6 +555,79 @@ def g_fill_cells():
     ]))
 
 
+def _assembled_crater_mosaic(nx=2, ny=2, size=33, seed=7, lat0=47, lon0=8):
+    """Assembled crater-mosaic grid from the ENCODED tile rows (scalar
+    decode + seam assert — the g_mosaic_cells discipline), plus the
+    global offsets."""
+    from hgt2osm2_spark.ops.mosaic import parse_tile_id
+
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0,
+                                      craters=True)
+    nv = int(codecs.NOVALUE)
+    gh, gw = ny * (size - 1) + 1, nx * (size - 1) + 1
+    g = np.full((gh, gw), nv, dtype=np.int16)
+    seen = np.zeros((gh, gw), dtype=bool)
+    for row in rows:
+        lat, lon, _k = parse_tile_id(row["image_id"])
+        r, c = (lat0 + ny - 1) - lat, lon - lon0
+        tile = codecs.decode(row["bytes"], row["fmt"], size, size)
+        y0, x0 = r * (size - 1), c * (size - 1)
+        win = g[y0 : y0 + size, x0 : x0 + size]
+        olap = seen[y0 : y0 + size, x0 : x0 + size]
+        assert np.array_equal(win[olap], tile[olap]), "crater seam mismatch"
+        g[y0 : y0 + size, x0 : x0 + size] = tile
+        seen[y0 : y0 + size, x0 : x0 + size] = True
+    gx_off = (lon0 + 180) * (size - 1)
+    gy_off = (89 - (lat0 + ny - 1)) * (size - 1)
+    return g, gx_off, gy_off
+
+
+def g_crater_mosaic_cells():
+    """Raw-cell golden of the crater 2x2 gate mosaic (global coords) —
+    what the mosaic_fill fixpoint-verification oracle recomputes
+    from."""
+    g, gx_off, gy_off = _assembled_crater_mosaic()
+    gh, gw = g.shape
+    gys, gxs = np.mgrid[0:gh, 0:gw]
+    df = pd.DataFrame({
+        "gx": (gx_off + gxs.ravel()).astype(np.int64),
+        "gy": (gy_off + gys.ravel()).astype(np.int64),
+        "value": g.ravel().astype(np.int32),
+    })
+    _write("crater_mosaic_cells", df, pa.schema([
+        ("gx", pa.int64()), ("gy", pa.int64()), ("value", pa.int32()),
+    ]))
+
+
+def g_mosaic_fill_cells():
+    """mosaic_fill golden: the whole-mosaic filled surface derived by
+    the scalar heapq priority-flood on the ASSEMBLED grid (never the
+    engine's halo iteration), cross-asserted against the numpy
+    reconstruction-by-erosion path — same discipline as g_fill_cells,
+    one level up."""
+    from hgt2osm2_spark.ops import terrain
+
+    g, gx_off, gy_off = _assembled_crater_mosaic()
+    wmap = scalar_fill(g)
+    jac = terrain.fill_grid(g)  # numpy Jacobi (NO_CKERNEL)
+    ys, xs = np.nonzero(g != codecs.NOVALUE)
+    zf = np.array([wmap[(int(y), int(x))] for y, x in zip(ys, xs)],
+                  dtype=np.int64)
+    assert np.array_equal(zf, jac[ys, xs]), (
+        "scalar priority-flood vs numpy reconstruction: mosaic mismatch"
+    )
+    df = pd.DataFrame({
+        "gx": (gx_off + xs).astype(np.int64),
+        "gy": (gy_off + ys).astype(np.int64),
+        "z": g[ys, xs].astype(np.int32),
+        "zfill": zf.astype(np.int32),
+    })
+    _write("mosaic_fill_cells", df, pa.schema([
+        ("gx", pa.int64()), ("gy", pa.int64()),
+        ("z", pa.int32()), ("zfill", pa.int32()),
+    ]))
+
+
 def g_mosaic_cells():
     """Auxiliary data golden for the cross-tile drainage oracles: every
     GLOBAL cell of the 2x2 gate mosaic as (gx, gy, value) rows, derived
@@ -2140,6 +2213,8 @@ GENERATORS = {
     "crater_cells": g_crater_cells,
     "fill_cells": g_fill_cells,
     "mosaic_cells": g_mosaic_cells,
+    "crater_mosaic_cells": g_crater_mosaic_cells,
+    "mosaic_fill_cells": g_mosaic_fill_cells,
     "mosaic_hillshade": g_mosaic_hillshade,
     "mosaic_stream_order": g_mosaic_stream_order,
     "tokenizer_model": g_tokenizer_model,
