@@ -184,6 +184,235 @@ int64_t flow_accumulate_c(const int16_t* g, int64_t h, int64_t w,
     return rc == 0 ? n : rc;
 }
 
+/* Downstream flow-path length (ops/terrain.flow_length_grid):
+   (ys, xs, steps, ncard) over the valid universe — steps = D8 edges
+   to the terminal, ncard = cardinal steps among them.  One FIFO Kahn
+   for retirement order + one reverse sweep (a cell's target retires
+   later, so its totals are final first) — O(n) vs the numpy pointer
+   doubling's O(n log L); both resolve the same integer path geometry
+   exactly.  Returns n, -1 alloc, -2 cycle. */
+int64_t flow_length_c(const int16_t* g, int64_t h, int64_t w,
+                      int32_t* ys, int32_t* xs,
+                      int64_t* steps, int64_t* ncard)
+{
+    if (h < 3 || w < 3) return 0;
+    int64_t iw = w - 2, ih = h - 2, np_ = iw * ih;
+    int32_t* d8 = (int32_t*)malloc(np_ * sizeof(int32_t));
+    int64_t* dp = (int64_t*)malloc(np_ * sizeof(int64_t));
+    int8_t*  kx = (int8_t*)malloc(np_);
+    uint8_t* va = (uint8_t*)malloc(np_);
+    int64_t* lut = (int64_t*)malloc(np_ * sizeof(int64_t));
+    if (!d8 || !dp || !kx || !va || !lut) {
+        free(d8); free(dp); free(kx); free(va); free(lut); return -1;
+    }
+    d8_planes(g, h, w, d8, dp, kx, va);
+    int64_t n = 0;
+    for (int64_t o = 0; o < np_; o++) {
+        if (va[o]) { lut[o] = n; ys[n] = (int32_t)(o / iw + 1);
+                     xs[n] = (int32_t)(o % iw + 1); n++; }
+        else lut[o] = -1;
+    }
+    int64_t* t = (int64_t*)malloc((n ? n : 1) * sizeof(int64_t));
+    int8_t* card = (int8_t*)malloc(n ? n : 1);
+    int64_t* indeg = (int64_t*)calloc(n ? n : 1, sizeof(int64_t));
+    int64_t* queue = (int64_t*)malloc((n ? n : 1) * sizeof(int64_t));
+    if (!t || !card || !indeg || !queue) {
+        free(d8); free(dp); free(kx); free(va); free(lut);
+        free(t); free(card); free(indeg); free(queue); return -1;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        int64_t o = (int64_t)(ys[i] - 1) * iw + (xs[i] - 1);
+        int8_t k = kx[o];
+        int64_t ti = -1;
+        if (k >= 0) {
+            int64_t tx = xs[i] + DX[k], ty = ys[i] + DY[k];
+            if (tx >= 1 && tx <= iw && ty >= 1 && ty <= ih)
+                ti = lut[(ty - 1) * iw + (tx - 1)];
+        }
+        t[i] = ti;
+        card[i] = (k >= 0) ? (int8_t)CARD[k] : 0;
+        steps[i] = 0; ncard[i] = 0;
+        if (ti >= 0) indeg[ti]++;
+    }
+    int64_t head = 0, tail = 0;
+    for (int64_t i = 0; i < n; i++) if (indeg[i] == 0) queue[tail++] = i;
+    while (head < tail) {
+        int64_t c = queue[head++];
+        if (t[c] >= 0 && --indeg[t[c]] == 0) queue[tail++] = t[c];
+    }
+    int rc = (tail == n) ? 0 : -2;
+    if (rc == 0) {
+        for (int64_t q = n - 1; q >= 0; q--) {
+            int64_t c = queue[q];
+            if (t[c] >= 0) {
+                steps[c] = steps[t[c]] + 1;
+                ncard[c] = ncard[t[c]] + card[c];
+            }
+        }
+    }
+    free(d8); free(dp); free(kx); free(va); free(lut);
+    free(t); free(card); free(indeg); free(queue);
+    return rc == 0 ? n : rc;
+}
+
+/* Strahler stream order (ops/terrain.stream_order_grid): acc via the
+   FIFO Kahn, stream mask acc >= min_acc (descent-closed), then the
+   (max order, count-at-max) merge applied per edge at retirement —
+   the merge is order-free across arrival orders, so the sequential
+   per-edge form agrees with the numpy per-round form exactly.
+   Returns n_stream, -1 alloc, -2 cycle. */
+int64_t stream_order_c(const int16_t* g, int64_t h, int64_t w,
+                       int64_t min_acc, int32_t* ys, int32_t* xs,
+                       int64_t* acc_out, int64_t* order_out)
+{
+    if (h < 3 || w < 3) return 0;
+    int64_t iw = w - 2, ih = h - 2, np_ = iw * ih;
+    int32_t* d8 = (int32_t*)malloc(np_ * sizeof(int32_t));
+    int64_t* dp = (int64_t*)malloc(np_ * sizeof(int64_t));
+    int8_t*  kx = (int8_t*)malloc(np_);
+    uint8_t* va = (uint8_t*)malloc(np_);
+    int64_t* lut = (int64_t*)malloc(np_ * sizeof(int64_t));
+    if (!d8 || !dp || !kx || !va || !lut) {
+        free(d8); free(dp); free(kx); free(va); free(lut); return -1;
+    }
+    d8_planes(g, h, w, d8, dp, kx, va);
+    int64_t n = 0;
+    /* local compact coords (reuse caller buffers at the end) */
+    int32_t* cy = (int32_t*)malloc(np_ * sizeof(int32_t));
+    int32_t* cx = (int32_t*)malloc(np_ * sizeof(int32_t));
+    if (!cy || !cx) {
+        free(d8); free(dp); free(kx); free(va); free(lut);
+        free(cy); free(cx); return -1;
+    }
+    for (int64_t o = 0; o < np_; o++) {
+        if (va[o]) { lut[o] = n; cy[n] = (int32_t)(o / iw + 1);
+                     cx[n] = (int32_t)(o % iw + 1); n++; }
+        else lut[o] = -1;
+    }
+    int64_t* t = (int64_t*)malloc((n ? n : 1) * sizeof(int64_t));
+    int64_t* acc = (int64_t*)malloc((n ? n : 1) * sizeof(int64_t));
+    int64_t* indeg = (int64_t*)calloc(n ? n : 1, sizeof(int64_t));
+    int64_t* queue = (int64_t*)malloc((n ? n : 1) * sizeof(int64_t));
+    if (!t || !acc || !indeg || !queue) {
+        free(d8); free(dp); free(kx); free(va); free(lut);
+        free(cy); free(cx); free(t); free(acc); free(indeg); free(queue);
+        return -1;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        int64_t o = (int64_t)(cy[i] - 1) * iw + (cx[i] - 1);
+        int8_t k = kx[o];
+        int64_t ti = -1;
+        if (k >= 0) {
+            int64_t tx = cx[i] + DX[k], ty = cy[i] + DY[k];
+            if (tx >= 1 && tx <= iw && ty >= 1 && ty <= ih)
+                ti = lut[(ty - 1) * iw + (tx - 1)];
+        }
+        t[i] = ti;
+        acc[i] = 1;
+        if (ti >= 0) indeg[ti]++;
+    }
+    int64_t head = 0, tail = 0;
+    for (int64_t i = 0; i < n; i++) if (indeg[i] == 0) queue[tail++] = i;
+    while (head < tail) {
+        int64_t c = queue[head++];
+        if (t[c] >= 0) {
+            acc[t[c]] += acc[c];
+            if (--indeg[t[c]] == 0) queue[tail++] = t[c];
+        }
+    }
+    if (tail != n) {
+        free(d8); free(dp); free(kx); free(va); free(lut);
+        free(cy); free(cx); free(t); free(acc); free(indeg); free(queue);
+        return -2;
+    }
+    /* stream subgraph Kahn with the (mx, cnt) merge; the mask is
+       descent-closed so stream targets stay stream */
+    int64_t* mx = (int64_t*)calloc(n ? n : 1, sizeof(int64_t));
+    int64_t* cnt = (int64_t*)calloc(n ? n : 1, sizeof(int64_t));
+    int64_t* order = (int64_t*)calloc(n ? n : 1, sizeof(int64_t));
+    int64_t* sdeg = (int64_t*)calloc(n ? n : 1, sizeof(int64_t));
+    if (!mx || !cnt || !order || !sdeg) {
+        free(d8); free(dp); free(kx); free(va); free(lut);
+        free(cy); free(cx); free(t); free(acc); free(indeg); free(queue);
+        free(mx); free(cnt); free(order); free(sdeg); return -1;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        if (acc[i] < min_acc) continue;
+        int64_t ti = t[i];
+        if (ti >= 0 && acc[ti] >= min_acc) sdeg[ti]++;
+    }
+    head = 0; tail = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (acc[i] >= min_acc && sdeg[i] == 0) queue[tail++] = i;
+    while (head < tail) {
+        int64_t c = queue[head++];
+        order[c] = (mx[c] == 0) ? 1 : mx[c] + (cnt[c] >= 2 ? 1 : 0);
+        int64_t ti = t[c];
+        if (ti >= 0 && acc[ti] >= min_acc) {
+            if (order[c] > mx[ti]) { mx[ti] = order[c]; cnt[ti] = 1; }
+            else if (order[c] == mx[ti]) cnt[ti]++;
+            if (--sdeg[ti] == 0) queue[tail++] = ti;
+        }
+    }
+    /* export stream cells in row-major (compact) order */
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (acc[i] < min_acc) continue;
+        ys[m] = cy[i]; xs[m] = cx[i];
+        acc_out[m] = acc[i]; order_out[m] = order[i];
+        m++;
+    }
+    free(d8); free(dp); free(kx); free(va); free(lut);
+    free(cy); free(cx); free(t); free(acc); free(indeg); free(queue);
+    free(mx); free(cnt); free(order); free(sdeg);
+    return m;
+}
+
+/* Second-order morphometry stencils (ops/terrain.morph_grid):
+   (ys, xs, tpi8, tri, rough, zxx, zyy, ixy4) over the valid 3x3
+   universe — pure integer sums, one pass. Returns n or -1. */
+int64_t morph_c(const int16_t* g, int64_t h, int64_t w,
+                int32_t* ys, int32_t* xs, int64_t* tpi8, int64_t* tri,
+                int64_t* rough, int64_t* zxx, int64_t* zyy, int64_t* ixy4)
+{
+    if (h < 3 || w < 3) return 0;
+    int64_t n = 0;
+    for (int64_t y = 1; y < h - 1; y++) {
+        for (int64_t x = 1; x < w - 1; x++) {
+            int64_t a = g[(y - 1) * w + (x - 1)];
+            int64_t b = g[(y - 1) * w + x];
+            int64_t c = g[(y - 1) * w + (x + 1)];
+            int64_t d = g[y * w + (x - 1)];
+            int64_t e = g[y * w + x];
+            int64_t f = g[y * w + (x + 1)];
+            int64_t gg = g[(y + 1) * w + (x - 1)];
+            int64_t hh = g[(y + 1) * w + x];
+            int64_t ii = g[(y + 1) * w + (x + 1)];
+            if (a == NOVALUE || b == NOVALUE || c == NOVALUE ||
+                d == NOVALUE || e == NOVALUE || f == NOVALUE ||
+                gg == NOVALUE || hh == NOVALUE || ii == NOVALUE) continue;
+            int64_t s = a + b + c + d + f + gg + hh + ii;
+            int64_t trv = 0, mxv = e, mnv = e;
+            int64_t nbs[8] = {a, b, c, d, f, gg, hh, ii};
+            for (int k = 0; k < 8; k++) {
+                int64_t v = nbs[k];
+                trv += (v > e) ? (v - e) : (e - v);
+                if (v > mxv) mxv = v;
+                if (v < mnv) mnv = v;
+            }
+            ys[n] = (int32_t)y; xs[n] = (int32_t)x;
+            tpi8[n] = 8 * e - s;
+            tri[n] = trv;
+            rough[n] = mxv - mnv;
+            zxx[n] = d + f - 2 * e;
+            zyy[n] = b + hh - 2 * e;
+            ixy4[n] = (a + ii) - (c + gg);
+            n++;
+        }
+    }
+    return n;
+}
+
 /* Mosaic drainage pass (ops/mosaic.mosaic_tile_arrays): the same
    d8 + FIFO-worklist Kahn over one tile's AUGMENTED grid
    (ha = h + 2, wa = w + 2 where h, w are the tile dims), with the
@@ -525,6 +754,9 @@ def available() -> bool:
         lib.mosaic_accumulate_c.restype = ctypes.c_int64
         lib.fill_c.restype = ctypes.c_int64
         lib.routed_flow_c.restype = ctypes.c_int64
+        lib.flow_length_c.restype = ctypes.c_int64
+        lib.stream_order_c.restype = ctypes.c_int64
+        lib.morph_c.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -687,3 +919,78 @@ def routed_flow(filled: np.ndarray):
         return None
     return (ys[:n].copy(), xs[:n].copy(), acc[:n].copy(),
             oy[:n].copy(), ox[:n].copy())
+
+
+def flow_length(grid: np.ndarray):
+    """C twin of ops/terrain.flow_length_grid ->
+    (ys, xs, steps, n_card, n_diag) or None."""
+    if not available():
+        return None
+    g = _as_i16(grid)
+    if g is None:
+        return None
+    h, w = g.shape
+    cap = max((h - 2) * (w - 2), 0)
+    if cap == 0:
+        z32, z64 = np.empty(0, np.int32), np.empty(0, np.int64)
+        return z32, z32.copy(), z64, z64.copy(), z64.copy()
+    ys = np.empty(cap, np.int32)
+    xs = np.empty(cap, np.int32)
+    steps = np.empty(cap, np.int64)
+    ncard = np.empty(cap, np.int64)
+    n = _lib.flow_length_c(_ptr(g), ctypes.c_int64(h), ctypes.c_int64(w),
+                           _ptr(ys), _ptr(xs), _ptr(steps), _ptr(ncard))
+    if n < 0:
+        return None
+    steps, ncard = steps[:n].copy(), ncard[:n].copy()
+    return ys[:n].copy(), xs[:n].copy(), steps, ncard, steps - ncard
+
+
+def stream_order(grid: np.ndarray, min_acc: int):
+    """C twin of ops/terrain.stream_order_grid ->
+    (ys, xs, acc, sorder) or None."""
+    if not available():
+        return None
+    g = _as_i16(grid)
+    if g is None:
+        return None
+    h, w = g.shape
+    cap = max((h - 2) * (w - 2), 0)
+    if cap == 0:
+        z32, z64 = np.empty(0, np.int32), np.empty(0, np.int64)
+        return z32, z32.copy(), z64, z64.copy()
+    ys = np.empty(cap, np.int32)
+    xs = np.empty(cap, np.int32)
+    acc = np.empty(cap, np.int64)
+    order = np.empty(cap, np.int64)
+    n = _lib.stream_order_c(_ptr(g), ctypes.c_int64(h), ctypes.c_int64(w),
+                            ctypes.c_int64(int(min_acc)),
+                            _ptr(ys), _ptr(xs), _ptr(acc), _ptr(order))
+    if n < 0:
+        return None
+    return (ys[:n].copy(), xs[:n].copy(), acc[:n].copy(),
+            order[:n].copy())
+
+
+def morph(grid: np.ndarray):
+    """C twin of ops/terrain.morph_grid ->
+    (ys, xs, tpi8, tri, rough, zxx, zyy, ixy4) or None."""
+    if not available():
+        return None
+    g = _as_i16(grid)
+    if g is None:
+        return None
+    h, w = g.shape
+    cap = max((h - 2) * (w - 2), 0)
+    if cap == 0:
+        z32, z64 = np.empty(0, np.int32), np.empty(0, np.int64)
+        return (z32, z32.copy(), z64, z64.copy(), z64.copy(),
+                z64.copy(), z64.copy(), z64.copy())
+    ys = np.empty(cap, np.int32)
+    xs = np.empty(cap, np.int32)
+    outs = [np.empty(cap, np.int64) for _ in range(6)]
+    n = _lib.morph_c(_ptr(g), ctypes.c_int64(h), ctypes.c_int64(w),
+                     _ptr(ys), _ptr(xs), *[_ptr(o) for o in outs])
+    if n < 0:
+        return None
+    return (ys[:n].copy(), xs[:n].copy(), *[o[:n].copy() for o in outs])

@@ -535,7 +535,14 @@ def morph_grid(grid: np.ndarray):
 
     Curvatures in physical units are these numerators over powers of
     the cell size — derivable by the consumer; the gate hashes the
-    integer numerators only."""
+    integer numerators only. Dispatches to the C fast path
+    (kernels/terrain_cext.morph, one stencil pass); this numpy body
+    stays the ORACLE and the fallback."""
+    from ..kernels import terrain_cext
+
+    res = terrain_cext.morph(grid)
+    if res is not None:
+        return res
     nv = int(codecs.NOVALUE)
     g = grid.astype(np.int64)
     a, b, c = g[:-2, :-2], g[:-2, 1:-1], g[:-2, 2:]
@@ -648,7 +655,15 @@ def flow_length_grid(grid: np.ndarray):
     where L is the longest drainage path, ~12 rounds on a 3601^2 tile.
     A deliberately different mechanism from flow_accumulate_grid's
     Kahn rounds AND from the oracle's recursive per-step walk: three
-    independent derivations of the same path geometry."""
+    independent derivations of the same path geometry. Dispatches to
+    the C fast path (kernels/terrain_cext.flow_length: Kahn retirement
+    + one reverse sweep, O(n)); this numpy body stays the ORACLE and
+    the fallback."""
+    from ..kernels import terrain_cext
+
+    res = terrain_cext.flow_length(grid)
+    if res is not None:
+        return res
     ys, xs, d8, _ = d8_grid(grid)
     t = d8_targets(ys, xs, d8, grid.shape)
     has = t >= 0

@@ -295,3 +295,65 @@ def test_routed_flow_bit_equal(idx):
     b2 = _py_routed(g)
     for x, y in zip(a2, b2):
         assert np.array_equal(x, y)
+
+
+def _py_flowlen(grid):
+    import unittest.mock as mock
+
+    with mock.patch.object(terrain_cext, "d8", lambda g: None), \
+         mock.patch.object(terrain_cext, "flow_length", lambda g: None):
+        return terrain.flow_length_grid(grid)
+
+
+def _py_streamorder(grid, min_acc):
+    import unittest.mock as mock
+
+    with mock.patch.object(terrain_cext, "d8", lambda g: None), \
+         mock.patch.object(terrain_cext, "flow_accumulate",
+                           lambda g: None), \
+         mock.patch.object(terrain_cext, "stream_order",
+                           lambda g, m: None):
+        return terrain.stream_order_grid(grid, min_acc)
+
+
+def _py_morph(grid):
+    import unittest.mock as mock
+
+    with mock.patch.object(terrain_cext, "morph", lambda g: None):
+        return terrain.morph_grid(grid)
+
+
+@pytest.mark.parametrize("idx", range(6))
+def test_flow_length_bit_equal(idx):
+    """C Kahn+reverse-sweep vs numpy pointer doubling — two different
+    mechanisms for the same integer path geometry."""
+    g = _grids()[idx]
+    a = terrain_cext.flow_length(g)
+    b = _py_flowlen(g)
+    assert a is not None
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+@pytest.mark.parametrize("idx", range(6))
+@pytest.mark.parametrize("min_acc", [2, 8])
+def test_stream_order_bit_equal(idx, min_acc):
+    """C per-edge (max, count-at-max) merge vs numpy per-round merge —
+    the merge is order-free, so they must agree exactly."""
+    g = _grids()[idx]
+    a = terrain_cext.stream_order(g, min_acc)
+    b = _py_streamorder(g, min_acc)
+    assert a is not None
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+@pytest.mark.parametrize("idx", range(6))
+def test_morph_bit_equal(idx):
+    g = _grids()[idx]
+    a = terrain_cext.morph(g)
+    b = _py_morph(g)
+    assert a is not None
+    assert len(a) == len(b) == 8
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
