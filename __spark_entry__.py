@@ -1256,6 +1256,26 @@ def q_mosaic_fill(spark, sf_dir):
                                   craters=True))
 
 
+def q_mosaic_routed_flow(spark, sf_dir):
+    """Whole-mosaic CONDITIONED drainage (r8): fill + flat routing +
+    accumulation, all seam-correct — the capstone composition of the
+    hydrology tier. Three perimeter-sized halo exchanges: the
+    mosaic_fill W iteration, a flat-distance (q-strip) iteration whose
+    min-plus relaxation converges monotonically from +inf to the
+    global BFS fixpoint, and the unchanged drainage decomposition on
+    the ROUTED graph (flat edges are functional like strict edges; a
+    best ring target is a cross-seam exit edge). Bit-equal to
+    routed_flow_grid(fill_grid(assembled mosaic)) incl. L-shaped
+    (tests). The oracle is one single-table SQL closure: fill golden
+    as the surface, D8 re-derivation, bounded RECURSIVE BFS +
+    ROW_NUMBER argmin, walk over strict UNION routed edges."""
+    from hgt2osm2_spark.ops import mosaic
+
+    return mosaic.mosaic_routed_flow(
+        synthetic.mosaic_tiles_df(spark, nx=2, ny=2, size=33, seed=7,
+                                  craters=True))
+
+
 def q_mosaic_flow_acc(spark, sf_dir):
     """Cross-tile (mosaic-scale) flow accumulation (r8, VERDICT r7 #1):
     the r7 terrain family's one genuine scale boundary, closed. Per-tile
@@ -2144,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filled_flow": q_filled_flow,
         "flat_routed_flow": q_flat_routed_flow,
         "mosaic_fill": q_mosaic_fill,
+        "mosaic_routed_flow": q_mosaic_routed_flow,
         # rotated IN for r8 (VERDICT r7 "Next round" #4): the eleven
         # entries whose last driver check predated r5 - the r1-r4
         # relational/streaming tail, the oldest rows in the registry
@@ -3186,11 +3207,15 @@ def oracle_sql() -> dict[str, str]:
     # now on global (gx, gy). The engine side is the two-level
     # tile/border decomposition (ops/mosaic.py) — maximally different
     # derivations of an iterative, genuinely cross-partition result.
-    _mosaic_d8_cte = f"""
+    # split head + body so the conditioned-drainage variant can swap
+    # in the FILLED crater-mosaic surface as `c` and reuse the same
+    # nb..edge derivation (the _d8_head/_d8_body pattern, global coords)
+    _mosaic_d8_head = f"""
         WITH RECURSIVE c AS (
             SELECT gx AS x, gy AS y, value
             FROM read_parquet('{golden_dir}/mosaic_cells.parquet')
-        ),
+        )"""
+    _mosaic_d8_body = """,
         nb AS (
             SELECT e.x, e.y,
                    CASE WHEN o.x = e.x + 1 AND o.y = e.y     THEN 1
@@ -3255,6 +3280,7 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 128 THEN -1 ELSE 0 END)
         )
     """
+    _mosaic_d8_cte = _mosaic_d8_head + _mosaic_d8_body
     _mosaic_walk_cte = _mosaic_d8_cte + """
         , walk AS (
             SELECT x AS sx, y AS sy, x AS cx, y AS cy FROM univ
@@ -3280,6 +3306,93 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(a.x AS BIGINT) AS gx, CAST(a.y AS BIGINT) AS gy,
                CAST(c.value AS INT) AS z, a.acc, t.outlet_gx, t.outlet_gy
         FROM acc a JOIN term t USING (x, y) JOIN c USING (x, y)
+    """
+    # mosaic_routed_flow (r8): the flat_routed_flow oracle at GLOBAL
+    # coordinates over the FILLED crater mosaic — `c` is the
+    # fixpoint-verified mosaic fill golden (NOVALUE rows passed
+    # through), then the same nb..edge derivation, the bounded
+    # RECURSIVE BFS + ROW_NUMBER argmin for flat routing, and the walk
+    # over strict UNION routed edges. The engine's three iterated halo
+    # exchanges (fill strips, dist strips, border solve) share no
+    # mechanics with this single-table closure.
+    golden["mosaic_routed_flow"] = f"""
+        WITH RECURSIVE c AS (
+            SELECT gx AS x, gy AS y, CAST(zfill AS BIGINT) AS value
+            FROM read_parquet('{golden_dir}/mosaic_fill_cells.parquet')
+            UNION ALL
+            SELECT gx AS x, gy AS y, CAST(value AS BIGINT) AS value
+            FROM read_parquet('{golden_dir}/crater_mosaic_cells.parquet')
+            WHERE value = -32768
+        )""" + _mosaic_d8_body + """
+        , uz AS MATERIALIZED (
+            SELECT u.x, u.y, u.d8, cv.value AS z
+            FROM univ u JOIN c cv USING (x, y)
+        ),
+        bfs AS (
+            SELECT x, y, z, 0 AS dist FROM uz WHERE d8 > 0
+            UNION
+            SELECT f.x, f.y, f.z, b.dist + 1
+            FROM bfs b JOIN uz f
+              ON f.z = b.z AND f.d8 = 0
+             AND f.x BETWEEN b.x - 1 AND b.x + 1
+             AND f.y BETWEEN b.y - 1 AND b.y + 1
+             AND NOT (f.x = b.x AND f.y = b.y)
+            WHERE b.dist + 1 <= 64
+        ),
+        mind AS MATERIALIZED (
+            SELECT x, y, MIN(dist) AS dist FROM bfs GROUP BY 1, 2
+        ),
+        routed AS MATERIALIZED (
+            SELECT x, y, tx, ty FROM (
+                SELECT fz.x, fz.y, n.x AS tx, n.y AS ty,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY fz.x, fz.y
+                           ORDER BY nd.dist ASC,
+                                    CASE WHEN n.x = fz.x + 1 AND n.y = fz.y     THEN 1
+                                         WHEN n.x = fz.x + 1 AND n.y = fz.y + 1 THEN 2
+                                         WHEN n.x = fz.x     AND n.y = fz.y + 1 THEN 4
+                                         WHEN n.x = fz.x - 1 AND n.y = fz.y + 1 THEN 8
+                                         WHEN n.x = fz.x - 1 AND n.y = fz.y     THEN 16
+                                         WHEN n.x = fz.x - 1 AND n.y = fz.y - 1 THEN 32
+                                         WHEN n.x = fz.x     AND n.y = fz.y - 1 THEN 64
+                                         ELSE 128 END ASC) AS rn
+                FROM uz fz
+                JOIN uz n
+                  ON n.z = fz.z
+                 AND n.x BETWEEN fz.x - 1 AND fz.x + 1
+                 AND n.y BETWEEN fz.y - 1 AND fz.y + 1
+                 AND NOT (n.x = fz.x AND n.y = fz.y)
+                JOIN mind nd ON nd.x = n.x AND nd.y = n.y
+                WHERE fz.d8 = 0
+            ) WHERE rn = 1
+        ),
+        edge2 AS MATERIALIZED (
+            SELECT x, y, tx, ty FROM edge
+            UNION ALL
+            SELECT x, y, tx, ty FROM routed
+        ),
+        walk2 AS (
+            SELECT x AS sx, y AS sy, x AS cx, y AS cy FROM univ
+            UNION ALL
+            SELECT w.sx, w.sy, e.tx, e.ty
+            FROM walk2 w JOIN edge2 e
+              ON e.x = w.cx AND e.y = w.cy
+        ),
+        acc2 AS (
+            SELECT cx AS x, cy AS y, CAST(count(*) AS BIGINT) AS acc
+            FROM walk2 GROUP BY 1, 2
+        ),
+        term2 AS (
+            SELECT w.sx AS x, w.sy AS y,
+                   CAST(w.cx AS BIGINT) AS outlet_gx,
+                   CAST(w.cy AS BIGINT) AS outlet_gy
+            FROM walk2 w LEFT JOIN edge2 e
+              ON e.x = w.cx AND e.y = w.cy
+            WHERE e.x IS NULL
+        )
+        SELECT CAST(a.x AS BIGINT) AS gx, CAST(a.y AS BIGINT) AS gy,
+               a.acc, t.outlet_gx, t.outlet_gy
+        FROM acc2 a JOIN term2 t USING (x, y)
     """
     golden["mosaic_basins"] = _mosaic_walk_cte + """
         SELECT t.outlet_gx, t.outlet_gy,

@@ -178,6 +178,8 @@ def main():
         "fill_sinks",
         "filled_flow",
         "flat_routed_flow",
+        "mosaic_fill",
+        "mosaic_routed_flow",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the

@@ -261,7 +261,8 @@ def _assemble_aug(grid: np.ndarray, strips: pd.DataFrame) -> np.ndarray:
     aug = np.full((h + 2, w + 2), NOVALUE, dtype=np.int64)
     aug[1 : h + 1, 1 : w + 1] = grid.astype(np.int64)
     for side, g in strips.groupby("side"):
-        if side in ("d", "t", "u"):  # weight deltas / solved edge maps
+        # skip weight deltas / solved edge maps / flat-distance rings
+        if side in ("d", "t", "u") or side.startswith("q"):
             continue
         pos = g["pos"].to_numpy()
         val = g["val"].to_numpy()
@@ -352,7 +353,8 @@ def _empty_border() -> pd.DataFrame:
     })
 
 
-def _border_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
+def _border_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame,
+                 kernel=None) -> pd.DataFrame:
     """Stage-2 cogroup body: unweighted local pass -> BORDER_SCHEMA
     rows (exit edges kind='x', entry registry kind='e'). Entry rows
     carry the entry cell's LOCAL path split (s=steps, c=cardinal steps
@@ -365,8 +367,12 @@ def _border_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
     lat, lon, _k = parse_tile_id(img)
     (_, grid), = codecs.iter_decoded_tiles(tile_pdf)
     h, w = grid.shape
-    aug = _assemble_aug(grid, strips)
-    ys, xs, acc, term, cross, t_ys, t_xs, steps, ncard, _t = mosaic_tile_arrays(aug)
+    if kernel is None:
+        aug = _assemble_aug(grid, strips)
+        arrays = mosaic_tile_arrays(aug)
+    else:
+        arrays = kernel(grid, strips)
+    ys, xs, acc, term, cross, t_ys, t_xs, steps, ncard, _t = arrays
     gx0 = cell_gx(lon, 0, w)
     gy0 = cell_gy(lat, 0, h)
     out = []
@@ -557,7 +563,8 @@ def solve_border_graph(border: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
-def _weighted_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame:
+def _weighted_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame,
+                   kernel=None) -> pd.DataFrame:
     """Stage-4 cogroup body: weighted local pass (weights 1 + delta
     rows riding the strip frame as side='d') -> CELLS_SCHEMA rows in
     global coordinates. The solved edge-terminal map rides the same
@@ -577,12 +584,15 @@ def _weighted_pass(tile_pdf: pd.DataFrame, strips: pd.DataFrame) -> pd.DataFrame
     lat, lon, _k = parse_tile_id(img)
     (_, grid), = codecs.iter_decoded_tiles(tile_pdf)
     h, w = grid.shape
-    aug = _assemble_aug(grid, strips)
     weights = np.ones((h - 1, w - 1), dtype=np.int64)
     d = strips[strips["side"] == "d"]
     if len(d):
         weights[d["pos"].to_numpy(), d["pos2"].to_numpy()] += d["val"].to_numpy(np.int64)
-    ys, xs, acc, term, _cross, _t_ys, _t_xs, _steps, _ncard, _t = mosaic_tile_arrays(aug, weights)
+    if kernel is None:
+        arrays = mosaic_tile_arrays(_assemble_aug(grid, strips), weights)
+    else:
+        arrays = kernel(grid, strips, weights)
+    ys, xs, acc, term, _cross, _t_ys, _t_xs, _steps, _ncard, _t = arrays
     gx0 = cell_gx(lon, 0, w)
     gy0 = cell_gy(lat, 0, h)
     # local terminal -> whole-mosaic outlet, where the terminal is an
@@ -1250,6 +1260,29 @@ def mosaic_fill(tiles: DataFrame, max_rounds: int = 64) -> DataFrame:
 
     sc = scope("mosaic")
     sc.release()
+    strips = _converged_fill_strips(tiles, sc, max_rounds)
+    return (
+        tiles.groupby("image_id")
+        .cogroup(strips.groupby("image_id"))
+        .applyInPandas(
+            lambda l, r: _fill_cells_pass(l, r), schema=MOSAIC_FILL_SCHEMA
+        )
+    )
+
+
+def _strip_checksum(df: DataFrame):
+    """Order-free fingerprint of a strip frame: one tiny agg job."""
+    row = df.agg(
+        F.expr("bit_xor(xxhash64(image_id, side, pos, pos2, val))"),
+        F.count("*"),
+    ).collect()[0]
+    return (row[0], row[1])
+
+
+def _converged_fill_strips(tiles: DataFrame, sc, max_rounds: int) -> DataFrame:
+    """The mosaic_fill halo iteration, exposed: returns the CONVERGED
+    perimeter W strips (cached in `sc`). mosaic_routed_flow reuses
+    them as the boundary condition for the filled surface."""
     zstrips = sc.hold(halo_strips(tiles).cache())
     strips = zstrips.select(
         "image_id", "side", "pos", "pos2",
@@ -1267,23 +1300,375 @@ def mosaic_fill(tiles: DataFrame, max_rounds: int = 64) -> DataFrame:
             )
         )
         nxt = sc.hold(nxt.cache())
-        chk = nxt.agg(
-            F.expr("bit_xor(xxhash64(image_id, side, pos, pos2, val))"),
-            F.count("*"),
-        ).collect()[0]
-        chk = (chk[0], chk[1])
+        chk = _strip_checksum(nxt)
         if chk == prev:
-            break
+            return strips
         prev = chk
         strips = nxt
-    else:
-        raise RuntimeError(
-            f"mosaic_fill did not converge in {max_rounds} rounds"
+    raise RuntimeError(
+        f"mosaic_fill did not converge in {max_rounds} rounds"
+    )
+
+
+# -------------------------------------- mosaic conditioned drainage
+
+#: unreachable-flat sentinel for the cross-seam BFS iteration (int64,
+#: far above any real hop count; strips carry it verbatim)
+DIST_INF = np.int64(1) << np.int64(40)
+
+_QSIDES = {"qn": "n", "qs": "s", "qe": "e", "qw": "w",
+           "qne": "ne", "qnw": "nw", "qse": "se", "qsw": "sw"}
+
+
+def _routed_core(grid: np.ndarray, strips: pd.DataFrame):
+    """Shared derivation for the mosaic conditioned-drainage passes:
+    decode-side core over ONE tile given the converged fill ring
+    (n/s/e/w/corner sides carry W) and the current flat-distance ring
+    (q-prefixed sides, absent = +inf).
+
+    Returns (augW, univ, d8p, tgt_y, tgt_x, dplane) in AUG coords:
+      augW   the tile's filled surface incl. the ring (fill_grid of
+             the W-ringed aug — the per-tile exact solve at the fill
+             fixpoint),
+      univ   the mosaic-universe mask (valid 3x3 on augW),
+      d8p    D8 codes on augW (0 = flat/pit),
+      tgt_*  strict-descent target coords per universe cell,
+      dplane BFS hop distance to a draining equal-W cell, seeded by
+             local draining cells (0) and the ring distances, relaxed
+             to the local fixpoint (min-plus rounds; the CROSS-SEAM
+             fixpoint emerges from the outer strip iteration)."""
+    from .terrain import D8_NEIGHBORS, d8_grid, fill_grid
+
+    aug = _assemble_aug(grid, strips)
+    augW = fill_grid(aug)
+    ha, wa = augW.shape
+    ys, xs, d8, _ = d8_grid(augW)
+    univ = np.zeros((ha, wa), dtype=bool)
+    univ[ys, xs] = True
+    d8p = np.zeros((ha, wa), dtype=np.int32)
+    d8p[ys, xs] = d8
+    tgt_y = np.tile(np.arange(ha, dtype=np.int64)[:, None], (1, wa))
+    tgt_x = np.tile(np.arange(wa, dtype=np.int64)[None, :], (ha, 1))
+    for c, dx, dy, _card in D8_NEIGHBORS:
+        sel = d8p == c
+        tgt_x[sel] += dx
+        tgt_y[sel] += dy
+
+    # ring distances from the q strips (aug boundary positions)
+    ring = np.zeros((ha, wa), dtype=bool)
+    rdist = np.full((ha, wa), DIST_INF, dtype=np.int64)
+    h, w = ha - 2, wa - 2
+    for side, g in strips.groupby("side"):
+        if side not in _QSIDES:
+            continue
+        pos = g["pos"].to_numpy()
+        val = g["val"].to_numpy(np.int64)
+        base = _QSIDES[side]
+        if base == "n":
+            ring[0, 1 + pos] = True
+            rdist[0, 1 + pos] = val
+        elif base == "s":
+            ring[h + 1, 1 + pos] = True
+            rdist[h + 1, 1 + pos] = val
+        elif base == "w":
+            ring[1 + pos, 0] = True
+            rdist[1 + pos, 0] = val
+        elif base == "e":
+            ring[1 + pos, w + 1] = True
+            rdist[1 + pos, w + 1] = val
+        elif base == "nw":
+            ring[0, 0] = True
+            rdist[0, 0] = val[0]
+        elif base == "ne":
+            ring[0, w + 1] = True
+            rdist[0, w + 1] = val[0]
+        elif base == "sw":
+            ring[h + 1, 0] = True
+            rdist[h + 1, 0] = val[0]
+        elif base == "se":
+            ring[h + 1, w + 1] = True
+            rdist[h + 1, w + 1] = val[0]
+    # a ring position exists as a BFS participant even without a q
+    # strip yet (round 1): equal-W adjacency through it only helps once
+    # its distance arrives, so absent == +inf is exactly right
+    ring |= np.zeros_like(ring)
+
+    dplane = np.full((ha, wa), DIST_INF, dtype=np.int64)
+    dplane[univ & (d8p > 0)] = 0
+    np.minimum(dplane, np.where(ring, rdist, DIST_INF), out=dplane)
+    flat = univ & (d8p == 0)
+    # min-plus relaxation to the LOCAL fixpoint: rounds <= local flat
+    # diameter; candidates flow through universe cells and ring cells
+    # of EQUAL filled elevation
+    part = univ | (rdist < DIST_INF)
+    while True:
+        best = np.full((ha, wa), DIST_INF, dtype=np.int64)
+        for _c, dx, dy, _card in D8_NEIGHBORS:
+            sy0, sy1 = max(dy, 0), ha + min(dy, 0)
+            ty0, ty1 = max(-dy, 0), ha + min(-dy, 0)
+            sx0, sx1 = max(dx, 0), wa + min(dx, 0)
+            tx0, tx1 = max(-dx, 0), wa + min(-dx, 0)
+            nb_d = dplane[sy0:sy1, sx0:sx1]
+            nb_w = augW[sy0:sy1, sx0:sx1]
+            nb_ok = part[sy0:sy1, sx0:sx1]
+            cand = np.where(
+                nb_ok & (nb_w == augW[ty0:ty1, tx0:tx1]),
+                nb_d, DIST_INF - 1,
+            ) + 1
+            np.minimum(best[ty0:ty1, tx0:tx1], cand,
+                       out=best[ty0:ty1, tx0:tx1])
+        nd = np.where(flat, np.minimum(dplane, best), dplane)
+        if np.array_equal(nd, dplane):
+            break
+        dplane = nd
+    return augW, univ, d8p, tgt_y, tgt_x, dplane
+
+
+def _routed_arrays(grid: np.ndarray, strips: pd.DataFrame,
+                   weights: np.ndarray | None = None):
+    """Routed mosaic kernel: the mosaic_tile_arrays 10-tuple contract
+    (ys, xs, acc, term, cross, t_ys, t_xs, steps, ncard, t) computed
+    over the FILLED surface with flat routing — strict-descent targets
+    where d8 > 0, else the equal-W neighbor minimizing (BFS dist, ESRI
+    code) among universe AND ring cells (a best ring target is a
+    cross-seam flat edge, handled by the existing border machinery).
+    Acyclic: strict edges drop W, flat edges drop the global BFS dist."""
+    from .terrain import D8_NEIGHBORS
+
+    augW, univ, d8p, tgt_y, tgt_x, dplane = _routed_core(grid, strips)
+    ha, wa = augW.shape
+    h, w = ha - 2, wa - 2
+    part = univ | (dplane < DIST_INF)  # routing candidates incl. ring
+
+    # routed targets for flat universe cells: stacked per-code planes,
+    # first-minimum = smallest ESRI code (np.argmin ties)
+    flat = univ & (d8p == 0)
+    cand = np.full((8, ha, wa), DIST_INF, dtype=np.int64)
+    for k, (_c, dx, dy, _card) in enumerate(D8_NEIGHBORS):
+        sy0, sy1 = max(dy, 0), ha + min(dy, 0)
+        ty0, ty1 = max(-dy, 0), ha + min(-dy, 0)
+        sx0, sx1 = max(dx, 0), wa + min(dx, 0)
+        tx0, tx1 = max(-dx, 0), wa + min(-dx, 0)
+        nb_d = dplane[sy0:sy1, sx0:sx1]
+        nb_w = augW[sy0:sy1, sx0:sx1]
+        nb_ok = part[sy0:sy1, sx0:sx1]
+        cand[k][ty0:ty1, tx0:tx1] = np.where(
+            nb_ok & (nb_w == augW[ty0:ty1, tx0:tx1]), nb_d, DIST_INF
         )
-    return (
+    bestk = np.argmin(cand, axis=0)
+    bestd = np.take_along_axis(cand, bestk[None], axis=0)[0]
+    routed = flat & (bestd < DIST_INF)
+    dxs = np.array([d[1] for d in D8_NEIGHBORS], dtype=np.int64)
+    dys = np.array([d[2] for d in D8_NEIGHBORS], dtype=np.int64)
+    tgt_x = np.where(routed, tgt_x + dxs[bestk] * routed, tgt_x)
+    tgt_y = np.where(routed, tgt_y + dys[bestk] * routed, tgt_y)
+    has_tgt = (d8p > 0) | routed
+
+    # compact owned universe (row-major), tile coords — the
+    # mosaic_tile_arrays contract
+    uy, ux = np.nonzero(univ)
+    ty_ = uy - 1
+    tx_ = ux - 1
+    own = (tx_ < w - 1) & (ty_ < h - 1)
+    uy, ux, ty_, tx_ = uy[own], ux[own], ty_[own], tx_[own]
+    n = len(uy)
+    ys_out = ty_.astype(np.int32)
+    xs_out = tx_.astype(np.int32)
+    t_ys = tgt_y[uy, ux] - 1
+    t_xs = tgt_x[uy, ux] - 1
+    htg = has_tgt[uy, ux]
+    lookup = np.full(h * w, -1, dtype=np.int64)
+    lookup[ty_ * w + tx_] = np.arange(n)
+    in_box = (
+        htg
+        & (t_xs >= 0) & (t_xs < w - 1)
+        & (t_ys >= 0) & (t_ys < h - 1)
+    )
+    t = np.full(n, -1, dtype=np.int64)
+    safe_idx = np.where(in_box, t_ys * w + t_xs, 0)
+    t[in_box] = lookup[safe_idx[in_box]]
+    cross = htg & ~in_box
+    # unrouted terminals keep own coords as target coords (the
+    # mosaic_tile_arrays convention for pits)
+    t_ys = np.where(htg, t_ys, ty_)
+    t_xs = np.where(htg, t_xs, tx_)
+
+    if weights is None:
+        acc = np.ones(n, dtype=np.int64)
+    else:
+        acc = weights[ty_, tx_].astype(np.int64).copy()
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, t[t >= 0], 1)
+    rounds = []
+    frontier = np.flatnonzero(indeg == 0)
+    n_done = 0
+    while frontier.size:
+        rounds.append(frontier)
+        n_done += frontier.size
+        ft = t[frontier]
+        has = ft >= 0
+        tgt = ft[has]
+        if tgt.size == 0:
+            break
+        order = np.argsort(tgt, kind="stable")
+        st = tgt[order]
+        sa = acc[frontier][has][order]
+        cuts = np.flatnonzero(np.r_[True, st[1:] != st[:-1]])
+        uniq = st[cuts]
+        acc[uniq] += np.add.reduceat(sa, cuts)
+        indeg[uniq] -= np.diff(np.r_[cuts, len(st)])
+        frontier = uniq[indeg[uniq] == 0]
+    assert n_done == n, "routed mosaic graph must be acyclic"
+    term = np.arange(n, dtype=np.int64)
+    steps = np.zeros(n, dtype=np.int64)
+    ncard = np.zeros(n, dtype=np.int64)
+    is_card = ((t_xs == tx_) | (t_ys == ty_)).astype(np.int64)
+    for frontier in reversed(rounds):
+        ft = t[frontier]
+        has_t = ft >= 0
+        idx = frontier[has_t]
+        term[idx] = term[ft[has_t]]
+        steps[idx] = steps[ft[has_t]] + 1
+        ncard[idx] = ncard[ft[has_t]] + is_card[idx]
+    return (ys_out, xs_out, acc, term, cross, t_ys, t_xs,
+            steps, ncard, t)
+
+
+def _dist_strips_pass(tile_pdf: pd.DataFrame,
+                      strips: pd.DataFrame) -> pd.DataFrame:
+    """Cogroup body for one flat-distance halo round: per-tile BFS
+    relaxation (given the converged W ring + current q-dist ring) ->
+    fresh outgoing q strips (the dist at the SECOND row/column in from
+    each shared edge — the halo_strips geometry, q-prefixed)."""
+    empty = pd.DataFrame({
+        "image_id": pd.Series([], dtype=object),
+        "side": pd.Series([], dtype=object),
+        "pos": pd.Series([], dtype=np.int32),
+        "pos2": pd.Series([], dtype=np.int32),
+        "val": pd.Series([], dtype=np.int64),
+    })
+    if len(tile_pdf) == 0:
+        return empty
+    img = tile_pdf["image_id"].iloc[0]
+    lat, lon, k = parse_tile_id(img)
+    (_, grid), = codecs.iter_decoded_tiles(tile_pdf)
+    _augW, _univ, _d8p, _ty, _tx, dplane = _routed_core(grid, strips)
+    d = dplane[1:-1, 1:-1]  # tile-coords view
+    h, w = grid.shape
+    emits = (
+        ("qs", 1, 0, d[1, :], np.arange(w)),
+        ("qn", -1, 0, d[h - 2, :], np.arange(w)),
+        ("qe", 0, -1, d[:, 1], np.arange(h)),
+        ("qw", 0, 1, d[:, w - 2], np.arange(h)),
+        ("qse", 1, -1, d[1:2, 1], np.zeros(1, np.int64)),
+        ("qsw", 1, 1, d[1:2, w - 2], np.zeros(1, np.int64)),
+        ("qne", -1, -1, d[h - 2 : h - 1, 1], np.zeros(1, np.int64)),
+        ("qnw", -1, 1, d[h - 2 : h - 1, w - 2], np.zeros(1, np.int64)),
+    )
+    out = []
+    for side, dlat, dlon, vals, pos in emits:
+        out.append(pd.DataFrame({
+            "image_id": tile_id(lat + dlat, lon + dlon, k),
+            "side": side,
+            "pos": pos.astype(np.int32),
+            "pos2": np.zeros(len(pos), dtype=np.int32),
+            "val": np.asarray(vals, dtype=np.int64),
+        }))
+    return pd.concat(out, ignore_index=True)
+
+
+def mosaic_routed_flow(tiles: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """PRODUCTION whole-mosaic CONDITIONED drainage: fill (cross-tile
+    priority-flood) + flat routing (cross-seam Garbrecht-Martz) +
+    accumulation — per-owned-cell (gx, gy, acc, outlet_gx, outlet_gy)
+    bit-equal to routed_flow_grid(fill_grid(assembled mosaic)) (pinned
+    in tests/test_mosaic.py, including bowls straddling seams whose
+    drainage must CROSS the seam after conditioning).
+
+    Three exchange stages, all perimeter-sized:
+     1. the mosaic_fill halo iteration (converged W strips — the
+        boundary condition under which every tile reproduces its slice
+        of the mosaic-filled surface locally);
+     2. a flat-distance halo iteration (q strips): per-tile min-plus
+        BFS relaxation seeded by local draining cells and the ring
+        distances — monotone decreasing from +inf, so it converges to
+        the global BFS fixpoint in (seam crossings of the longest
+        shortest-flat-path) rounds;
+     3. the drainage decomposition (border pass -> ONE-task border
+        solve -> weighted relabel), running on the ROUTED graph: the
+        border machinery is unchanged because routed flat edges are
+        functional exactly like strict D8 edges — a best ring target
+        is simply a cross-seam exit edge. Acyclic end to end (strict
+        edges drop W, flat edges drop the global BFS dist).
+
+    Cost: each halo round decodes + fills every tile once; the routed
+    kernel is the numpy body (no C twin yet — gate-scale; documented
+    next step if this enters a hot path)."""
+    from ..cache import scope
+
+    sc = scope("mosaic")
+    sc.release()
+    wstrips = _converged_fill_strips(tiles, sc, max_rounds)
+    cur = wstrips
+    prev = None
+    qconv = None
+    for _round in range(max_rounds):
+        qnxt = (
+            tiles.groupby("image_id")
+            .cogroup(cur.groupby("image_id"))
+            .applyInPandas(
+                lambda l, r: _dist_strips_pass(l, r), schema=STRIP_SCHEMA
+            )
+        )
+        qnxt = sc.hold(qnxt.cache())
+        chk = _strip_checksum(qnxt)
+        if chk == prev:
+            qconv = qnxt
+            break
+        prev = chk
+        cur = wstrips.unionByName(qnxt)
+    if qconv is None:
+        raise RuntimeError(
+            f"mosaic_routed_flow dist iteration did not converge "
+            f"in {max_rounds} rounds"
+        )
+    base = sc.hold(wstrips.unionByName(qconv).cache())
+    border = (
         tiles.groupby("image_id")
-        .cogroup(strips.groupby("image_id"))
+        .cogroup(base.groupby("image_id"))
         .applyInPandas(
-            lambda l, r: _fill_cells_pass(l, r), schema=MOSAIC_FILL_SCHEMA
+            lambda l, r: _border_pass(l, r, kernel=_routed_arrays),
+            schema=BORDER_SCHEMA,
         )
     )
+    solved = sc.hold(
+        border.groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(
+            lambda _k, pdf: solve_border_graph(pdf), schema=SOLVE_SCHEMA
+        )
+        .cache()
+    )
+    deltas = solved.filter(F.col("kind") == "d").select(
+        F.col("img").alias("image_id"),
+        F.lit("d").alias("side"),
+        F.col("ly").alias("pos"),
+        F.col("lx").alias("pos2"),
+        F.col("v").alias("val"),
+    )
+    terms = solved.filter(F.col("kind") == "t").select(
+        F.col("img").alias("image_id"),
+        F.lit("t").alias("side"),
+        F.col("ly").alias("pos"),
+        F.col("lx").alias("pos2"),
+        (F.col("bx") * F.lit(int(_PACK)) + F.col("by")).alias("val"),
+    )
+    strips2 = base.unionByName(deltas).unionByName(terms)
+    cells = (
+        tiles.groupby("image_id")
+        .cogroup(strips2.groupby("image_id"))
+        .applyInPandas(
+            lambda l, r: _weighted_pass(l, r, kernel=_routed_arrays),
+            schema=CELLS_SCHEMA,
+        )
+    )
+    return cells.select("gx", "gy", "acc", "outlet_gx", "outlet_gy")

@@ -679,3 +679,87 @@ def test_mosaic_fill_single_tile_equals_per_tile(spark):
     want = {(gx0 + int(x), gy0 + int(y)): (int(grid[y, x]), int(f[y, x]))
             for y, x in zip(ys, xs)}
     assert got == want
+
+
+# ------------------------------------------- mosaic conditioned drainage
+
+def _routed_bruteforce(rows, nx, ny, size, lat0, lon0):
+    g, gx_off, gy_off = _assemble_global(rows, nx, ny, size, lat0, lon0)
+    filled = terrain.fill_grid(g).astype(np.int16)
+    filled[g == NV] = NV
+    ys, xs, acc, oy, ox = terrain.routed_flow_grid(filled)
+    return {
+        (gx_off + int(x), gy_off + int(y)): (
+            int(a), gx_off + int(qx), gy_off + int(qy))
+        for y, x, a, qy, qx in zip(ys, xs, acc, oy, ox)
+    }
+
+
+def _routed_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8,
+                  skip=(), craters=True):
+    import pandas as pd
+
+    rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip,
+                                      craters)
+    want = _routed_bruteforce(rows, nx, ny, size, lat0, lon0)
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    got = {(r.gx, r.gy): (r.acc, r.outlet_gx, r.outlet_gy)
+           for r in mosaic.mosaic_routed_flow(df).collect()}
+    assert set(got) == set(want), (
+        f"universe mismatch: {len(got)} vs {len(want)}; "
+        f"extra={list(set(got) - set(want))[:5]} "
+        f"missing={list(set(want) - set(got))[:5]}"
+    )
+    bad = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not bad, f"{len(bad)} mismatched cells, first: {bad[:5]}"
+    return rows, want, got
+
+
+def test_mosaic_routed_flow_2x2_bit_exact(spark):
+    """Whole-mosaic conditioned drainage == routed_flow_grid(fill_grid)
+    on the assembled crater mosaic — fill, flat routing, and
+    accumulation all cross the seams."""
+    rows, want, got = _routed_check(spark, 2, 2)
+    # the conditioning is doing real cross-seam work: some cell inside
+    # a seam-straddling bowl drains to an outlet in ANOTHER tile
+    size = 33
+    seam_gx = mosaic.cell_gx(8 + 1, 0, size)
+    crossers = [
+        (k, v) for k, v in got.items()
+        if (k[0] < seam_gx) != (v[1] < seam_gx)
+    ]
+    assert crossers, "no drainage path crosses the vertical seam"
+
+
+def test_mosaic_routed_flow_3x2_bit_exact(spark):
+    _routed_check(spark, 3, 2)
+
+
+def test_mosaic_routed_flow_lshape_bit_exact(spark):
+    _routed_check(spark, 2, 2, seed=9, skip=((1, 1),))
+
+
+def test_mosaic_routed_flow_single_tile_equals_kernel(spark):
+    """1x1 mosaic: must equal fill + routed_flow_grid per tile."""
+    import pandas as pd
+
+    rows = synthetic.mosaic_tile_rows(1, 1, 33, 7, craters=True)
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    got = {(r.gx, r.gy): (r.acc, r.outlet_gx, r.outlet_gy)
+           for r in mosaic.mosaic_routed_flow(df).collect()}
+    want = _routed_bruteforce(rows, 1, 1, 33, 47, 8)
+    assert got == want
+
+
+def test_mosaic_routed_beats_unconditioned(spark):
+    """The reason the op exists: on the crater mosaic, the CONDITIONED
+    drainage concentrates flow (its max accumulation exceeds the
+    unconditioned mosaic drainage's, whose paths die in the bowls)."""
+    import pandas as pd
+
+    rows = synthetic.mosaic_tile_rows(2, 2, 33, 7, craters=True)
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+    routed = mosaic.mosaic_routed_flow(df).agg({"acc": "max"}).collect()[0][0]
+    plain = (mosaic.mosaic_flow_accumulation(df)
+             .agg({"acc": "max"}).collect()[0][0])
+    assert routed > plain

@@ -110,6 +110,14 @@ AUDITED = {
          r"SortMergeJoin|BroadcastHashJoin", "absent"),
         ("never all-pairs", r"CartesianProduct|BroadcastNestedLoop", "absent"),
     ],
+    "mosaic_routed_flow": [
+        ("raster crosses only cogrouped halo/tile passes",
+         r"FlatMapCoGroupsInPandas"),
+        ("border solve runs as ONE grouped task", r"FlatMapGroupsInPandas"),
+        ("no raster-sized join anywhere",
+         r"SortMergeJoin|BroadcastHashJoin", "absent"),
+        ("never all-pairs", r"CartesianProduct|BroadcastNestedLoop", "absent"),
+    ],
     "flat_routed_flow": [
         ("fill + BFS flat routing + Kahn in ONE tile-local pass (no Exchange)",
          r"Exchange", "absent"),
