@@ -1050,6 +1050,23 @@ def q_filled_flow(spark, sf_dir):
         synthetic.crater_tiles_df(spark, n_tiles=6, size=33))
 
 
+def q_viewshed(spark, sf_dir):
+    """Radius-bounded viewshed (r8): R3 line-of-sight visibility from
+    each crater tile's center (eye 2 m up, radius 14) — the classic
+    GIS raster analysis the terrain tier still lacked. INTEGER-exact
+    end to end: the sightline samples at round-half-up integer steps
+    of the dominant axis, and 'angle_P >= angle_T blocks' reduces to
+    sign cases over a^2 * d2 cross-products — no trig, no floats in
+    any hashed column; NOVALUE samples are conservatively opaque.
+    ONE narrow Arrow pass; C twin + numpy oracle bit-equality pinned.
+    The DuckDB oracle re-derives every sightline from the raw
+    crater_cells golden: a generate_series sample join + the same
+    integer comparisons, blockers as an EXISTS-style anti-join."""
+    return terrain.viewshed(
+        synthetic.crater_tiles_df(spark, n_tiles=6, size=33),
+        h_obs=2, radius=14)
+
+
 def q_flat_routed_flow(spark, sf_dir):
     """Flat-routed conditioned drainage (r8): fill + Garbrecht-Martz
     flat routing + accumulation — drainage CROSSES filled depressions
@@ -2167,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_sinks": q_fill_sinks,
         "filled_flow": q_filled_flow,
         "flat_routed_flow": q_flat_routed_flow,
+        "viewshed": q_viewshed,
         "mosaic_fill": q_mosaic_fill,
         "mosaic_routed_flow": q_mosaic_routed_flow,
         # rotated IN for r8 (VERDICT r7 "Next round" #4): the eleven
@@ -3025,6 +3043,67 @@ def oracle_sql() -> dict[str, str]:
         )""" + _d8_body + _d8_plain_walk + """
         SELECT a.image_id, a.x, a.y, a.acc, t.outlet_x, t.outlet_y
         FROM acc a JOIN term t USING (image_id, x, y)
+    """
+    # viewshed (r8): every sightline re-derived from the raw cell
+    # table — per-(target, k) sample rows via a generate_series
+    # inequality join, the SAME round-half-up integer sampling, and
+    # the SAME sign-cased a^2 * d2 cross-product comparison; a target
+    # is visible iff NO sample row blocks (anti-join). FLOOR over
+    # doubles is exact here (|numerator| <= 2*14*14 + 14 << 2^53).
+    golden["viewshed"] = f"""
+        WITH vc AS MATERIALIZED (
+            SELECT image_id, x, y, CAST(value AS BIGINT) AS z
+            FROM read_parquet('{golden_dir}/crater_cells.parquet')
+            WHERE value <> -32768
+        ),
+        obs AS (
+            SELECT image_id, z + 2 AS eye FROM vc WHERE x = 16 AND y = 16
+        ),
+        tgt AS MATERIALIZED (
+            SELECT v.image_id, v.x, v.y, o.eye,
+                   v.y - 16 AS dy, v.x - 16 AS dx,
+                   (v.y - 16) * (v.y - 16) + (v.x - 16) * (v.x - 16) AS dt2,
+                   GREATEST(ABS(v.y - 16), ABS(v.x - 16)) AS kk,
+                   v.z - o.eye AS at
+            FROM vc v JOIN obs o USING (image_id)
+            WHERE (v.y - 16) * (v.y - 16) + (v.x - 16) * (v.x - 16)
+                  <= 14 * 14
+        ),
+        samp AS MATERIALIZED (
+            SELECT t.image_id, t.x, t.y, t.eye, t.dt2, t.at,
+                   16 + CAST(FLOOR((2 * gs.k * t.dy + t.kk)
+                                   / (2.0 * t.kk)) AS BIGINT) AS py,
+                   16 + CAST(FLOOR((2 * gs.k * t.dx + t.kk)
+                                   / (2.0 * t.kk)) AS BIGINT) AS px
+            FROM tgt t
+            JOIN (SELECT UNNEST(generate_series(1, 32)) AS k) gs
+              ON gs.k < t.kk
+        ),
+        blockers AS MATERIALIZED (
+            SELECT DISTINCT s.image_id, s.x, s.y
+            FROM samp s
+            LEFT JOIN vc p
+              ON p.image_id = s.image_id AND p.x = s.px AND p.y = s.py
+            WHERE NOT (s.py = s.y AND s.px = s.x)
+              AND (
+                p.x IS NULL
+                OR ((p.z - s.eye) >= 0 AND s.at < 0)
+                OR ((p.z - s.eye) >= 0 AND s.at >= 0
+                    AND (p.z - s.eye) * (p.z - s.eye) * s.dt2
+                        >= s.at * s.at
+                           * ((s.py - 16) * (s.py - 16)
+                              + (s.px - 16) * (s.px - 16)))
+                OR ((p.z - s.eye) < 0 AND s.at < 0
+                    AND (p.z - s.eye) * (p.z - s.eye) * s.dt2
+                        <= s.at * s.at
+                           * ((s.py - 16) * (s.py - 16)
+                              + (s.px - 16) * (s.px - 16)))
+              )
+        )
+        SELECT t.image_id, CAST(t.x AS INT) AS x, CAST(t.y AS INT) AS y,
+               CAST(CASE WHEN b.x IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS visible
+        FROM tgt t LEFT JOIN blockers b USING (image_id, x, y)
     """
     # flat_routed_flow (r8): D8 on the filled surface, plus ROUTED
     # edges for flat cells — BFS hop distance to a draining

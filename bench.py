@@ -180,6 +180,7 @@ def main():
         "flat_routed_flow",
         "mosaic_fill",
         "mosaic_routed_flow",
+        "viewshed",
     ]
 
     # warm the JVM/Arrow paths once so per-query numbers measure the

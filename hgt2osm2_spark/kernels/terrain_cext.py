@@ -734,6 +734,64 @@ int64_t routed_flow_c(const int16_t* g, int64_t h, int64_t w,
     free(t); free(dist); free(indeg); free(queue); free(outl);
     return rc == 0 ? n : rc;
 }
+
+/* Radius-bounded viewshed (ops/terrain.viewshed_grid): R3
+   line-of-sight with the integer-exact angle comparison (sign cases
+   over a^2 * d2 cross-products) and round-half-up integer sightline
+   sampling.  vis is the FULL h*w uint8 plane (0 outside radius /
+   invalid / blocked).  Returns the number of visible cells, or -1 on
+   a bad observer (out of range / NOVALUE). */
+static int64_t floordiv2(int64_t a, int64_t b)  /* floor(a/b), b > 0 */
+{
+    int64_t q = a / b, r = a % b;
+    return (r != 0 && a < 0) ? q - 1 : q;
+}
+
+int64_t viewshed_c(const int16_t* g, int64_t h, int64_t w,
+                   int64_t oy, int64_t ox, int64_t h_obs, int64_t radius,
+                   uint8_t* vis)
+{
+    memset(vis, 0, (size_t)(h * w));
+    if (oy < 0 || oy >= h || ox < 0 || ox >= w) return -1;
+    if (g[oy * w + ox] == NOVALUE) return -1;
+    int64_t eye = (int64_t)g[oy * w + ox] + h_obs;
+    int64_t r2 = radius * radius, nvis = 0;
+    int64_t y0 = oy - radius < 0 ? 0 : oy - radius;
+    int64_t y1 = oy + radius >= h ? h - 1 : oy + radius;
+    int64_t x0 = ox - radius < 0 ? 0 : ox - radius;
+    int64_t x1 = ox + radius >= w ? w - 1 : ox + radius;
+    for (int64_t ty = y0; ty <= y1; ty++) {
+        for (int64_t tx = x0; tx <= x1; tx++) {
+            int16_t zt = g[ty * w + tx];
+            if (zt == NOVALUE) continue;
+            int64_t dy = ty - oy, dx = tx - ox;
+            int64_t dT2 = dy * dy + dx * dx;
+            if (dT2 > r2) continue;
+            int64_t K = (dy < 0 ? -dy : dy);
+            int64_t ax = (dx < 0 ? -dx : dx);
+            if (ax > K) K = ax;
+            int64_t aT = (int64_t)zt - eye;
+            int blocked = 0;
+            for (int64_t k = 1; k < K && !blocked; k++) {
+                int64_t py = oy + floordiv2(2 * k * dy + K, 2 * K);
+                int64_t px = ox + floordiv2(2 * k * dx + K, 2 * K);
+                if (py == ty && px == tx) continue;  /* landed on T */
+                int16_t zp = g[py * w + px];
+                if (zp == NOVALUE) { blocked = 1; break; }
+                int64_t aP = (int64_t)zp - eye;
+                int64_t dP2 = (py - oy) * (py - oy) + (px - ox) * (px - ox);
+                if (aP >= 0 && aT < 0) blocked = 1;
+                else if (aP >= 0 && aT >= 0) {
+                    if (aP * aP * dT2 >= aT * aT * dP2) blocked = 1;
+                } else if (aP < 0 && aT < 0) {
+                    if (aP * aP * dT2 <= aT * aT * dP2) blocked = 1;
+                }
+            }
+            if (!blocked) { vis[ty * w + tx] = 1; nvis++; }
+        }
+    }
+    return nvis;
+}
 """
 
 _lib = None
@@ -757,6 +815,7 @@ def available() -> bool:
         lib.flow_length_c.restype = ctypes.c_int64
         lib.stream_order_c.restype = ctypes.c_int64
         lib.morph_c.restype = ctypes.c_int64
+        lib.viewshed_c.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -994,3 +1053,25 @@ def morph(grid: np.ndarray):
     if n < 0:
         return None
     return (ys[:n].copy(), xs[:n].copy(), *[o[:n].copy() for o in outs])
+
+
+def viewshed(grid: np.ndarray, oy: int, ox: int,
+             h_obs: int = 2, radius: int = 100):
+    """C twin of ops/terrain.viewshed_grid -> full (h, w) bool plane,
+    or None (unavailable / non-int16-ranged / bad observer)."""
+    if not available():
+        return None
+    g = _as_i16(grid)
+    if g is None:
+        return None
+    h, w = g.shape
+    vis = np.zeros((h, w), np.uint8)
+    if h == 0 or w == 0:
+        return vis.astype(bool)
+    n = _lib.viewshed_c(_ptr(g), ctypes.c_int64(h), ctypes.c_int64(w),
+                        ctypes.c_int64(int(oy)), ctypes.c_int64(int(ox)),
+                        ctypes.c_int64(int(h_obs)),
+                        ctypes.c_int64(int(radius)), _ptr(vis))
+    if n < 0:
+        return vis.astype(bool)  # bad observer: all-False, same as numpy
+    return vis.astype(bool)

@@ -357,3 +357,46 @@ def test_morph_bit_equal(idx):
     assert len(a) == len(b) == 8
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def _py_viewshed(grid, oy, ox, h_obs=2, radius=100):
+    import unittest.mock as mock
+
+    with mock.patch.object(terrain_cext, "viewshed",
+                           lambda *a, **k: None):
+        return terrain.viewshed_grid(grid, oy, ox, h_obs, radius)
+
+
+@pytest.mark.parametrize("idx", range(6))
+@pytest.mark.parametrize("obs", [(4, 5), (16, 11)])
+def test_viewshed_bit_equal(idx, obs):
+    g = _grids()[idx]
+    oy, ox = obs
+    if not (oy < g.shape[0] and ox < g.shape[1]):
+        pytest.skip("observer outside this grid")
+    a = terrain_cext.viewshed(g, oy, ox, 2, 30)
+    b = _py_viewshed(g, oy, ox, 2, 30)
+    assert a is not None
+    assert np.array_equal(a, b)
+    # bad observer (NOVALUE) -> all-False on both paths
+    g2 = g.copy()
+    g2[oy, ox] = NV
+    assert not terrain_cext.viewshed(g2, oy, ox, 2, 30).any()
+    assert not _py_viewshed(g2, oy, ox, 2, 30).any()
+
+
+def test_viewshed_semantics():
+    """Wall occlusion, over-the-wall with height, NOVALUE opacity,
+    radius bound — the viewshed contract in four hand cases."""
+    g = np.zeros((11, 11), dtype=np.int16)
+    g[:, 7] = 50
+    v = terrain_cext.viewshed(g, 5, 2, 2, 20)
+    assert v[5, 7] and not v[5, 9] and v[5, 6] and v[5, 2]
+    assert terrain_cext.viewshed(g, 5, 2, 200, 20)[5, 9]  # tall eye
+    g3 = np.zeros((9, 9), dtype=np.int16)
+    g3[4, 4] = NV  # unknown terrain is opaque
+    v3 = terrain_cext.viewshed(g3, 4, 2, 1, 20)
+    assert not v3[4, 6] and not v3[4, 4]  # ray hits the hole
+    assert v3[2, 6]  # this ray clears it (samples (4,3),(3,4),(3,5))
+    v4 = terrain_cext.viewshed(np.zeros((9, 9), np.int16), 4, 4, 1, 2)
+    assert v4[4, 6] and not v4[4, 7]  # radius bound

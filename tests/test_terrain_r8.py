@@ -431,3 +431,29 @@ def test_flat_routed_flow_spark_no_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "MapInPandas" in plan
     assert df.count() > 2000
+
+
+def test_viewshed_spark_no_exchange(spark):
+    from hgt2osm2_spark.sources import synthetic
+
+    df = terrain.viewshed(synthetic.crater_tiles_df(spark, 3, 33),
+                          h_obs=2, radius=14)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+    rows = df.collect()
+    assert len(rows) > 1500
+    vis = sum(r.visible for r in rows)
+    assert 0 < vis < len(rows)  # crater terrain occludes SOMETHING
+    # engine equals the kernel run per tile through the full surface
+    tiles = synthetic.crater_tiles_df(spark, 3, 33).collect()
+    want = {}
+    for r in tiles:
+        grid = codecs.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+        v = terrain.viewshed_grid(grid, 16, 16, 2, 14)
+        g = grid.astype(np.int64)
+        ys, xs = np.nonzero(g != NV)
+        for y, x in zip(ys, xs):
+            if (y - 16) ** 2 + (x - 16) ** 2 <= 14 * 14:
+                want[(r.image_id, int(x), int(y))] = int(v[y, x])
+    got = {(r.image_id, r.x, r.y): r.visible for r in rows}
+    assert got == want

@@ -123,6 +123,11 @@ AUDITED = {
          r"Exchange", "absent"),
         ("all three kernels inside one mapInPandas", r"MapInPandas"),
     ],
+    "viewshed": [
+        ("R3 line-of-sight stays tile-local (no Exchange)",
+         r"Exchange", "absent"),
+        ("sightline kernel inside one mapInPandas", r"MapInPandas"),
+    ],
     "terrain_morphometry": [
         ("TPI/TRI/curvature stencils in ONE narrow Arrow map (no shuffle)",
          r"Exchange", "absent"),
