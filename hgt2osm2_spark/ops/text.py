@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from ..cache import scope as _cache_scope
+from ..fanout import fan_out
 
 #: tiny per-language stopword marker sets for the n-gram/stopword
 #: language-ID heuristic (public-knowledge common words)
@@ -157,7 +158,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 16) -> Data
                 out.append((doc_id, int(hashes.min().astype(np.int64))))
             yield pd.DataFrame(out, columns=["doc_id", "fingerprint"])
 
-    return df.select("doc_id", text_col).mapInPandas(fp, schema=FINGERPRINT_SCHEMA)
+    # spread a row-group-bound scan before the rolling-hash pass (r9)
+    src = fan_out(df.select("doc_id", text_col), "doc_id")
+    return src.mapInPandas(fp, schema=FINGERPRINT_SCHEMA)
 
 
 # ------------------------------------------------- relevance / indexing
@@ -175,6 +178,9 @@ def term_counts(df: DataFrame, text_col: str = "text",
     map-side-combined word count — no skew beyond natural term skew,
     which the aggregate absorbs (partial counts before the shuffle)."""
     toks = tokens_expr(F.lower(F.col(text_col)))
+    # explode + partial agg is the heavy pre-Exchange work — spread a
+    # row-group-bound scan across the cores first (guide §2, r9)
+    df = fan_out(df, id_col)
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .where(F.col("term") != "")

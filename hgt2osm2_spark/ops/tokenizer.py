@@ -49,6 +49,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..fanout import fan_out
+
 TOKENIZER_VERSION = 1
 PAD_ID = 0
 UNK_ID = 1
@@ -310,4 +312,7 @@ def subword_tokens(
                 "token_ids": pd.Series(ids, dtype=object),
             })
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=SUBWORD_SCHEMA)
+    # the greedy per-word encode loop is the heavy narrow pass — spread
+    # a row-group-bound scan across the cores before it (guide §4, r9)
+    src = fan_out(docs.select(id_col, text_col), id_col)
+    return src.mapInPandas(gen, schema=SUBWORD_SCHEMA)

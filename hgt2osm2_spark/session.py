@@ -84,6 +84,14 @@ def get_spark(
         # tile rows — tile pipelines keep O(10) tiles per task via
         # repartition, so a batch never exceeds the partition anyway.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # scan-parallelism FLOOR (guide §6): a 128MB single parquet file
+        # is one task at the default maxPartitionBytes, serializing the
+        # whole pre-Exchange pipeline of that query on one core. The
+        # floor asks the scanner for >= ncores splits; it is inert at
+        # production file counts (a 100TB table is ~10^5 files) and
+        # cannot over-split (splits stop at row-group boundaries), so it
+        # is scale-adaptive, not a local[32] constant.
+        .config("spark.sql.files.minPartitionNum", str(ncores))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
