@@ -1503,8 +1503,12 @@ def q_pack_sequences(spark, sf_dir):
     no single-task global window. Oracle: DuckDB window cumsum over the
     identical token counts."""
     from hgt2osm2_spark.ops import sampling
+    from hgt2osm2_spark.fanout import fan_out
 
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the row-group-bound scan BELOW the token projection: the
+    # range partitioner evaluates it twice (sampling + shuffle), both on
+    # one task otherwise (r9; values are per-row, results unchanged)
+    docs = fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     toks = text.token_count(docs).where(F.col("n_tokens") > 0)
     packed = sampling.pack_sequences(toks, "n_tokens", seq_len=512)
     return packed.select(

@@ -39,6 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
+from ..fanout import fan_out
 from .similarity import (
     _probe_clusters,
     _train_coarse,
@@ -223,8 +224,12 @@ def encode_vectors(
     the write-once encoded table. Because the model is FIXED, encoding
     is a pure per-row function: appending new vectors re-encodes only
     the new rows and can never migrate existing assignments."""
-    out = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    # spread a row-group-bound scan before the encode pass (guide §4, r9)
+    out = fan_out(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+        ),
+        "vec_id",
     ).withColumn("cluster", assign_cluster_col(F.col("_v"), model.cent))
     if model.books is not None:
         out = out.withColumn("codes", pq_encode_udf(model.books)(F.col("_v")))
@@ -275,9 +280,12 @@ def search_topk(
 
     if encoded is None:
         # inline path (ivf_pq_ann_topk): one narrow pass computes
-        # cluster+codes alongside the vectors — no join
-        eb = (e.withColumn("cluster",
-                           assign_cluster_col(F.col("pvec"), model.cent))
+        # cluster+codes alongside the vectors — no join; the PQ encode
+        # is a heavy Arrow pass, so a row-group-bound scan is spread
+        # across the cores first (guide §4, r9)
+        eb = (fan_out(e, "p_id")
+              .withColumn("cluster",
+                          assign_cluster_col(F.col("pvec"), model.cent))
               .withColumn("codes", pq_encode_udf(model.books)(F.col("pvec"))))
         cand = F.broadcast(qb).join(eb, "cluster")
         rerank_src = None  # pvec already on the candidate rows

@@ -645,8 +645,11 @@ def substring_dedup_spans(
         ),
     ).otherwise(F.array().cast(
         "array<struct<chunk_ord:int,chunk_hash:string>>"))
+    # the per-chunk md5 build is the heavy narrow pass — spread a
+    # row-group-bound scan across the cores before it (guide §2, r9)
     occ = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        fan_out(df, id_col)
+        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
         .select("doc_id", F.col("c.chunk_ord").alias("chunk_ord"),
                 F.col("c.chunk_hash").alias("chunk_hash"))
     )
@@ -764,8 +767,11 @@ def cdc_dedup_spans(
 
     chunks_arr = F.when(~empty, _let(toks, _chunks_of)).otherwise(
         F.array().cast("array<struct<s:int,e:int,h:string>>"))
+    # per-token boundary md5 + per-chunk md5 is the heavy narrow pass —
+    # spread a row-group-bound scan across the cores first (guide §2, r9)
     occ = (
-        df.select(
+        fan_out(df, id_col)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(chunks_arr).alias("chunk_ord", "c"),
         )

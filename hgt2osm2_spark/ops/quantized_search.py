@@ -41,6 +41,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
+from ..fanout import fan_out
+
 
 def int8_codes_expr(vec: Column, max_abs: Column) -> Column:
     """array<int> SQ8 codes: floor(x*127/max_abs + 0.5) clamped."""
@@ -64,7 +66,10 @@ def int_dot_expr(a: Column, b: Column) -> Column:
 
 def quantize_codes(embeddings: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, codes array<int>) — a narrow map, no shuffle."""
+    """(vec_id, codes array<int>) — a narrow map, no shuffle. (r9
+    measured a fan_out repartition here as a net LOSS — the code
+    expression is light enough that the extra Exchange costs more than
+    the single-task scan it cures; see OPTIMIZATION_r09.md.)"""
     vec = F.col(vec_col)
     max_abs = F.aggregate(
         vec, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
