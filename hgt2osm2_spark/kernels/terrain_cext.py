@@ -953,6 +953,15 @@ def fill(grid: np.ndarray):
     return out
 
 
+def fill_profile(g: np.ndarray, seed: np.ndarray, band: np.ndarray):
+    """C fast path for ops/mosaic.fill_profile_events (the r9
+    single-solve border profile). Not wired yet — returning None routes
+    every caller through the Python Kruskal twin, which IS the
+    semantics; this seam exists so an SRTM-grain C sweep can land
+    without touching the operator (the fill()/routed_flow() pattern)."""
+    return None
+
+
 def routed_flow(filled: np.ndarray):
     """C twin of ops/terrain.routed_flow_grid ->
     (ys, xs, acc, outlet_y, outlet_x) or None."""

@@ -1205,6 +1205,13 @@ def _fill_cells_pass(tile_pdf: pd.DataFrame,
     own = (xs <= xmax) & (ys <= ymax)
     if "e" not in have and "s" not in have and "se" in have:
         own &= ~((xs == w - 1) & (ys == h - 1))
+    # concave-corner case (ADVICE r8 #1): with an NE neighbor but no E
+    # neighbor, the shared corner cell is local (w-1, 0) here and
+    # (0, h-1) in the NE holder — lexicographically smaller there, so
+    # the NE tile owns it (previously BOTH tiles emitted it when the
+    # mutual SE/E tile was missing, duplicating the cell)
+    if "e" not in have and "ne" in have:
+        own &= ~((xs == w - 1) & (ys == 0))
     ys, xs = ys[own], xs[own]
     zf = W[ys, xs]
     assert (zf < FILL_WALL).all(), (
@@ -1218,6 +1225,274 @@ def _fill_cells_pass(tile_pdf: pd.DataFrame,
         "z": grid[ys, xs].astype(np.int32),
         "zfill": zf.astype(np.int32),
     })
+
+
+# --------------------- single-solve fill (Barnes 2016 shape, r9) ----------
+
+PROFILE_SCHEMA = ("kind string, img string, side string, pos int, "
+                  "ka long, kb long, lam long")
+
+#: node-key sentinels for the fill border solve (real keys pack the
+#: non-negative global cell coords as gx * 2^32 + gy)
+_K_OUT = -1       # the mosaic "outside" (water drains freely)
+_K_NOVALUE = -2   # invalid band cell (its strip slot carries NOVALUE)
+
+
+def fill_profile_events(aug: np.ndarray) -> list[tuple[int, int, int]]:
+    """Border minimax profile of ONE tile: the single-linkage
+    dendrogram of the tile's filled-surface minimax metric, restricted
+    to the width-2 BORDER BAND plus the OUT drain — the O(perimeter)
+    exact compression of the O(perimeter^2) border-to-border minimax
+    matrix (it is an ultrametric, so its dendrogram tree reproduces
+    every pairwise value as a tree-path max).
+
+    Input is the z-ringed aug grid (_assemble_aug of the halo z
+    strips): the ring only decides GLOBAL seed-ness (a cell drains iff
+    it has < 8 valid neighbors in the assembled mosaic — locally
+    decidable from the one-cell ring). Kruskal sweep: activate valid
+    cells in increasing z, union with active 8-neighbors (union with
+    OUT when the cell is a global seed), and emit an event
+    (rep_a, rep_b, z_cur) whenever two components that each contain a
+    node (band cell or OUT) merge; a band cell activating into a
+    noded component emits its attach event at its own z. Returns
+    events as (key_a, key_b, lam) over LOCAL linear indices (y*w + x;
+    _K_OUT for the drain); the minimax between any two nodes through
+    THIS tile equals the max event level on their tree path — the
+    property the global border solve consumes. Event VALUES are
+    tie-order-invariant (equal-z merges all record the same level),
+    so the solved W is deterministic."""
+    h2, w2 = aug.shape
+    h, w = h2 - 2, w2 - 2
+    g = np.ascontiguousarray(aug[1:-1, 1:-1])
+    valid = g != NOVALUE
+    vp = (aug != NOVALUE).astype(np.int8)
+    nnb = np.zeros((h, w), dtype=np.int8)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nnb += vp[1 + dy: h + 1 + dy, 1 + dx: w + 1 + dx]
+    seed = valid & (nnb < 8)
+    band = np.zeros((h, w), dtype=bool)
+    band[(0, 1, h - 2, h - 1), :] = True
+    band[:, (0, 1, w - 2, w - 1)] = True
+    band &= valid
+
+    from ..kernels import terrain_cext
+
+    ev = terrain_cext.fill_profile(g, seed, band)
+    if ev is not None:
+        return ev
+    return _fill_profile_events_py(g, valid, seed, band)
+
+
+def _fill_profile_events_py(g, valid, seed, band):
+    """Pure-Python Kruskal twin of the C fill_profile kernel — the
+    oracle and the fallback (bit-equality pinned in tests)."""
+    h, w = g.shape
+    z = g.ravel()
+    idx = np.flatnonzero(valid.ravel())
+    order = idx[np.lexsort((idx, z[idx]))]
+    n = h * w
+    OUTC = n                       # union-find slot of the OUT drain
+    parent = np.arange(n + 1, dtype=np.int64)
+    rep = np.full(n + 1, -3, dtype=np.int64)   # -3 = component has no node
+    rep[OUTC] = _K_OUT
+    active = np.zeros(n, dtype=bool)
+    seed_f = seed.ravel()
+    band_f = band.ravel()
+    events: list[tuple[int, int, int]] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for c in order:
+        c = int(c)
+        active[c] = True
+        zc = int(z[c])
+        rep[c] = c if band_f[c] else -3
+        y, x = divmod(c, w)
+        root = c
+        nbr_roots = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < h and 0 <= nx < w and active[ny * w + nx]:
+                    nbr_roots.append(find(ny * w + nx))
+        if seed_f[c]:
+            nbr_roots.append(find(OUTC))
+        for r in nbr_roots:
+            root = find(root)
+            if r == root:
+                continue
+            ra, rb = rep[root], rep[r]
+            if ra != -3 and rb != -3:
+                events.append((int(ra), int(rb), zc))
+            keep = ra if rb == -3 else (rb if ra == -3 else min(ra, rb))
+            parent[r] = root
+            rep[root] = keep
+    return events
+
+
+def _fill_profile_pass(tile_pdf: pd.DataFrame,
+                       strips: pd.DataFrame) -> pd.DataFrame:
+    """Cogroup body of the ONE profile pass: decode the tile, build the
+    z-ringed aug, emit (a) its border-band dendrogram events with node
+    keys in GLOBAL coordinates — shared border cells of neighboring
+    tiles get the SAME key, which is exactly how the per-tile trees
+    join into the mosaic graph — and (b) one destination row per strip
+    slot the converged-Jacobi iteration would have emitted (same
+    receiver/side/pos enumeration as _fill_strips_pass), carrying the
+    slot's cell key so the solver can write the strip values itself."""
+    cols = ("kind", "img", "side", "pos", "ka", "kb", "lam")
+    if len(tile_pdf) == 0:
+        return pd.DataFrame({
+            "kind": pd.Series([], dtype=object),
+            "img": pd.Series([], dtype=object),
+            "side": pd.Series([], dtype=object),
+            "pos": pd.Series([], dtype=np.int32),
+            "ka": pd.Series([], dtype=np.int64),
+            "kb": pd.Series([], dtype=np.int64),
+            "lam": pd.Series([], dtype=np.int64),
+        })
+    img = tile_pdf["image_id"].iloc[0]
+    lat, lon, k = parse_tile_id(img)
+    (_, grid), = codecs.iter_decoded_tiles(tile_pdf)
+    h, w = grid.shape
+    aug = _assemble_aug(grid, strips)
+    events = fill_profile_events(aug)
+    gx0 = np.int64(cell_gx(lon, 0, w))
+    gy0 = np.int64(cell_gy(lat, 0, h))
+
+    def key(lin: np.ndarray) -> np.ndarray:
+        out = np.asarray(lin, dtype=np.int64)
+        pos = out >= 0
+        ys_, xs_ = out[pos] // w, out[pos] % w
+        packed = (gx0 + xs_) * (np.int64(1) << np.int64(32)) + (gy0 + ys_)
+        res = out.copy()
+        res[pos] = packed
+        return res
+
+    frames = []
+    if events:
+        ea = np.array([e[0] for e in events], dtype=np.int64)
+        eb = np.array([e[1] for e in events], dtype=np.int64)
+        el = np.array([e[2] for e in events], dtype=np.int64)
+        frames.append(pd.DataFrame({
+            "kind": "e", "img": img, "side": "",
+            "pos": np.zeros(len(ea), dtype=np.int32),
+            "ka": key(ea), "kb": key(eb), "lam": el,
+        }))
+    gi = grid.astype(np.int64)
+    emits = (
+        ("s", 1, 0, np.full(w, 1), np.arange(w)),
+        ("n", -1, 0, np.full(w, h - 2), np.arange(w)),
+        ("e", 0, -1, np.arange(h), np.full(h, 1)),
+        ("w", 0, 1, np.arange(h), np.full(h, w - 2)),
+        ("se", 1, -1, np.array([1]), np.array([1])),
+        ("sw", 1, 1, np.array([1]), np.array([w - 2])),
+        ("ne", -1, -1, np.array([h - 2]), np.array([1])),
+        ("nw", -1, 1, np.array([h - 2]), np.array([w - 2])),
+    )
+    for side, dlat, dlon, ys_, xs_ in emits:
+        lin = ys_.astype(np.int64) * w + xs_.astype(np.int64)
+        ka = np.where(gi.ravel()[lin] == NOVALUE, np.int64(_K_NOVALUE),
+                      key(lin))
+        if side in ("e", "w"):
+            pos = ys_
+        elif side in ("s", "n"):
+            pos = xs_
+        else:
+            pos = np.zeros(1, dtype=np.int64)
+        frames.append(pd.DataFrame({
+            "kind": "d", "img": tile_id(lat + dlat, lon + dlon, k),
+            "side": side, "pos": pos.astype(np.int32),
+            "ka": ka, "kb": np.int64(0), "lam": np.int64(0),
+        }))
+    return pd.concat(frames, ignore_index=True)[list(cols)]
+
+
+def solve_fill_border(pdf: pd.DataFrame) -> pd.DataFrame:
+    """ONE bounded task (O(tiles x perimeter), the border-solve
+    precedent of solve_border_graph): minimax-Dijkstra from OUT over
+    the union of every tile's dendrogram events — shared border cells
+    carry the same global key, so the per-tile trees concatenate into
+    the mosaic's border graph — then write the converged W strips
+    directly from the destination rows. W(node) = min over paths to
+    OUT of the max event level = the true mosaic fill at that cell;
+    feeding these strips to the UNCHANGED _fill_cells_pass reproduces
+    the Jacobi fixpoint bit-for-bit (equality pinned in
+    tests/test_mosaic.py against the iterated path)."""
+    import heapq
+
+    ev = pdf[pdf["kind"] == "e"]
+    adj: dict[int, list] = {}
+    for ka, kb, lam in zip(ev["ka"].to_numpy(np.int64),
+                           ev["kb"].to_numpy(np.int64),
+                           ev["lam"].to_numpy(np.int64)):
+        adj.setdefault(int(ka), []).append((int(kb), int(lam)))
+        adj.setdefault(int(kb), []).append((int(ka), int(lam)))
+    dist: dict[int, int] = {}
+    NEG = -(1 << 62)
+    heap = [(NEG, _K_OUT)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u in dist:
+            continue
+        dist[u] = d
+        for v, lam in adj.get(u, ()):  # pragma: no branch
+            if v not in dist:
+                heapq.heappush(heap, (max(d, lam), v))
+    dd = pdf[pdf["kind"] == "d"]
+    ka = dd["ka"].to_numpy(np.int64)
+    vals = np.empty(len(ka), dtype=np.int64)
+    for i, kk in enumerate(ka):
+        kk = int(kk)
+        if kk == _K_NOVALUE:
+            vals[i] = NOVALUE
+        else:
+            wv = dist.get(kk)
+            if wv is None:
+                raise RuntimeError(
+                    "solve_fill_border: band cell unreachable from the "
+                    "mosaic drain — profile events are incomplete")
+            vals[i] = wv
+    return pd.DataFrame({
+        "image_id": dd["img"].to_numpy(object),
+        "side": dd["side"].to_numpy(object),
+        "pos": dd["pos"].to_numpy(np.int32),
+        "pos2": np.zeros(len(ka), dtype=np.int32),
+        "val": vals,
+    })
+
+
+def _solved_fill_strips(tiles: DataFrame, sc) -> DataFrame:
+    """Single-solve replacement for _converged_fill_strips (VERDICT r8
+    #1): ONE profile cogroup + ONE bounded solve task instead of
+    (depression seam-span) halo rounds each re-decoding and re-filling
+    every tile. Returns the same converged W strips frame (cached in
+    `sc`); the iterated path stays as the mechanism-independent twin,
+    equality pinned in tests/test_mosaic.py."""
+    zstrips = sc.hold(halo_strips(tiles).cache())
+    prof = (
+        tiles.groupby("image_id")
+        .cogroup(zstrips.groupby("image_id"))
+        .applyInPandas(
+            lambda l, r: _fill_profile_pass(l, r), schema=PROFILE_SCHEMA
+        )
+    )
+    strips = (
+        prof.groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(
+            lambda _k, pdf: solve_fill_border(pdf), schema=STRIP_SCHEMA
+        )
+    )
+    return sc.hold(strips.cache())
 
 
 def mosaic_fill(tiles: DataFrame, max_rounds: int = 64) -> DataFrame:
@@ -1260,7 +1535,7 @@ def mosaic_fill(tiles: DataFrame, max_rounds: int = 64) -> DataFrame:
 
     sc = scope("mosaic")
     sc.release()
-    strips = _converged_fill_strips(tiles, sc, max_rounds)
+    strips = _solved_fill_strips(tiles, sc)
     return (
         tiles.groupby("image_id")
         .cogroup(strips.groupby("image_id"))
@@ -1608,7 +1883,7 @@ def mosaic_routed_flow(tiles: DataFrame, max_rounds: int = 64) -> DataFrame:
 
     sc = scope("mosaic")
     sc.release()
-    wstrips = _converged_fill_strips(tiles, sc, max_rounds)
+    wstrips = _solved_fill_strips(tiles, sc)
     cur = wstrips
     prev = None
     qconv = None

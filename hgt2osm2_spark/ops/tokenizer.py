@@ -233,9 +233,10 @@ def load_tokenizer(path: str) -> TokenizerModel:
         (v["piece"][i], bool(v["cont"][i])) for i in order
     )
     ids = [int(v["id"][i]) for i in order]
-    assert ids == [j + N_SPECIALS for j in range(len(ids))], (
-        "vocab ids must be dense from N_SPECIALS"
-    )
+    # explicit raise, not assert: a corrupt/hand-edited artifact must
+    # stay loud under python -O too (ADVICE r8 #3)
+    if ids != [j + N_SPECIALS for j in range(len(ids))]:
+        raise ValueError("vocab ids must be dense from N_SPECIALS")
     return TokenizerModel(pieces, json.loads(meta["params"][0]))
 
 

@@ -13,6 +13,19 @@ from hgt2osm2_spark.sources import synthetic
 NV = int(codecs.NOVALUE)
 
 
+def _umap(out, keyfn, valfn):
+    """Collected rows -> {key: val}, asserting NO duplicate keys first:
+    a dict build silently collapses duplicate-row bugs (ADVICE r8 #2 —
+    exactly how a confirmed mosaic_fill corner duplicate slipped past
+    the bit-exactness tests)."""
+    got = {keyfn(r): valfn(r) for r in out}
+    assert len(out) == len(got), (
+        f"duplicate keys in engine output: {len(out)} rows, "
+        f"{len(got)} distinct keys"
+    )
+    return got
+
+
 def _assemble_global(rows, nx, ny, size, lat0, lon0):
     """Brute-force mosaic assembly from the ENCODED tile rows (missing
     tiles -> NOVALUE fill), plus the global-coordinate offsets."""
@@ -48,10 +61,10 @@ def _distributed(spark, rows):
 
     df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
     out = mosaic.mosaic_flow_accumulation(df).collect()
-    return {
-        (r["gx"], r["gy"]): (r["z"], r["acc"], r["outlet_gx"], r["outlet_gy"])
-        for r in out
-    }
+    return _umap(
+        out, lambda r: (r["gx"], r["gy"]),
+        lambda r: (r["z"], r["acc"], r["outlet_gx"], r["outlet_gy"]),
+    )
 
 
 def _check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8, skip=()):
@@ -218,13 +231,13 @@ def _stencil_distributed(spark, rows):
 
     df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
     out = mosaic.mosaic_terrain_cells(df).collect()
-    return {
-        (r["gx"], r["gy"]): (
+    return _umap(
+        out, lambda r: (r["gx"], r["gy"]),
+        lambda r: (
             r["z"], r["ndx"], r["ndy"], r["slope_q"], r["aspect_oct"],
             r["tpi8"], r["tri"], r["rough"], r["zxx"], r["zyy"], r["ixy4"],
-        )
-        for r in out
-    }
+        ),
+    )
 
 
 def _stencil_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8, skip=()):
@@ -309,10 +322,11 @@ def _length_distributed(spark, rows):
     import pandas as pd
 
     df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
-    return {
-        (r["gx"], r["gy"]): (r["steps"], r["n_card"], r["n_diag"])
-        for r in mosaic.mosaic_flow_length(df).collect()
-    }
+    return _umap(
+        mosaic.mosaic_flow_length(df).collect(),
+        lambda r: (r["gx"], r["gy"]),
+        lambda r: (r["steps"], r["n_card"], r["n_diag"]),
+    )
 
 
 def _length_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8, skip=()):
@@ -438,10 +452,11 @@ def _order_distributed(spark, rows, min_acc):
     import pandas as pd
 
     df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
-    return {
-        (r["gx"], r["gy"]): (r["acc"], r["sorder"])
-        for r in mosaic.mosaic_stream_order(df, min_acc).collect()
-    }
+    return _umap(
+        mosaic.mosaic_stream_order(df, min_acc).collect(),
+        lambda r: (r["gx"], r["gy"]),
+        lambda r: (r["acc"], r["sorder"]),
+    )
 
 
 def _order_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8,
@@ -522,10 +537,10 @@ def _shade_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8, skip=()):
     rows = synthetic.mosaic_tile_rows(nx, ny, size, seed, lat0, lon0, skip)
     want = _shade_bruteforce(rows, nx, ny, size, lat0, lon0)
     df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
-    got = {
-        (r["gx"], r["gy"]): r["shade"]
-        for r in mosaic.mosaic_hillshade_cells(df).collect()
-    }
+    got = _umap(
+        mosaic.mosaic_hillshade_cells(df).collect(),
+        lambda r: (r["gx"], r["gy"]), lambda r: r["shade"],
+    )
     assert set(got) == set(want), (
         f"universe mismatch: {len(got)} vs {len(want)}"
     )
@@ -562,10 +577,10 @@ def test_mosaic_hillshade_nondefault_sun(spark):
         for y, x in zip(ys, xs)
     }
     df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
-    got = {
-        (r["gx"], r["gy"]): r["shade"]
-        for r in mosaic.mosaic_hillshade_cells(df, 135.0, 60.0, 2.0).collect()
-    }
+    got = _umap(
+        mosaic.mosaic_hillshade_cells(df, 135.0, 60.0, 2.0).collect(),
+        lambda r: (r["gx"], r["gy"]), lambda r: r["shade"],
+    )
     assert got == want
 
 
@@ -589,8 +604,8 @@ def _fill_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8, skip=(),
                                       craters)
     want = _fill_bruteforce(rows, nx, ny, size, lat0, lon0)
     df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
-    got = {(r.gx, r.gy): (r.z, r.zfill)
-           for r in mosaic.mosaic_fill(df).collect()}
+    got = _umap(mosaic.mosaic_fill(df).collect(),
+                lambda r: (r.gx, r.gy), lambda r: (r.z, r.zfill))
     assert set(got) == set(want), (
         f"universe mismatch: {len(got)} vs {len(want)}; "
         f"extra={list(set(got) - set(want))[:5]} "
@@ -668,8 +683,8 @@ def test_mosaic_fill_single_tile_equals_per_tile(spark):
 
     rows = synthetic.mosaic_tile_rows(1, 1, 33, 7, craters=True)
     df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
-    got = {(r.gx, r.gy): (r.z, r.zfill)
-           for r in mosaic.mosaic_fill(df).collect()}
+    got = _umap(mosaic.mosaic_fill(df).collect(),
+                lambda r: (r.gx, r.gy), lambda r: (r.z, r.zfill))
     grid = codecs.decode(rows[0]["bytes"], rows[0]["fmt"], 33, 33)
     f = terrain.fill_grid(grid)
     lat, lon, _k = mosaic.parse_tile_id(rows[0]["image_id"])
@@ -703,8 +718,9 @@ def _routed_check(spark, nx, ny, size=33, seed=7, lat0=47, lon0=8,
                                       craters)
     want = _routed_bruteforce(rows, nx, ny, size, lat0, lon0)
     df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
-    got = {(r.gx, r.gy): (r.acc, r.outlet_gx, r.outlet_gy)
-           for r in mosaic.mosaic_routed_flow(df).collect()}
+    got = _umap(mosaic.mosaic_routed_flow(df).collect(),
+                lambda r: (r.gx, r.gy),
+                lambda r: (r.acc, r.outlet_gx, r.outlet_gy))
     assert set(got) == set(want), (
         f"universe mismatch: {len(got)} vs {len(want)}; "
         f"extra={list(set(got) - set(want))[:5]} "
@@ -745,8 +761,9 @@ def test_mosaic_routed_flow_single_tile_equals_kernel(spark):
 
     rows = synthetic.mosaic_tile_rows(1, 1, 33, 7, craters=True)
     df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
-    got = {(r.gx, r.gy): (r.acc, r.outlet_gx, r.outlet_gy)
-           for r in mosaic.mosaic_routed_flow(df).collect()}
+    got = _umap(mosaic.mosaic_routed_flow(df).collect(),
+                lambda r: (r.gx, r.gy),
+                lambda r: (r.acc, r.outlet_gx, r.outlet_gy))
     want = _routed_bruteforce(rows, 1, 1, 33, 47, 8)
     assert got == want
 
@@ -794,3 +811,102 @@ def test_mosaic_routed_bfs_bound_pin():
                     q.append(nb)
     worst = max(dist.values()) if dist else 0
     assert 0 < worst < 32
+
+
+# ----------------------------- single-solve fill (Barnes shape, r9)
+
+def _strips_rows(df):
+    return sorted((r.image_id, r.side, r.pos, r.pos2, r.val)
+                  for r in df.collect())
+
+
+def _solve_vs_jacobi(spark, tiles_df):
+    """The r9 single-solve border W must equal the converged Jacobi
+    strips EXACTLY (same frame, same values) — mechanism independence:
+    dendrogram profile + one minimax Dijkstra vs iterated per-tile
+    refills."""
+    from hgt2osm2_spark.cache import scope
+
+    sc = scope("mosaic_test_a")
+    jac = _strips_rows(mosaic._converged_fill_strips(tiles_df, sc, 64))
+    sc2 = scope("mosaic_test_b")
+    slv = _strips_rows(mosaic._solved_fill_strips(tiles_df, sc2))
+    sc.release()
+    sc2.release()
+    assert slv == jac
+    return jac
+
+
+def test_fill_single_solve_equals_jacobi_gate(spark):
+    _solve_vs_jacobi(spark, synthetic.mosaic_tiles_df(
+        spark, nx=2, ny=2, size=33, seed=7, craters=True))
+
+
+def test_fill_single_solve_equals_jacobi_lshapes(spark):
+    for skip in (((0, 1),), ((1, 1),), ((1, 0),), ((0, 0),)):
+        _solve_vs_jacobi(spark, synthetic.mosaic_tiles_df(
+            spark, nx=2, ny=2, size=33, seed=9, skip=skip, craters=True))
+
+
+def _corridor_rows(n_tiles=9, size=9, lat0=47, lon0=8):
+    """1 x n_tiles mosaic forming ONE long east-draining depression:
+    a low channel walled on every side, whose spill sits in the LAST
+    tile — the Jacobi iteration moves the spill elevation one seam per
+    round, so it needs >= n_tiles rounds; the single-solve does it in
+    one profile pass + one Dijkstra."""
+    from hgt2osm2_spark.ops.mosaic import tile_id
+
+    gw = n_tiles * (size - 1) + 1
+    g = np.full((size, gw), 500, dtype=np.int16)
+    g[size // 2, 1: gw - 1] = 100   # walled corridor floor (a bowl)
+    g[size // 2, gw - 1] = 150      # the only spill: an eastern notch
+    rows = []
+    for c in range(n_tiles):
+        tile = g[:, c * (size - 1): c * (size - 1) + size]
+        img = tile_id(lat0, lon0 + c, "0")
+        rows.append({
+            "image_id": img, "bytes": codecs.encode(tile, "hgt"),
+            "w": size, "h": size, "fmt": "hgt",
+            "caption": f"corridor {img}", "phash": codecs.phash64(tile),
+        })
+    return rows
+
+
+def test_fill_single_solve_deep_corridor(spark):
+    """VERDICT r8 #1 done-criterion: a mosaic whose depression spans
+    MANY seams (Jacobi needs >= 8 rounds) solves in one pass, matches
+    the Jacobi fixpoint strips exactly, and mosaic_fill stays bit-equal
+    to fill_grid on the assembled mosaic."""
+    import pandas as pd
+
+    rows = _corridor_rows(n_tiles=9, size=9)
+    df = spark.createDataFrame(pd.DataFrame(rows), synthetic.TILES_SCHEMA)
+
+    # the Jacobi twin genuinely needs many rounds on this shape: with
+    # max_rounds=4 it must fail to converge
+    from hgt2osm2_spark.cache import scope
+
+    sc = scope("mosaic_test_c")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        mosaic._converged_fill_strips(df, sc, 4)
+    sc.release()
+
+    _solve_vs_jacobi(spark, df)
+
+    want = _fill_bruteforce(rows, 9, 1, 9, 47, 8)
+    got = _umap(mosaic.mosaic_fill(df).collect(),
+                lambda r: (r.gx, r.gy), lambda r: (r.z, r.zfill))
+    assert got == want
+    # and the corridor genuinely filled: interior floor rises to the
+    # spill elevation of the LAST tile
+    n_raised = sum(1 for z, w in got.values() if w > z)
+    assert n_raised > 50
+
+
+def test_fill_concave_corner_no_duplicate(spark):
+    """ADVICE r8 #1: on the 2x2/skip-(1,1) layout the tiles east and
+    south of the hole both used to emit the shared concave corner
+    cell. _umap (via _fill_check) now rejects any duplicate; this pins
+    the exact layout, and the lex-smallest-holder rule end to end."""
+    for skip in (((1, 1),), ((0, 0),), ((0, 1),), ((1, 0),)):
+        _fill_check(spark, 2, 2, seed=9, skip=skip)
