@@ -792,6 +792,106 @@ int64_t viewshed_c(const int16_t* g, int64_t h, int64_t w,
     }
     return nvis;
 }
+
+/* Border minimax profile for the r9 single-solve mosaic fill
+   (ops/mosaic.fill_profile_events): Kruskal sweep of the tile's valid
+   cells in increasing (z, index), union-find over cells + the OUT
+   drain, emitting a single-linkage dendrogram event whenever two
+   components that each contain a node (band cell or OUT=-1) merge.
+   Neighbor visit order, the min-rep keep rule, and tie order mirror
+   the Python twin exactly, so the event LISTS are identical, not just
+   the solved values.  ev_* buffers must hold >= 2*n_band + 8 entries;
+   returns the event count, or -1 on alloc failure. */
+static int64_t fp_find(int64_t* parent, int64_t a)
+{
+    while (parent[a] != a) {
+        parent[a] = parent[parent[a]];
+        a = parent[a];
+    }
+    return a;
+}
+
+int64_t fill_profile_c(const int16_t* g, int64_t h, int64_t w,
+                       const uint8_t* seed, const uint8_t* band,
+                       int64_t* ev_a, int64_t* ev_b, int64_t* ev_lam)
+{
+    int64_t n = h * w;
+    if (n <= 0) return 0;
+    /* counting sort by z (int16 range), ties by ascending index */
+    int64_t* counts = (int64_t*)calloc(65537, sizeof(int64_t));
+    int64_t* order = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t* parent = (int64_t*)malloc((n + 1) * sizeof(int64_t));
+    int64_t* rep = (int64_t*)malloc((n + 1) * sizeof(int64_t));
+    int64_t* csize = (int64_t*)malloc((n + 1) * sizeof(int64_t));
+    uint8_t* active = (uint8_t*)calloc(n, 1);
+    if (!counts || !order || !parent || !rep || !csize || !active) {
+        free(counts); free(order); free(parent); free(rep);
+        free(csize); free(active);
+        return -1;
+    }
+    int64_t nvalid = 0;
+    for (int64_t o = 0; o < n; o++) {
+        if (g[o] != NOVALUE) { counts[(int64_t)g[o] + 32768 + 1]++; nvalid++; }
+    }
+    for (int64_t b = 1; b <= 65536; b++) counts[b] += counts[b - 1];
+    for (int64_t o = 0; o < n; o++) {
+        if (g[o] != NOVALUE) order[counts[(int64_t)g[o] + 32768]++] = o;
+    }
+    for (int64_t o = 0; o <= n; o++) {
+        parent[o] = o; rep[o] = -3; csize[o] = 1;
+    }
+    rep[n] = -1;                           /* OUT drain */
+    int64_t nev = 0;
+    for (int64_t i = 0; i < nvalid; i++) {
+        int64_t c = order[i];
+        active[c] = 1;
+        rep[c] = band[c] ? c : -3;
+        int64_t zc = (int64_t)g[c];
+        int64_t cy = c / w, cx = c % w;
+        int64_t root = c;
+        for (int k = 0; k < 9; k++) {
+            int64_t r;
+            if (k < 8) {
+                /* (-1,-1) (-1,0) (-1,1) (0,-1) (0,1) (1,-1) (1,0) (1,1)
+                   — the Python twin's dy-major order */
+                static const int ODY[8] = {-1,-1,-1, 0, 0, 1, 1, 1};
+                static const int ODX[8] = {-1, 0, 1,-1, 1,-1, 0, 1};
+                int64_t yy = cy + ODY[k], xx = cx + ODX[k];
+                if (yy < 0 || yy >= h || xx < 0 || xx >= w) continue;
+                int64_t o = yy * w + xx;
+                if (!active[o]) continue;
+                r = fp_find(parent, o);
+            } else {
+                if (!seed[c]) continue;
+                r = fp_find(parent, n);
+            }
+            root = fp_find(parent, root);
+            if (r == root) continue;
+            int64_t ra = rep[root], rb = rep[r];
+            if (ra != -3 && rb != -3) {
+                ev_a[nev] = ra; ev_b[nev] = rb; ev_lam[nev] = zc; nev++;
+            }
+            int64_t keep;
+            if (rb == -3) keep = ra;
+            else if (ra == -3) keep = rb;
+            else keep = ra < rb ? ra : rb;
+            /* union by size — events depend only on component
+               MEMBERSHIP, not tree shape, so attaching the smaller
+               tree keeps find() near-O(1) without changing output
+               (the Python twin keeps the naive direction; list
+               equality is pinned in tests either way) */
+            int64_t big = root, small = r;
+            if (csize[small] > csize[big]) { big = r; small = root; }
+            parent[small] = big;
+            csize[big] += csize[small];
+            rep[big] = keep;
+            root = big;
+        }
+    }
+    free(counts); free(order); free(parent); free(rep);
+    free(csize); free(active);
+    return nev;
+}
 """
 
 _lib = None
@@ -816,6 +916,7 @@ def available() -> bool:
         lib.stream_order_c.restype = ctypes.c_int64
         lib.morph_c.restype = ctypes.c_int64
         lib.viewshed_c.restype = ctypes.c_int64
+        lib.fill_profile_c.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -954,12 +1055,32 @@ def fill(grid: np.ndarray):
 
 
 def fill_profile(g: np.ndarray, seed: np.ndarray, band: np.ndarray):
-    """C fast path for ops/mosaic.fill_profile_events (the r9
-    single-solve border profile). Not wired yet — returning None routes
-    every caller through the Python Kruskal twin, which IS the
-    semantics; this seam exists so an SRTM-grain C sweep can land
-    without touching the operator (the fill()/routed_flow() pattern)."""
-    return None
+    """C twin of ops/mosaic._fill_profile_events_py -> list of
+    (key_a, key_b, lam) dendrogram events (local linear indices, -1 =
+    OUT), or None. Same sweep order, neighbor order and rep rule as the
+    Python twin, so the event lists are bit-identical (pinned in
+    tests/test_mosaic.py)."""
+    if not available():
+        return None
+    g16 = _as_i16(g)
+    if g16 is None:
+        return None
+    h, w = g16.shape
+    if h == 0 or w == 0:
+        return []
+    nb = int(band.sum())
+    cap = 2 * nb + 8
+    ev_a = np.empty(cap, np.int64)
+    ev_b = np.empty(cap, np.int64)
+    ev_l = np.empty(cap, np.int64)
+    s8 = np.ascontiguousarray(seed.astype(np.uint8))
+    b8 = np.ascontiguousarray(band.astype(np.uint8))
+    n = _lib.fill_profile_c(
+        _ptr(g16), ctypes.c_int64(h), ctypes.c_int64(w),
+        _ptr(s8), _ptr(b8), _ptr(ev_a), _ptr(ev_b), _ptr(ev_l))
+    if n < 0:
+        return None
+    return list(zip(ev_a[:n].tolist(), ev_b[:n].tolist(), ev_l[:n].tolist()))
 
 
 def routed_flow(filled: np.ndarray):

@@ -1316,17 +1316,21 @@ def _fill_profile_events_py(g, valid, seed, band):
         rep[c] = c if band_f[c] else -3
         y, x = divmod(c, w)
         root = c
-        nbr_roots = []
+        # find() at VISIT time (not pre-collected), dy-major neighbor
+        # order, min-rep keep rule — the C kernel mirrors all three, so
+        # the event LISTS are bit-identical, not just the solved values
+        nbrs = []
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dx == 0 and dy == 0:
                     continue
                 ny, nx = y + dy, x + dx
                 if 0 <= ny < h and 0 <= nx < w and active[ny * w + nx]:
-                    nbr_roots.append(find(ny * w + nx))
+                    nbrs.append(ny * w + nx)
         if seed_f[c]:
-            nbr_roots.append(find(OUTC))
-        for r in nbr_roots:
+            nbrs.append(OUTC)
+        for o in nbrs:
+            r = find(o)
             root = find(root)
             if r == root:
                 continue

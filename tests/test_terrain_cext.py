@@ -400,3 +400,52 @@ def test_viewshed_semantics():
     assert v3[2, 6]  # this ray clears it (samples (4,3),(3,4),(3,5))
     v4 = terrain_cext.viewshed(np.zeros((9, 9), np.int16), 4, 4, 1, 2)
     assert v4[4, 6] and not v4[4, 7]  # radius bound
+
+
+# ------------------------- fill border profile (r9 single-solve) ----
+
+def _profile_inputs(g_i64, aug):
+    from hgt2osm2_spark.ops import mosaic as M
+
+    h, w = g_i64.shape
+    valid = g_i64 != NV
+    vp = (aug != NV).astype(np.int8)
+    nnb = np.zeros((h, w), dtype=np.int8)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nnb += vp[1 + dy: h + 1 + dy, 1 + dx: w + 1 + dx]
+    seed = valid & (nnb < 8)
+    band = np.zeros((h, w), dtype=bool)
+    band[(0, 1, h - 2, h - 1), :] = True
+    band[:, (0, 1, w - 2, w - 1)] = True
+    band &= valid
+    return M, valid, seed, band
+
+
+def test_fill_profile_bit_equal_random():
+    """C Kruskal profile == Python twin, EVENT LIST equality (same
+    order, same reps, same levels) over random grids with NOVALUE
+    holes and partial rings — the single-solve mosaic fill derives
+    everything from these events."""
+    rng = np.random.default_rng(23)
+    for _trial in range(25):
+        h = int(rng.integers(5, 36))
+        w = int(rng.integers(5, 36))
+        g = rng.integers(-300, 2000, (h, w)).astype(np.int64)
+        g[rng.random((h, w)) < rng.uniform(0, 0.35)] = NV
+        aug = np.full((h + 2, w + 2), NV, dtype=np.int64)
+        ring = rng.integers(-300, 2000, (h + 2, w + 2))
+        keep = rng.random((h + 2, w + 2)) < 0.5
+        for sl in ((0, slice(None)), (-1, slice(None)),
+                   (slice(None), 0), (slice(None), -1)):
+            aug[sl] = np.where(keep[sl], ring[sl], NV)
+        aug[1:-1, 1:-1] = g
+        gg = np.ascontiguousarray(aug[1:-1, 1:-1])
+        M, valid, seed, band = _profile_inputs(gg, aug)
+        py = M._fill_profile_events_py(gg, valid, seed, band)
+        c = terrain_cext.fill_profile(gg, seed, band)
+        if c is None:
+            pytest.skip("C kernel unavailable")
+        assert py == c
