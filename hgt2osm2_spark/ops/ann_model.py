@@ -220,6 +220,45 @@ def adc_udf(books: np.ndarray):
     return adc
 
 
+def adc_by_id_udf(books: np.ndarray, qmap: dict):
+    """ADC score of (q_id, codes): the query VECTORS ride in the UDF
+    closure (`qmap`: q_id -> float64 vector, the tiny collected query
+    batch) so each candidate row crosses the Python boundary carrying
+    8 bytes of id instead of a dim-sized array (guide §4.1 — at 10^5
+    candidate rows x 64 floats that duplicated payload dominated the
+    ADC stage's Arrow transfer). LUT construction and the gather+sum
+    are byte-for-byte the adc_udf body, keyed by id instead of by
+    vector bytes — two rows with the same q_id see the same LUT, so
+    scores are bit-identical to the qvec-carrying form."""
+    books = np.ascontiguousarray(books, dtype=np.float64)
+    m, _ksub, dsub = books.shape
+    qarr = {k: np.asarray(v, dtype=np.float64) for k, v in qmap.items()}
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        ids = qids.to_numpy()
+        if ids.size == 0:
+            return pd.Series([], dtype=np.float64)
+        cs = np.array(codes.tolist(), dtype=np.int64)
+        out = np.empty(len(ids))
+        marange = np.arange(m)
+        for key in pd.unique(ids):
+            sel = np.flatnonzero(ids == key)
+            # same normalization arithmetic as adc_udf's batch form:
+            # np.linalg.norm over one contiguous row reduces pairwise
+            # exactly like the axis=1 matrix form — bit-identical
+            qi = qarr[key].copy()
+            qi /= np.maximum(np.linalg.norm(qi), 1e-12)
+            lut = np.stack([
+                (books[j] * qi[j * dsub : (j + 1) * dsub][None, :]).sum(axis=1)
+                for j in range(m)
+            ])
+            out[sel] = lut[marange[None, :], cs[sel]].sum(axis=1)
+        return pd.Series(out)
+
+    return adc
+
+
 def encode_vectors(
     embeddings: DataFrame, model: AnnModel,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -282,6 +321,22 @@ def search_topk(
             .select("q_id", "p_id", "rnk", "sim")
         )
 
+    # The candidate side of the ADC stage carries ONLY (q_id, cluster):
+    # the query VECTORS go to the scorer through the UDF closure and are
+    # re-attached to just the rerank*k-per-query shortlist afterwards
+    # (guide §4.1 / §2.3 — at 10^5 candidate rows the per-row qvec array
+    # was ~95% of the ADC stage's join payload and Arrow transfer). The
+    # collect is bounded by the query-batch size — the same bound the
+    # broadcast(qb) probe join already imposes. Scores are bit-identical
+    # (same float64 vectors, same LUT arithmetic; see adc_by_id_udf).
+    qrows = q.select("q_id", "qvec").collect()
+    qmap: dict = {}
+    for r in qrows:
+        if r.q_id in qmap:
+            raise ValueError(f"search_topk: duplicate q_id {r.q_id}")
+        qmap[r.q_id] = r.qvec
+    qb_slim = qb.select("q_id", "cluster")
+
     if encoded is None:
         # inline path (ivf_pq_ann_topk): one narrow pass computes
         # cluster+codes alongside the vectors — no join; the PQ encode
@@ -291,16 +346,16 @@ def search_topk(
               .withColumn("cluster",
                           assign_cluster_col(F.col("pvec"), model.cent))
               .withColumn("codes", pq_encode_udf(model.books)(F.col("pvec"))))
-        cand = F.broadcast(qb).join(eb, "cluster")
+        cand = F.broadcast(qb_slim).join(eb, "cluster")
         rerank_src = None  # pvec already on the candidate rows
     else:
         enc = encoded.withColumnRenamed("vec_id", "p_id") \
                      .select("p_id", "cluster", "codes")
-        cand = F.broadcast(qb).join(enc, "cluster")
+        cand = F.broadcast(qb_slim).join(enc, "cluster")
         rerank_src = e
 
     scored = cand.withColumn(
-        "adc_sim", adc_udf(model.books)(F.col("qvec"), F.col("codes")))
+        "adc_sim", adc_by_id_udf(model.books, qmap)(F.col("q_id"), F.col("codes")))
     w = W.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("p_id").asc())
     if not rerank:
         return (
@@ -313,6 +368,9 @@ def search_topk(
         .filter(F.col("rnk") <= int(rerank) * k)
         .drop("rnk")
     )
+    # re-attach the query vectors to the tiny shortlist for the exact
+    # cosine re-rank (a broadcast of the <= n_queries-row query batch)
+    short = short.join(F.broadcast(q.select("q_id", "qvec")), "q_id")
     if rerank_src is not None:
         short = rerank_src.join(
             F.broadcast(short.select("q_id", "qvec", "p_id")), "p_id")
